@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet result (written by
+graft.Verify), runs the matching SQL from oracle_sql.json in DuckDB over
+views named after the testdata tables, and compares row-by-row with
+columns sorted by name. Exits non-zero when any query mismatches.
+"""
+import duckdb, glob, json, math, os, sys
+
+def norm(v):
+    if isinstance(v, float):
+        return v  # compare exactly; report near-misses separately
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    result_dirs = sorted(
+        d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
+    failures = []
+    for d in result_dirs:
+        name = os.path.basename(d)
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{d}/*.parquet'").fetchall()
+            got_cols = [x[0] for x in con.sql(
+                f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: cannot read spark result: {e}")
+            continue
+        if name not in oracle:
+            print(f"ROWS-ONLY {name}: {len(got)} rows (no oracle)")
+            if len(got) == 0:
+                failures.append(name)
+            continue
+        try:
+            exp_rel = con.sql(oracle[name])
+            exp_cols = [c for c in exp_rel.columns]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            continue
+        # sort columns by name on both sides (driver convention)
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        if sorted(got_cols) != sorted(exp_cols):
+            failures.append(name)
+            print(f"FAIL {name}: column sets differ: spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            continue
+        g = [tuple(norm(r[i]) for i in gi) for r in got]
+        e = [tuple(norm(r[i]) for i in ei) for r in exp]
+        if len(g) != len(e):
+            failures.append(name)
+            print(f"FAIL {name}: row count {len(g)} vs oracle {len(e)}")
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first: ")
+            for i, a, b in bad[:3]:
+                print(f"  row {i}:\n    spark : {a}\n    oracle: {b}")
+        else:
+            print(f"PASS {name}: {len(g)} rows")
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print(f"\nALL {len(result_dirs)} QUERIES PASS")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table access for the driver testdata layout
+  * (`TESTDATA.md`: one parquet file per table under the sf dir).
+  *
+  * At cluster scale the same entry point would read a partitioned
+  * directory tree (e.g. `.../events/year=2024/...`) and Catalyst
+  * partition pruning + parquet filter pushdown apply unchanged —
+  * callers must always `select`/`filter` before wide operations so
+  * pushdown reaches the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects
+    // outright; read nanos as raw long and truncate to micros (exactly
+    // what DuckDB's ns->us read does, so oracle values agree).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+}

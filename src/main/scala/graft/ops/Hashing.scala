@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing primitives.
+  *
+  * Everything here is defined so the exact same value is computable in
+  * ANSI SQL on any engine with `md5()` (the DuckDB oracle uses
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT`). We deliberately avoid
+  * Spark's `hash()`/`xxhash64()` (engine-specific seeds) for any value
+  * that participates in a correctness-checked result.
+  *
+  * All expressions are built from codegen'd built-ins (md5, conv,
+  * substring, arithmetic) so they stay inside whole-stage codegen.
+  */
+object Hashing {
+
+  /** 2^31 - 1, the Mersenne prime used as the universal-hash modulus. */
+  val P31: Long = 2147483647L
+
+  /** 60-bit positive hash: first 15 hex chars of md5(string(x)). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Hash reduced into [0, 2^31-1) — safe to multiply by a 31-bit
+    * constant without overflowing a signed 64-bit long. */
+  def h31(c: Column): Column = h60(c) % P31
+
+  /** Universal-hash family h_i(x) = (a_i * x + b_i) mod P31 over h31
+    * values; (a, b) pairs are fixed primes so results are stable. */
+  val minhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1299721L, 104729L), (15485863L, 32452843L), (49979687L, 86028121L),
+    (67867967L, 2654435761L % P31), (122949829L, 512927357L),
+    (179424673L, 94418953L), (217645199L, 961748941L), (275604541L, 433024223L),
+    (334214459L, 715225739L), (413158511L, 982451653L), (452930477L, 715225741L),
+    (533000389L, 302143853L), (613651369L, 472882027L), (694847539L, 533000401L),
+    (756065159L, 613651349L), (817504243L, 694847533L))
+
+  def universalHash(h31col: Column, a: Long, b: Long): Column =
+    (h31col * lit(a) + lit(b)) % lit(P31)
+
+  /** Lowercased whitespace tokens (non-distinct, order-preserving). */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct lowercase word set. */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Distinct word 3-gram shingles; empty array for texts < 3 words.
+    * Portable twin of the oracle's
+    * `list_distinct(list_transform(range(1, len(w)-1), i -> ...))`. */
+  def shingles3(text: Column): Column = {
+    val w = tokens(text)
+    val n = size(w)
+    array_distinct(
+      when(n >= 3,
+        transform(sequence(lit(0), n - lit(3)), i =>
+          concat_ws(" ",
+            element_at(w, i + lit(1)),
+            element_at(w, i + lit(2)),
+            element_at(w, i + lit(3)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB SQL fragment computing the same value as [[h60]]. */
+  def h60Sql(x: String): String =
+    s"(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15))::BIGINT)"
+
+  /** DuckDB SQL fragment computing the same value as [[h31]]. */
+  def h31Sql(x: String): String = s"(${h60Sql(x)} % ${P31})"
+
+  /** DuckDB SQL fragment for the distinct word-3-gram shingle list. */
+  def shingles3Sql(textCol: String): String =
+    s"list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(lower($textCol)), '\\s+')) - 1), " +
+      s"i -> regexp_split_to_array(trim(lower($textCol)), '\\s+')[i] || ' ' || " +
+      s"regexp_split_to_array(trim(lower($textCol)), '\\s+')[i+1] || ' ' || " +
+      s"regexp_split_to_array(trim(lower($textCol)), '\\s+')[i+2]))"
+}

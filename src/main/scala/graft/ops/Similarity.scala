@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k (the exact baseline; oracle-checkable
+  *     because the dot product is a sequential left-fold of doubles —
+  *     identical IEEE operation order in Spark and DuckDB),
+  *   - random-hyperplane LSH bucketing (the scale path: signatures via
+  *     deterministic planes, band equi-join for candidates, exact rerank
+  *     on the candidate set only).
+  */
+object Similarity {
+
+  /** Cast float embedding to double elementwise (exact) for stable math. */
+  def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
+
+  /** Sequential-fold dot product: ((0 + x1*y1) + x2*y2) + ... — matches
+    * DuckDB's list_reduce over the zipped product list bit-for-bit. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Exact cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors (excluding itself).
+    * Output: (query_id, rank, vec_id, label, sim_x1e6).
+    *
+    * Scale notes: the small query side is broadcast so the corpus never
+    * shuffles; per-query top-k is a window over the candidate set. At
+    * 100 TB corpus scale the same plan holds (broadcast queries, one pass
+    * over the corpus, partial top-k per partition via AQE). */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      col("label"))
+    val withNorm = e.withColumn("nrm", l2norm(col("v")))
+    val queries = withNorm.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = withNorm.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("sim_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_x1e6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
+  }
+
+  /** All pairs with cosine similarity >= minSim (near-dup detection).
+    * Brute force at test scale; the LSH variant is the 100 TB path. */
+  def nearDupPairs(embeddings: DataFrame, minSim: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= minSim)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("sim") * 1e6).cast("long").as("sim_x1e6"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes x dim, components in
+    * [-1, 1), seeded LCG (java.util.Random is algorithmically specified,
+    * so values are stable across JVMs). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  private def signBit(v: Column, plane: Array[Double]): Column = {
+    val d = plane.zipWithIndex.map { case (p, j) =>
+      element_at(v, j + 1) * lit(p)
+    }.reduce(_ + _)
+    when(d >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Random-hyperplane LSH signature (nPlanes bits) per vector. */
+  def lshSignatures(embeddings: DataFrame, planes: Array[Array[Double]]): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      col("label"))
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      signBit(col("v"), p) * lit(1L << i)
+    }.reduce(_ + _)
+    e.withColumn("sig", sig)
+  }
+
+  /** Approximate top-k: candidates = corpus vectors sharing at least one
+    * 8-bit signature band with the query, exact cosine rerank on the
+    * candidates. 16 planes -> 2 bands. Output shape matches
+    * [[bruteForceTopK]] so recall can be measured directly. */
+  def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(16, dim, seed)
+    val sigs = lshSignatures(embeddings, planes)
+    def bands(df: DataFrame): DataFrame = {
+      val bs = (0 until 2).map { j =>
+        struct(lit(j).as("band_idx"),
+          shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("band_val"))
+      }
+      df.select(col("vec_id"), col("v"), col("label"),
+          explode(array(bs: _*)).as("b"))
+        .select(col("vec_id"), col("v"), col("label"),
+          col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    }
+    val all = bands(sigs)
+    val queryBands = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("band_idx"), col("band_val"))
+    val cand = all.join(broadcast(queryBands), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qv", "vec_id", "v", "label")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.select(col("query_id"), col("vec_id"), col("label"),
+      floor(dot(col("qv"), col("v")) / (l2norm(col("qv")) * l2norm(col("v"))) * 1e6)
+        .cast("long").as("sim_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_x1e6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Hashing._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All arithmetic that reaches a checked result is integer or
+  * floor-scaled (no round-half anywhere), so results are portable to the
+  * DuckDB oracle exactly.
+  */
+object TextAnalysis {
+
+  /** Occurrences of literal `needle` via the replace-length trick —
+    * identical semantics in every SQL engine. */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast("long")
+
+  private def occ(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle)))) / needle.length).cast("long")
+
+  /** Marker-word language scores + argmax prediction. A deliberately
+    * simple n-gram/stopword heuristic (the container has no langid
+    * model); deterministic and portable. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = concat(lit(" "), lower(col("text")), lit(" "))
+    val en = (occ(t, " the ") + occ(t, " and ") + occ(t, " of ")).as("score_en")
+    val es = (occ(t, " el ") + occ(t, " la ") + occ(t, " los ")).as("score_es")
+    val de = (occ(t, " der ") + occ(t, " und ") + occ(t, " die ")).as("score_de")
+    val fr = (occ(t, " le ") + occ(t, " et ") + occ(t, " les ")).as("score_fr")
+    val scored = docs.select(col("doc_id"), col("lang"), en, es, de, fr,
+      (octet_length(col("text")) > length(col("text"))).as("non_ascii"))
+    val best = greatest(col("score_en"), col("score_es"), col("score_de"),
+      col("score_fr"))
+    scored.withColumn("predicted",
+      when(col("non_ascii"), lit("cjk"))
+        .when(best === 0, lit("unknown"))
+        .when(col("score_en") === best, lit("en"))
+        .when(col("score_es") === best, lit("es"))
+        .when(col("score_de") === best, lit("de"))
+        .otherwise(lit("fr")))
+  }
+
+  /** Quality metrics: char/word counts, punctuation count, stopword
+    * count, avg word length (floor-scaled x1000). */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nWords = size(tokens(t)).cast("long")
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val stop = Seq(" the ", " a ", " an ", " and ", " or ", " of ", " to ", " in ")
+      .map(s => occ(padded, s)).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      nWords.as("n_words"),
+      regexp_count(t, lit("[.,!?;:]")).cast("long").as("n_punct"),
+      stop.as("n_stopwords"),
+      floor(length(t).cast("double") * 1000 / greatest(nWords, lit(1L)))
+        .cast("long").as("avg_word_len_x1000"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-alphanumeric marks). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .cast("long").as("bpe_ish_tokens"))
+
+  /** Document fingerprint: min h60 over word-3-gram shingles (a 1-hash
+    * MinHash — robust to local edits); md5 of the whole text as the
+    * exact-content fingerprint; falls back to the text hash for docs
+    * with < 3 words. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .groupBy("doc_id").agg(min(h60(col("s"))).as("shingle_fp"))
+    docs.select(col("doc_id"), md5(col("text").cast("string")).as("content_fp"),
+        h60(col("text")).as("text_h60"))
+      .join(sh, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("content_fp"),
+        coalesce(col("shingle_fp"), col("text_h60")).as("shingle_fp"))
+  }
+}

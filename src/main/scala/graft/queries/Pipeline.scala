@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.ops.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import Hashing.{h60Sql, h31Sql, shingles3Sql}
+
+/** Beyond-parity operators for large-scale training-data pipelines
+  * (BASELINE.json north star): dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash / embedding cosine), similarity search,
+  * text analysis, multimodal column plumbing.
+  *
+  * Oracle-parity conventions: every checked double is a floor-scaled
+  * integer of an IEEE-deterministic expression (sequential folds, no
+  * re-association), and every cross-engine hash is the md5-derived h60
+  * (see [[graft.ops.Hashing]]).
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact word-3-gram Jaccard pairs >= 0.8 — shared oracle for the
+    * exact inverted-index query AND the MinHash-LSH query (LSH candidates
+    * are exactly verified, so both must produce identical results). */
+  private val jaccardOracle: String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common,
+      |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+      |  CAST(floor(CAST(common AS DOUBLE) / (x.n + y.n - common) * 1000) AS BIGINT) AS jacc_x1000
+      |FROM pairs JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB SQL mirroring [[Dedup.simhash]]: 31 bit-sum expressions over
+    * word h31 hashes, reassembled into the signature. */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 31).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$i").mkString(", ")
+    val reassemble = (0 until 31).map(i =>
+      s"(CASE WHEN bs_$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS w FROM documents),
+      |h AS (SELECT doc_id, ${h31Sql("w")} AS h FROM w),
+      |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+      |sig AS (SELECT doc_id, $reassemble AS simhash FROM s)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB fragment: sequential-fold dot product of DOUBLE[] columns —
+    * bit-identical to [[Similarity.dot]] (0.0-init left fold). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private def normSql(v: String): String =
+    s"sqrt(list_reduce(list_transform($v, x -> x * x), (x, y) -> x + y))"
+
+  /** occurrences of a literal needle via the replace-length trick. */
+  private def occSql(expr: String, needle: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  private val langIdOracle: String = {
+    val t = "(' ' || lower(text) || ' ')"
+    def score(ws: Seq[String]) = ws.map(w => occSql(t, s" $w ")).mkString("(", " + ", ")")
+    val en = score(Seq("the", "and", "of"))
+    val es = score(Seq("el", "la", "los"))
+    val de = score(Seq("der", "und", "die"))
+    val fr = score(Seq("le", "et", "les"))
+    s"""SELECT doc_id, lang,
+      |  $en AS score_en, $es AS score_es, $de AS score_de, $fr AS score_fr,
+      |  (octet_length(encode(text)) > length(text)) AS non_ascii,
+      |  CASE WHEN octet_length(encode(text)) > length(text) THEN 'cjk'
+      |       WHEN greatest($en, $es, $de, $fr) = 0 THEN 'unknown'
+      |       WHEN $en = greatest($en, $es, $de, $fr) THEN 'en'
+      |       WHEN $es = greatest($en, $es, $de, $fr) THEN 'es'
+      |       WHEN $de = greatest($en, $es, $de, $fr) THEN 'de'
+      |       ELSE 'fr' END AS predicted
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val qualityOracle: String = {
+    val t = "(' ' || lower(text) || ' ')"
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+      .map(w => occSql(t, s" $w ")).mkString(" + ")
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      |  ($stop) AS n_stopwords,
+      |  CAST(floor(CAST(length(text) AS DOUBLE) * 1000 /
+      |    greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)) AS BIGINT) AS avg_word_len_x1000
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ── exact dedup: content-hash groupBy ────────────────────────────
+    Q("q20_dedup_exact", "pipeline:dedup-exact",
+      Some("""SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin),
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents")).orderBy("text_hash")),
+
+    Q("q21_dedup_keep_first", "pipeline:dedup-exact",
+      Some("""SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.keepFirst(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ── exact n-gram Jaccard via inverted shingle index ──────────────
+    Q("q22_ngram_jaccard", "pipeline:dedup-jaccard",
+      Some(jaccardOracle),
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // ── MinHash-LSH near-dup (candidates + exact verify) ─────────────
+    // Same oracle as q22: LSH banding must find every pair >= 0.8
+    // (miss probability ~2e-4 per pair) and verification makes
+    // precision exact, so the results coincide.
+    Q("q23_dedup_minhash_lsh", "pipeline:dedup-minhash-lsh",
+      Some(jaccardOracle),
+      (s, dir) => Dedup.minhashDupPairs(t(s, dir, "documents"), 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // ── SimHash near-dup (block-pigeonhole candidates) ───────────────
+    Q("q24_dedup_simhash", "pipeline:dedup-simhash",
+      Some(simhashOracle),
+      (s, dir) => Dedup.simhashDupPairs(t(s, dir, "documents"), 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // ── brute-force cosine top-k (exact ANN baseline) ────────────────
+    Q("q25_similarity_topk", "pipeline:similarity-topk",
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, ${normSql("v")} AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT query_id, vec_id, label,
+        |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 1000000) AS BIGINT) AS sim_x1e6
+        |  FROM n, q WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id, label, sim_x1e6,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_x1e6 DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, label, sim_x1e6 FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 20, 5)
+        .orderBy("query_id", "rank")),
+
+    // ── LSH-bucketed approximate top-k (the 100 TB scale path).
+    // Not SQL-expressible compactly -> rows-only check; recall vs the
+    // exact baseline is asserted in AnnRecallSpec.
+    Q("q26_ann_lsh_topk", "pipeline:similarity-ann",
+      None,
+      (s, dir) => Similarity.annTopK(t(s, dir, "embeddings"), 20, 5)
+        .orderBy("query_id", "rank")),
+
+    // ── embedding cosine near-dup pairs ──────────────────────────────
+    Q("q27_embedding_neardup", "pipeline:dedup-embedding",
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS sim_x1e6
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin),
+      (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .orderBy("vec_a", "vec_b")),
+
+    // ── language ID (marker-word heuristic) ──────────────────────────
+    Q("q28_text_langid", "pipeline:text-langid",
+      Some(langIdOracle),
+      (s, dir) => TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ── quality scoring ──────────────────────────────────────────────
+    Q("q29_text_quality", "pipeline:text-quality",
+      Some(qualityOracle),
+      (s, dir) => TextAnalysis.quality(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ── token counting (whitespace + BPE-ish regex) ──────────────────
+    Q("q30_token_count", "pipeline:text-tokens",
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ── document fingerprinting (min-shingle-hash + content md5) ─────
+    Q("q31_doc_fingerprint", "pipeline:text-fingerprint",
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+        |fp AS (SELECT doc_id, min(${h60Sql("s")}) AS shingle_fp FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id, md5(d.text) AS content_fp,
+        |  coalesce(fp.shingle_fp, ${h60Sql("d.text")}) AS shingle_fp
+        |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ── multimodal: binary payload + mapPartitions batch decode ──────
+    Q("q32_multimodal_meta", "pipeline:multimodal",
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.decodeMeta(s,
+          Multimodal.withPayload(t(s, dir, "documents")))
+        .toDF().orderBy("doc_id")))
+}
