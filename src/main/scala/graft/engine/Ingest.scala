@@ -1,0 +1,95 @@
+package graft.engine
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S5/S6 + F9 + O5: archive discovery, ZIP extraction, CSV ingestion.
+  *
+  * Reference: `zip_processing.py:28-84` (member enumeration, skip
+  * `__MACOSX/` and `._*`, one-level nested-zip recursion) and
+  * `parser.py:4-43` (filename regexes; note the module defines
+  * `parse_file_date` twice — the second definition, returning
+  * (None, None) on miss, wins and is the one modeled here).
+  *
+  * Scale note: member extraction happens wherever the bytes are —
+  * at test scale a local ZipInputStream; at 100 TB you pre-extract to
+  * object storage (or read via `binaryFile` + flatMap) so each CSV
+  * becomes its own split. Normalization (P1-P4) is per-member because
+  * header generations differ across a decade of files.
+  */
+object Ingest {
+
+  /** One archive = one logical load unit (year, optional month). */
+  final case class Archive(path: String, year: String, month: Option[String]) {
+    /** chronological key (`ingestion.py:34,105-109`; unknown → last) */
+    def sortKey: Long =
+      try { year.toLong * 100 + month.map(_.toLong).getOrElse(0L) }
+      catch { case _: NumberFormatException => Long.MaxValue }
+  }
+
+  private val zipName = """^(\d{4})(\d{2})?-citibike-tripdata(\.csv)?\.zip$""".r
+
+  /** F9: `parse_file_name` (`parser.py:30-36`). */
+  def parseFileName(name: String): Option[(String, Option[String])] =
+    name match {
+      case zipName(y, m, _) => Some((y, Option(m)))
+      case _ => None
+    }
+
+  /** S2/S5: list archives in a local directory, keep matching names
+    * (drops `JC-*`, html, etc. by regex), chronological order. */
+  def listArchives(dir: String): Seq[Archive] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.toSeq.flatMap { f =>
+      parseFileName(f.getName).map { case (y, m) => Archive(f.getPath, y, m) }
+    }.sortBy(_.sortKey)
+  }
+
+  /** S6: extract CSV members (bytes) from a ZIP, skipping macOS junk,
+    * recursing one level into nested zips (`zip_processing.py:28-84`). */
+  def extractCsvMembers(zipBytes: Array[Byte], depth: Int = 0): Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
+    try {
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        val name = entry.getName
+        val base = name.substring(name.lastIndexOf('/') + 1)
+        val junk = name.startsWith("__MACOSX/") || base.startsWith("._") ||
+          entry.isDirectory
+        if (!junk && name.toLowerCase.endsWith(".csv")) {
+          out += ((name, readAll(zin)))
+        } else if (!junk && name.toLowerCase.endsWith(".zip") && depth == 0) {
+          out ++= extractCsvMembers(readAll(zin), depth = 1)
+        }
+        entry = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  private def readAll(zin: ZipInputStream): Array[Byte] = {
+    val buf = new Array[Byte](64 * 1024)
+    val bos = new ByteArrayOutputStream()
+    var n = zin.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = zin.read(buf) }
+    bos.toByteArray
+  }
+
+  /** S7 + U1: parse every CSV member of an archive and union the
+    * normalized batches (`zip_processing.py:10-17` + `clean_up.py`). */
+  def readArchive(spark: SparkSession, archive: Archive): DataFrame = {
+    import spark.implicits._
+    val zipBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(archive.path))
+    val members = extractCsvMembers(zipBytes)
+    require(members.nonEmpty, s"no CSV members in ${archive.path}")
+    members.map { case (_, bytes) =>
+      val text = new String(bytes, StandardCharsets.UTF_8)
+      val ds = spark.createDataset(text.linesIterator.toSeq)
+      Normalize(spark.read.option("header", "true").csv(ds))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -92,18 +92,22 @@ object Similarity {
   }
 
   /** Approximate top-k: candidates = corpus vectors sharing at least one
-    * 8-bit signature band with the query, exact cosine rerank on the
-    * candidates. 16 planes -> 2 bands. Output shape matches
-    * [[bruteForceTopK]] so recall can be measured directly. */
+    * 4-bit signature band with the query, exact cosine rerank on the
+    * candidates. 32 planes -> 8 bands of 4 bits: for moderately similar
+    * vectors (cos ~0.4-0.5, P(bit agree) ~0.65) per-pair recall is
+    * ~0.7-0.8, while a random pair only collides on ~1 - (1-2^-4)^8 ~ 40%
+    * of the corpus — the knob to turn as corpus similarity concentrates
+    * (true near-dups at cos > 0.9 collide with p ~ 1). Output shape
+    * matches [[bruteForceTopK]] so recall can be measured directly. */
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               seed: Long = 42L): DataFrame = {
     val dim = 64
-    val planes = hyperplanes(16, dim, seed)
+    val planes = hyperplanes(32, dim, seed)
     val sigs = lshSignatures(embeddings, planes)
     def bands(df: DataFrame): DataFrame = {
-      val bs = (0 until 2).map { j =>
+      val bs = (0 until 8).map { j =>
         struct(lit(j).as("band_idx"),
-          shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("band_val"))
+          shiftright(col("sig"), 4 * j).bitwiseAND(lit(15L)).as("band_val"))
       }
       df.select(col("vec_id"), col("v"), col("label"),
           explode(array(bs: _*)).as("b"))
