@@ -32,10 +32,23 @@ object Dedup {
     docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
+  /** Per-doc distinct shingle arrays (doc_id, sh) — words materialized
+    * first so tokenization runs once per doc (see shinglesFromWords). */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
+
   /** Per-doc distinct 3-gram shingles, exploded (doc_id, shingle).
-    * This is the inverted index: at scale it shuffles once on shingle. */
+    * This is the inverted index: at scale it shuffles once on shingle.
+    *
+    * Plan-shape note: the generator must be the shingle EXPRESSION over
+    * the words attribute, not an exploded alias of a prior projection —
+    * with an alias, InferFiltersFromGenerate pushes a `size(sh) > 0`
+    * filter below both projections, re-inlining tokenization into the
+    * lambda (O(words^2) per row; measured 40x slower). */
   def shingleIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("w"))).as("s"))
 
   /** Exact n-gram Jaccard >= minJ over all pairs sharing a shingle.
     * Output: (doc_a, doc_b, common, n_a, n_b, jacc_x1000).
@@ -97,7 +110,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val sets = shingleSets(docs)
     cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))

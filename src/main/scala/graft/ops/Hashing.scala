@@ -46,11 +46,12 @@ object Hashing {
   /** Distinct lowercase word set. */
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Distinct word 3-gram shingles; empty array for texts < 3 words.
-    * Portable twin of the oracle's
-    * `list_distinct(list_transform(range(1, len(w)-1), i -> ...))`. */
-  def shingles3(text: Column): Column = {
-    val w = tokens(text)
+  /** Distinct word 3-gram shingles from an already-materialized words
+    * column. IMPORTANT: pass a bound column (from a prior select), not
+    * an inline `tokens(text)` expression — Catalyst does no CSE inside
+    * lambda bodies, so an inline split would re-tokenize the whole text
+    * for every element access (O(words^2), measured 20x slower). */
+  def shinglesFromWords(w: Column): Column = {
     val n = size(w)
     array_distinct(
       when(n >= 3,
@@ -61,6 +62,12 @@ object Hashing {
             element_at(w, i + lit(3)))))
         .otherwise(array().cast("array<string>")))
   }
+
+  /** Distinct word 3-gram shingles; empty array for texts < 3 words.
+    * Portable twin of the oracle's
+    * `list_distinct(list_transform(range(1, len(w)-1), i -> ...))`.
+    * Only for one-shot use on small inputs — see [[shinglesFromWords]]. */
+  def shingles3(text: Column): Column = shinglesFromWords(tokens(text))
 
   /** DuckDB SQL fragment computing the same value as [[h60]]. */
   def h60Sql(x: String): String =

@@ -76,7 +76,8 @@ object TextAnalysis {
     * exact-content fingerprint; falls back to the text hash for docs
     * with < 3 words. */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("w"))).as("s"))
       .groupBy("doc_id").agg(min(h60(col("s"))).as("shingle_fp"))
     docs.select(col("doc_id"), md5(col("text").cast("string")).as("content_fp"),
         h60(col("text")).as("text_h60"))
