@@ -1,29 +1,21 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.ops.Hashing._
-/** Scratch profiling main (not part of the driver contract). */
+/** Scratch plan-audit main (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f; println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val dir = "/root/testdata/sf0.01"
+    for (n <- Seq("q01_linegraph", "q11_quality_filter", "q08_state_left_join",
+                  "q04_dock_fullouter", "q03_topk_trips", "q25_similarity_topk",
+                  "q23_dedup_minhash_lsh")) {
+      println(s"##### $n")
+      val df = graft.queries.Registry.queries(n)(spark, dir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(4000))
     }
-    val docs = graft.engine.Tables(spark, dir, "documents")
-    val v1 = graft.ops.Dedup.shingleIndex(docs)
-    println("=== shingleIndex plan:")
-    println(v1.queryExecution.optimizedPlan.treeString.take(2500))
-    time("v1 shingleIndex")(v1.write.format("noop").mode("overwrite").save())
-    val v2 = docs.select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(shinglesFromWords(col("w"))).as("s"))
-    time("v2 direct two-step")(v2.write.format("noop").mode("overwrite").save())
-    time("v2 again")(v2.write.format("noop").mode("overwrite").save())
-    val docsLen = docs.select(length(col("text")).as("l"))
-    docsLen.agg(avg("l"), max("l"), count(lit(1))).show()
     spark.stop()
   }
 }
