@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.dotProduct
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+  * quantizer partitions the corpus into cells; queries probe only the
+  * nProbe nearest cells and rerank exactly within them.
+  *
+  * The scale story vs LSH banding ([[Similarity.annTopK]]): IVF adapts
+  * to the data distribution (cells follow density), and at 100 TB the
+  * cell id becomes the storage partition key — a query touches nProbe
+  * partitions instead of the whole corpus. Training is Lloyd's
+  * algorithm as Spark aggregations: assignment is a broadcast of k
+  * centroids (k small), update is one groupBy — no driver-side loops
+  * over vectors, only k centroids ever leave the executors.
+  *
+  * Deterministic: centroids init from the k lowest vec_ids; ties in
+  * assignment break on cell id.
+  */
+object IvfIndex {
+
+  /** Assign each vector the id of its nearest centroid (max dot is wrong
+    * for unnormalized data — use squared L2 via dot identities). */
+  private def assign(vectors: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    // dist²(v, c) = |v|² - 2<v,c> + |c|² ; |v|² constant per row → rank by |c|² - 2<v,c>
+    val scored = centroids.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotProduct(col("v"), typedlit(c))).as("d"),
+        lit(cid).as("cid"))
+    }
+    vectors.withColumn("cell", array_min(array(scored: _*)).getField("cid"))
+  }
+
+  /** Train k centroids with `iters` Lloyd iterations. Returns
+    * (cellId, centroid) pairs — k is small, so collecting centroids to
+    * the driver between iterations is the intended pattern. */
+  def train(embeddings: DataFrame, k: Int, iters: Int, dim: Int = 64): Array[(Int, Seq[Double])] = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    var centroids: Array[(Int, Seq[Double])] =
+      e.filter(col("vec_id") < k).orderBy("vec_id").collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](1).map(_.toDouble))
+        }
+    for (_ <- 0 until iters) {
+      val assigned = assign(e, centroids)
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1).cast("double")).as(s"s_$i"))
+      val upd = assigned.groupBy("cell")
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+        .collect()
+        .map { r =>
+          val n = r.getAs[Long]("n").toDouble
+          (r.getAs[Int]("cell"), (0 until dim).map(i => r.getAs[Double](s"s_$i") / n))
+        }
+      // empty cells keep their previous centroid
+      val updMap = upd.toMap
+      centroids = centroids.map { case (cid, c) => (cid, updMap.getOrElse(cid, c)) }
+    }
+    centroids
+  }
+
+  /** Approximate top-k: probe the nProbe nearest cells per query, exact
+    * cosine rerank within them. Output shape matches
+    * [[Similarity.bruteForceTopK]]. */
+  def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = train(embeddings, nCells, iters)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"), col("label"))
+    val indexed = assign(e, centroids)
+
+    // per-query cell shortlist (nProbe nearest centroids)
+    val queries = indexed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = centroids.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotProduct(col("qv"), typedlit(c))).as("d"),
+        lit(cid).as("cid"))
+    }
+    val queryCells = queries
+      .withColumn("probe", explode(slice(array_sort(array(probes: _*)), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
+
+    val cand = indexed.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val scored = cand.select(col("query_id"), col("vec_id"), col("label"),
+      floor(dotProduct(col("qv"), col("v")) /
+        (sqrt(dotProduct(col("qv"), col("qv"))) * sqrt(dotProduct(col("v"), col("v")))) * 1e6)
+        .cast("long").as("sim_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_x1e6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
+  }
+}

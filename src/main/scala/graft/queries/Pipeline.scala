@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.ops.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Hashing, IvfIndex, Multimodal, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -204,6 +204,27 @@ object Pipeline {
         |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin),
       (s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ── IVF ANN (k-means coarse quantizer + cell probe).
+    // Not SQL-expressible -> rows-only; recall vs the exact baseline is
+    // asserted in QueriesSpec alongside the LSH variant.
+    Q("q33_ann_ivf_topk", "pipeline:similarity-ann-ivf",
+      None,
+      (s, dir) => IvfIndex.annTopK(t(s, dir, "embeddings"), 20, 5)
+        .orderBy("query_id", "rank")),
+
+    // ── approximate distinct (HLL) next to exact — the cardinality
+    // sketch a 100 TB dedup pipeline uses for stats. Sketches are
+    // engine-specific -> rows-only; the 5% rsd bound is asserted in
+    // QueriesSpec.
+    Q("q34_approx_distinct", "pipeline:approx-distinct",
+      None,
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
 
     // ── multimodal: binary payload + mapPartitions batch decode ──────
     Q("q32_multimodal_meta", "pipeline:multimodal",

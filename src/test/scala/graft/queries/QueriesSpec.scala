@@ -27,18 +27,56 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
     // every query except the documented rows-only ones has an oracle
     val rowsOnly = qk -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q26_ann_lsh_topk"), s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly == Set("q26_ann_lsh_topk", "q33_ann_ivf_topk",
+      "q34_approx_distinct"), s"unexpected rows-only: $rowsOnly")
   }
 
-  test("ANN LSH top-k recall >= 0.5 vs brute force at k=5") {
+  test("ANN recall vs brute force at k=5: LSH >= 0.5, IVF >= 0.5") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, 20, 5)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.annTopK(emb, 20, 5)
-      .select("query_id", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"ANN recall $recall too low")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val lsh = recallOf(Similarity.annTopK(emb, 20, 5))
+    val ivf = recallOf(graft.ops.IvfIndex.annTopK(emb, 20, 5))
+    assert(lsh >= 0.5, s"LSH recall $lsh too low")
+    assert(ivf >= 0.5, s"IVF recall $ivf too low")
+  }
+
+  test("approx_count_distinct within 5% rsd bound of exact") {
+    val rows = Registry.queries("q34_approx_distinct")(spark, sf)
+      .select("approx_users", "exact_users")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("dot_product is SQL-callable after registration; Aggregator merge matches expression merge") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 11.0)
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions) // smoke
+
+    import graft.engine.builders.YearMapMerge
+    val a: YearMapMerge.YearMap = Map("2021" -> ((2L, 1L, Map("Jan" -> ((3L, 2L, 1L))))))
+    val b: YearMapMerge.YearMap = Map("2021" -> ((5L, 4L, Map("Feb" -> ((9L, 5L, 4L))))),
+      "2022" -> ((1L, 1L, Map("Jan" -> ((2L, 1L, 1L))))))
+    val m = YearMapMerge.mergeTwo(a, b)
+    assert(m("2021")._1 == 5L && m("2021")._3.keySet == Set("Jan", "Feb"))
+    assert(m.keySet == Set("2021", "2022"))
+    // typed Aggregator over a Dataset of partial maps folds the same way
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.kryo[YearMapMerge.YearMap]
+    val ds = spark.createDataset(Seq(a, b))
+    val agg = ds.groupByKey(_ => 1).agg(YearMapMerge.aggregator.toColumn)
+      .collect()(0)._2
+    assert(agg == m)
   }
 }
