@@ -48,6 +48,10 @@ object CitibikePipeline {
       val imported = Quality.importTrips(
         Ingest.readArchive(spark, a), a.year).cache()
       try {
+        // the canonical fact table, partitioned for per-period pruning
+        // (replaces the reference's (year, month) ART index, S12)
+        TableStore.append(imported, warehouse, "ImportedTrips",
+          partitionBy = Seq("year", "month"))
         updateLineGraph(spark, warehouse, imported)
         updateHeatMap(spark, warehouse, imported)
         updateTripsMap(spark, warehouse, imported, provider)

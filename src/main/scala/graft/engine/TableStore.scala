@@ -21,8 +21,23 @@ object TableStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def read(spark: SparkSession, warehouse: String, name: String): DataFrame =
+  def read(spark: SparkSession, warehouse: String, name: String): DataFrame = {
+    // partition columns (year=/month= dirs) must stay strings — the
+    // default type inference would turn year="2021" into an int
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     spark.read.parquet(tablePath(warehouse, name))
+  }
+
+  /** Append into a (possibly partitioned) table — the canonical-trips
+    * fact table grows per archive; partitioning by (year, month) gives
+    * partition pruning on every per-period query and makes re-load of a
+    * period an overwrite of just its directories. */
+  def append(df: DataFrame, warehouse: String, name: String,
+             partitionBy: Seq[String]): Unit = {
+    val w = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*)
+            else df.write
+    w.mode("append").parquet(tablePath(warehouse, name))
+  }
 
   def readOrEmpty(spark: SparkSession, warehouse: String, name: String,
                   schema: StructType): DataFrame =
