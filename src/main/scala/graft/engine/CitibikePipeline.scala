@@ -34,7 +34,16 @@ object CitibikePipeline {
     StructField("station_data", StringType)))
 
   /** Process every new archive in `inputDir` into `warehouse`. Returns
-    * the number of archives loaded. */
+    * the number of archives loaded.
+    *
+    * Failure model: per-archive processing is not transactional across
+    * the five derived tables — a crash mid-archive can leave some
+    * tables merged and the manifest unwritten, and the additive upserts
+    * would re-add on rerun (the fact table is safe: dynamic partition
+    * overwrite). The reference has the same exposure (sequential SQL
+    * statements on one DuckDB file). The cluster-grade fix is a
+    * transactional table format; with plain parquet, recovery is
+    * re-deriving the five tables from ImportedTrips. */
   def run(spark: SparkSession, inputDir: String, warehouse: String,
           provider: Waypoints.RouteProvider = Waypoints.StraightLineRoutes): Int = {
     val archives = Ingest.listArchives(inputDir)
@@ -49,8 +58,9 @@ object CitibikePipeline {
         Ingest.readArchive(spark, a), a.year).cache()
       try {
         // the canonical fact table, partitioned for per-period pruning
-        // (replaces the reference's (year, month) ART index, S12)
-        TableStore.append(imported, warehouse, "ImportedTrips",
+        // (replaces the reference's (year, month) ART index, S12);
+        // dynamic overwrite => re-processing a period is idempotent
+        TableStore.overwritePartitions(imported, warehouse, "ImportedTrips",
           partitionBy = Seq("year", "month"))
         updateLineGraph(spark, warehouse, imported)
         updateHeatMap(spark, warehouse, imported)

@@ -3,14 +3,16 @@ package graft.engine
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Incremental-load manifest: which (year, month) periods are already in
-  * the warehouse.
+/** The manifest *query* of `new_file_check.py:15-45` as a relational
+  * anti-join (J7): which candidate periods does a manifest cover.
   *
-  * Mirrors the reference's `StatusDataTable` semantics
-  * (`new_file_check.py:15-45`, `update_status_data.py:9-51`):
-  *   - a yearly archive marks the whole year loaded (`complete = true`);
-  *   - monthly archives mark months `<= month` of that year loaded
-  *     (`complete = false`).
+  * NOTE: the pipeline's actual persisted manifest is
+  * [[builders.StatusData]] (exact-month-equality skip, one row per
+  * year, replace semantics — `update_status_data.py`); this object
+  * models the SQL-level coverage predicate the reference builds its
+  * candidate filter from, and backs the q07 oracle query. The two are
+  * intentionally separate: StatusData is the store, this is the
+  * set-difference operator.
   *
   * The manifest is tiny (one row per loaded period) so the anti-join is
   * always a broadcast; candidates never shuffle.
@@ -29,21 +31,4 @@ object Manifest {
       "left_anti")
   }
 
-  /** J8 + status upsert: record a loaded period. A yearly load replaces
-    * any monthly rows for that year; a monthly load keeps the max month
-    * seen. Returns the new manifest. */
-  def markLoaded(manifest: DataFrame, year: String, month: Int,
-                 complete: Boolean): DataFrame = {
-    val spark = manifest.sparkSession
-    import spark.implicits._
-    val delta = Seq((year, month, complete)).toDF("year", "month", "complete")
-    manifest.unionByName(delta)
-      .groupBy("year")
-      .agg(
-        max(when(col("complete"), lit(12)).otherwise(col("month"))).as("month"),
-        max(col("complete")).as("complete"))
-      .select(col("year"),
-        when(col("complete"), lit(12)).otherwise(col("month")).as("month"),
-        col("complete"))
-  }
 }

@@ -28,15 +28,18 @@ object TableStore {
     spark.read.parquet(tablePath(warehouse, name))
   }
 
-  /** Append into a (possibly partitioned) table — the canonical-trips
-    * fact table grows per archive; partitioning by (year, month) gives
-    * partition pruning on every per-period query and makes re-load of a
-    * period an overwrite of just its directories. */
-  def append(df: DataFrame, warehouse: String, name: String,
-             partitionBy: Seq[String]): Unit = {
-    val w = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*)
-            else df.write
-    w.mode("append").parquet(tablePath(warehouse, name))
+  /** Dynamic-partition overwrite into a partitioned table — the
+    * canonical-trips fact table grows per archive; partitioning by
+    * (year, month) gives partition pruning on every per-period query,
+    * and dynamic overwrite makes re-loading a period replace exactly its
+    * directories — re-processing an archive after a crash is idempotent
+    * instead of double-appending. */
+  def overwritePartitions(df: DataFrame, warehouse: String, name: String,
+                          partitionBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.partitionBy(partitionBy: _*).mode("overwrite")
+      .parquet(tablePath(warehouse, name))
   }
 
   def readOrEmpty(spark: SparkSession, warehouse: String, name: String,
@@ -45,22 +48,34 @@ object TableStore {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Overwrite `name` with `df` via temp-dir + rename swap. Caller must
-    * ensure `df` does not lazily read the table being replaced without
-    * a barrier — pass `materialize = true` (default) to force the plan
-    * into the temp files before the old dir is removed (it does: the
-    * temp write IS the materialization; the swap happens after). */
+  /** Overwrite `name` with `df` via temp-dir write + backup-rename swap.
+    * The temp write materializes the plan (which may read the table
+    * being replaced) before anything is touched; the swap then is
+    * old->bak, tmp->dst, drop bak — each step checked, with restore on
+    * failure, so the table is never left missing. Directory rename is
+    * atomic on local FS/HDFS; on object stores a transactional table
+    * format (Delta/Iceberg) would replace this class wholesale. A crash
+    * exactly between old->bak and tmp->dst leaves a recoverable
+    * `.bak_<name>` rather than silent data loss. */
   def write(df: DataFrame, warehouse: String, name: String,
             partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$warehouse/.tmp_$name")
+    val bak = new Path(s"$warehouse/.bak_$name")
     val dst = new Path(tablePath(warehouse, name))
     val writer = if (partitionBy.nonEmpty)
       df.write.partitionBy(partitionBy: _*) else df.write
     writer.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"could not move $dst aside to $bak")
+    if (!fs.rename(tmp, dst)) {
+      if (hadOld) fs.rename(bak, dst) // restore
+      throw new java.io.IOException(s"could not swap $tmp into $dst")
+    }
+    if (hadOld) fs.delete(bak, true)
   }
 }

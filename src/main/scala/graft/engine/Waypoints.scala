@@ -96,5 +96,9 @@ object Waypoints {
   def waypointsUdf(provider: RouteProvider = StraightLineRoutes) =
     udf((fromLat: Double, fromLon: Double, toLat: Double, toLon: Double,
          startTime: java.sql.Timestamp) =>
-      tripTimes(provider.route(fromLon, fromLat, toLon, toLat), startTime))
+      // reference-typed params are not auto-null-skipped by Spark; a
+      // null start_time (possible on caller-supplied frames) must yield
+      // null, not an executor NPE
+      if (startTime == null) null
+      else tripTimes(provider.route(fromLon, fromLat, toLon, toLat), startTime))
 }

@@ -18,7 +18,6 @@ object HeatMap {
       .withColumn("hour", date_format(col("start_time"), "HH").cast("int"))
       .groupBy("year", "month", "hour")
       .agg(count(lit(1)).cast("int").as("total_count"))
-      .orderBy("year", "month", "hour")
 
   def merge(existing: DataFrame, delta: DataFrame): DataFrame =
     Merge.upsertAdd(existing, delta, Seq("year", "month", "hour"),

@@ -19,7 +19,6 @@ object LineGraph {
           .as("subscriber_count"),
         count(when(col("user_type") === "customer", 1)).cast("int")
           .as("customer_count"))
-      .orderBy("year", "month")
 
   def merge(existing: DataFrame, delta: DataFrame): DataFrame =
     existing.unionByName(delta)

@@ -45,24 +45,33 @@ object TripsMap {
         "trip_count", "waypoints")
   }
 
-  /** Upsert (`update_tripsmap.py:38-56`): matched (year, from, to) rows
-    * add trip_count but KEEP the existing waypoints (the reference's
-    * UPDATE only sets trip_count); unmatched delta rows insert whole. */
+  /** Upsert (`update_tripsmap.py:38-56`): matched rows add trip_count
+    * but KEEP the existing waypoints (the reference's UPDATE only sets
+    * trip_count); unmatched delta rows insert whole.
+    *
+    * Deliberate divergence: the reference joins on (year, from, to)
+    * only, but build() emits one row per rideable_type for the same
+    * station pair, so duplicate keys would cross-multiply on every
+    * merge (and DuckDB's UPDATE..FROM with multiple matches is
+    * nondeterministic). rideable_type joins the key set here, making
+    * the merge deterministic and row-preserving. */
   def merge(existing: DataFrame, delta: DataFrame): DataFrame = {
-    val keys = Seq("year", "from_station", "to_station")
-    val e = existing.withColumnRenamed("trip_count", "e_count")
-      .withColumnRenamed("waypoints", "e_waypoints")
-      .withColumnRenamed("rideable_type", "e_rideable")
-    val d = delta.withColumnRenamed("trip_count", "d_count")
-      .withColumnRenamed("waypoints", "d_waypoints")
-      .withColumnRenamed("rideable_type", "d_rideable")
-    e.join(d, keys, "full_outer")
+    val e = existing.as("e")
+    val d = delta.as("d")
+    // null-safe on rideable_type: legacy archives carry null there, and
+    // a plain equi-join would never match those rows (row duplication)
+    val cond = col("e.year") === col("d.year") &&
+      col("e.from_station") === col("d.from_station") &&
+      col("e.to_station") === col("d.to_station") &&
+      (col("e.rideable_type") <=> col("d.rideable_type"))
+    e.join(d, cond, "full_outer")
       .select(
-        col("year"),
-        coalesce(col("e_rideable"), col("d_rideable")).as("rideable_type"),
-        col("from_station"), col("to_station"),
-        (coalesce(col("e_count"), lit(0)) + coalesce(col("d_count"), lit(0)))
+        coalesce(col("e.year"), col("d.year")).as("year"),
+        coalesce(col("e.rideable_type"), col("d.rideable_type")).as("rideable_type"),
+        coalesce(col("e.from_station"), col("d.from_station")).as("from_station"),
+        coalesce(col("e.to_station"), col("d.to_station")).as("to_station"),
+        (coalesce(col("e.trip_count"), lit(0)) + coalesce(col("d.trip_count"), lit(0)))
           .cast("int").as("trip_count"),
-        coalesce(col("e_waypoints"), col("d_waypoints")).as("waypoints"))
+        coalesce(col("e.waypoints"), col("d.waypoints")).as("waypoints"))
   }
 }

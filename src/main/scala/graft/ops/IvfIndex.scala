@@ -66,8 +66,9 @@ object IvfIndex {
     * cosine rerank within them. Output shape matches
     * [[Similarity.bruteForceTopK]]. */
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = train(embeddings, nCells, iters)
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+              dim: Int = 64): DataFrame = {
+    val centroids = train(embeddings, nCells, iters, dim)
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"), col("label"))
     val indexed = assign(e, centroids)
 
@@ -83,11 +84,14 @@ object IvfIndex {
       .withColumn("probe", explode(slice(array_sort(array(probes: _*)), 1, nProbe)))
       .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
 
-    val cand = indexed.join(broadcast(queryCells), Seq("cell"))
+    val withNorm = indexed.withColumn("nrm",
+      sqrt(dotProduct(col("v"), col("v"))))
+    val queryCellsN = queryCells.withColumn("qn",
+      sqrt(dotProduct(col("qv"), col("qv"))))
+    val cand = withNorm.join(broadcast(queryCellsN), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
     val scored = cand.select(col("query_id"), col("vec_id"), col("label"),
-      floor(dotProduct(col("qv"), col("v")) /
-        (sqrt(dotProduct(col("qv"), col("qv"))) * sqrt(dotProduct(col("v"), col("v")))) * 1e6)
+      floor(dotProduct(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
         .cast("long").as("sim_x1e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_x1e6").desc, col("vec_id"))

@@ -101,30 +101,31 @@ object Similarity {
     * (true near-dups at cos > 0.9 collide with p ~ 1). Output shape
     * matches [[bruteForceTopK]] so recall can be measured directly. */
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              seed: Long = 42L): DataFrame = {
-    val dim = 64
+              seed: Long = 42L, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(32, dim, seed)
+    // norms computed once per vector here, carried through the bands
     val sigs = lshSignatures(embeddings, planes)
+      .withColumn("nrm", l2norm(col("v")))
     def bands(df: DataFrame): DataFrame = {
       val bs = (0 until 8).map { j =>
         struct(lit(j).as("band_idx"),
           shiftright(col("sig"), 4 * j).bitwiseAND(lit(15L)).as("band_val"))
       }
-      df.select(col("vec_id"), col("v"), col("label"),
+      df.select(col("vec_id"), col("v"), col("nrm"), col("label"),
           explode(array(bs: _*)).as("b"))
-        .select(col("vec_id"), col("v"), col("label"),
+        .select(col("vec_id"), col("v"), col("nrm"), col("label"),
           col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
     }
     val all = bands(sigs)
     val queryBands = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("band_idx"), col("band_val"))
+        col("nrm").as("qn"), col("band_idx"), col("band_val"))
     val cand = all.join(broadcast(queryBands), Seq("band_idx", "band_val"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "qv", "vec_id", "v", "label")
+      .select("query_id", "qv", "qn", "vec_id", "v", "nrm", "label")
       .dropDuplicates("query_id", "vec_id")
     val scored = cand.select(col("query_id"), col("vec_id"), col("label"),
-      floor(dot(col("qv"), col("v")) / (l2norm(col("qv")) * l2norm(col("v"))) * 1e6)
+      floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
         .cast("long").as("sim_x1e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_x1e6").desc, col("vec_id"))

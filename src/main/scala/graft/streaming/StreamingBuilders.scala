@@ -13,7 +13,8 @@ import graft.engine.TripSchema
   * onto Spark's native streaming machinery:
   *   - the StatusDataTable manifest -> the file-source checkpoint
   *     (`Trigger.AvailableNow` processes exactly the new files per run),
-  *   - the drop-late-rows policy (`db_importing.py:88`) -> a watermark,
+  *   - the drop-late-rows policy (`db_importing.py:88`) -> enforced
+  *     upstream by Quality.importTrips (see builder notes on watermarks),
   *   - the UPDATE+INSERT upsert -> streaming state in update mode.
   *
   * These are additive capability (the batch pipeline remains the parity
@@ -35,12 +36,16 @@ object StreamingBuilders {
     spark.readStream.schema(schema).parquet(dir)
   }
 
-  /** Streaming linegraph: per (year, month) conditional counts with a
-    * 31-day watermark standing in for the reference's year-boundary
-    * late-data drop. */
+  /** Streaming linegraph: per (year, month) conditional counts.
+    * No watermark: these aggregations group by period strings, not an
+    * event-time window, so a watermark would neither drop late rows nor
+    * evict state (Spark only applies it to windowed/event-time keys).
+    * State stays bounded by the key cardinality (years x months), and
+    * the reference's late-data policy (drop rows outside the archive
+    * year, `db_importing.py:88`) is enforced upstream by
+    * Quality.importTrips before rows reach the stream. */
   def lineGraphStream(trips: DataFrame): DataFrame =
     trips
-      .withWatermark("start_time", "31 days")
       .groupBy(col("year"), col("month"))
       .agg(
         count(when(col("user_type") === "subscriber", 1)).cast("int")
@@ -48,10 +53,10 @@ object StreamingBuilders {
         count(when(col("user_type") === "customer", 1)).cast("int")
           .as("customer_count"))
 
-  /** Streaming heatmap: per (year, month, hour) counts. */
+  /** Streaming heatmap: per (year, month, hour) counts. Same
+    * no-watermark rationale as [[lineGraphStream]]. */
   def heatMapStream(trips: DataFrame): DataFrame =
     trips
-      .withWatermark("start_time", "31 days")
       .groupBy(col("year"), col("month"),
         date_format(col("start_time"), "HH").cast("int").as("hour"))
       .agg(count(lit(1)).cast("int").as("total_count"))

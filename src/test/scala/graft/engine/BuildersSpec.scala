@@ -68,6 +68,22 @@ class BuildersSpec extends SparkSpec {
     assert(merged.filter($"from_station" === "C").count() == 1) // insert half
   }
 
+  test("TripsMap.merge: same station pair under two rideable types does not cross-multiply") {
+    val mixed = trips(
+      ("2021-01-05 08:00:00", "A", "B", "subscriber", "classic_bike"),
+      ("2021-01-05 08:10:00", "A", "B", "subscriber", "electric_bike"))
+    val r = TripsMap.build(mixed)
+    assert(r.count() == 2) // one row per rideable_type
+    val merged = TripsMap.merge(r, r) // re-merge the same delta
+    assert(merged.count() == 2, "duplicate (year,from,to) keys must not cross-join")
+    assert(merged.select(sum("trip_count")).as[Long].head() == 4)
+    // null rideable_type (legacy archives) must match null-safely too
+    val legacy = trips(("2021-01-05 09:00:00", "A", "B", "subscriber", null))
+    val lr = TripsMap.build(legacy)
+    val lm = TripsMap.merge(lr, lr)
+    assert(lm.count() == 1 && lm.select("trip_count").as[Int].head() == 2)
+  }
+
   test("DockMap: full-outer starts/ends, nested maps, deep year merge") {
     val d1 = DockMap.build(jan)
     val a = d1.filter($"station_name" === "A").collect()(0)

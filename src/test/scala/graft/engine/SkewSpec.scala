@@ -29,7 +29,7 @@ class SkewSpec extends SparkSpec {
     val trips = Seq(
       ("2021", "Jan", "A"), ("2021", "Feb", "B"), ("2022", "Jan", "C"))
       .toDF("year", "month", "start_station_name")
-    TableStore.append(trips, wh, "ImportedTrips", Seq("year", "month"))
+    TableStore.overwritePartitions(trips, wh, "ImportedTrips", Seq("year", "month"))
     val q = TableStore.read(spark, wh, "ImportedTrips")
       .filter($"year" === "2021" && $"month" === "Jan")
     val plan = q.queryExecution.executedPlan.toString()
