@@ -125,6 +125,38 @@ object Dedup {
         floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
   }
 
+  /** Near-dup clusters: connected components over the MinHash-LSH dup
+    * pairs via iterative min-label propagation — the "keep one document
+    * per duplicate cluster" operator. Each iteration is one join + one
+    * aggregation; iterations needed = graph diameter (dup clusters are
+    * shallow), with a fixpoint check. No driver-side graph state.
+    * Output: (doc_id, cluster_root, keep) for every document
+    * (singletons root themselves). */
+  def dupClusters(docs: DataFrame, minJ: Double, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashDupPairs(docs, minJ).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("root")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("root"))
+      val next = labels.select(col("doc_id"), col("root")).union(viaNeighbors)
+        .groupBy("doc_id").agg(min(col("root")).as("root")).cache()
+      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.root") =!= col("o.root")).limit(1).isEmpty
+      labels.unpersist()
+      labels = next
+      converged = changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("root").as("cluster_root"),
+      (col("doc_id") === col("root")).as("keep"))
+  }
+
   /** 31-bit SimHash over the distinct shingle set (unweighted): bit i is
     * set iff sum over shingles of sign(bit i of h31(shingle)) is >= 0.
     * Shingles (not single words) keep the signature discriminative when

@@ -205,6 +205,53 @@ object Pipeline {
         |ORDER BY d.doc_id""".stripMargin),
       (s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // ── near-dup clustering: connected components over dup pairs ─────
+    // Oracle computes the same components with a recursive CTE over the
+    // exact-Jaccard pair set (clusters are small at this sf; the Spark
+    // side scales via per-iteration joins).
+    Q("q35_dedup_clusters", "pipeline:dedup-clusters",
+      Some(s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
+        |SELECT d.doc_id,
+        |  CAST(least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS BIGINT) AS cluster_root,
+        |  (d.doc_id = least(d.doc_id, coalesce(min(r.m), d.doc_id))) AS keep
+        |FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => Dedup.dupClusters(t(s, dir, "documents"), 0.8)
+        .orderBy("doc_id")),
+
+    // ── deterministic stratified sampling (data mixing) ──────────────
+    // Hash-bucket sampling: stable under re-runs and engine-portable —
+    // the per-language rate is the mixing weight of a training-data
+    // pipeline.
+    Q("q36_stratified_sample", "pipeline:sampling",
+      Some(s"""SELECT doc_id, lang,
+        |  CAST(${h60Sql("doc_id")} % 100 AS BIGINT) AS bucket
+        |FROM documents
+        |WHERE ${h60Sql("doc_id")} % 100 <
+        |  (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("bucket", pmod(Hashing.h60(col("doc_id")), lit(100L)))
+        .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(50))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")),
+
     // ── IVF ANN (k-means coarse quantizer + cell probe).
     // Not SQL-expressible -> rows-only; recall vs the exact baseline is
     // asserted in QueriesSpec alongside the LSH variant.
