@@ -57,7 +57,10 @@ object Dedup {
     * belongs in the LSH variant — this operator is the exact oracle-able
     * formulation. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sh = shingleIndex(docs)
+    // the inverted index feeds a self-join plus the per-doc counts —
+    // cache it or the whole tokenize/explode pipeline runs three times
+    // (exchange reuse does not cover self-joined aliases reliably)
+    val sh = shingleIndex(docs).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -103,7 +106,9 @@ object Dedup {
     * buckets, then exact Jaccard on the candidates' shingle sets via
     * array_intersect. Same output shape as [[ngramJaccardPairs]]. */
   def minhashDupPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs))
+    // signatures are one small row per doc — cache before the band
+    // self-join so the shingle+hash pipeline runs once
+    val bands = lshBands(minhashSignatures(docs).cache())
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -162,17 +167,23 @@ object Dedup {
     * Shingles (not single words) keep the signature discriminative when
     * documents share vocabulary but not phrasing. */
   def simhash(docs: DataFrame): DataFrame = {
+    // Plan shape: explode the 31 bit positions into rows and aggregate
+    // twice, rather than 31 parallel sum() expressions + a 31-term
+    // reassembly — the expression form generates a codegen class so
+    // large that Janino compilation alone costs ~10 s (measured); this
+    // shape compiles in milliseconds and shuffles only
+    // (docs x 31) + (docs) rows.
     val wh = shingleIndex(docs).withColumnRenamed("s", "w")
       .withColumn("h", h31(col("w")))
-    val bitSums = (0 until 31).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"bs_$i")
-    }
-    val sums = wh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 31).map { i =>
-      when(col(s"bs_$i") >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sh.as("simhash"))
+    val exploded = wh.select(col("doc_id"), col("h"),
+      explode(sequence(lit(0), lit(30))).as("i"))
+    val signs = exploded.select(col("doc_id"), col("i"),
+      when(expr("shiftright(h, i) & 1") === 1, lit(1L)).otherwise(lit(-1L))
+        .as("sgn"))
+    val bitSums = signs.groupBy("doc_id", "i").agg(sum(col("sgn")).as("bs"))
+    bitSums.groupBy("doc_id")
+      .agg(sum(when(col("bs") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3):
@@ -181,7 +192,7 @@ object Dedup {
     * equi-join loses nothing while avoiding the n^2 cross join. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "block scheme is only lossless for hamming <= 3")
-    val sigs = simhash(docs)
+    val sigs = simhash(docs).cache() // one long per doc; self-joined below
     val blocks = (0 until 4).map { k =>
       struct(lit(k).as("blk_idx"),
         shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("blk_val"))

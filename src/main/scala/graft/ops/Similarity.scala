@@ -103,30 +103,37 @@ object Similarity {
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               seed: Long = 42L, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(32, dim, seed)
-    // norms computed once per vector here, carried through the bands
+    // norms computed once per vector here, carried through the bands;
+    // cached because the query side below re-derives from the same plan
     val sigs = lshSignatures(embeddings, planes)
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", l2norm(col("v"))).cache()
     def bands(df: DataFrame): DataFrame = {
       val bs = (0 until 8).map { j =>
         struct(lit(j).as("band_idx"),
           shiftright(col("sig"), 4 * j).bitwiseAND(lit(15L)).as("band_val"))
       }
-      df.select(col("vec_id"), col("v"), col("nrm"), col("label"),
-          explode(array(bs: _*)).as("b"))
-        .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+      df.select(col("vec_id"), explode(array(bs: _*)).as("b"))
+        .select(col("vec_id"),
           col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
     }
-    val all = bands(sigs)
+    // candidate pairs dedupe on bare ids — carrying the vectors through
+    // the distinct would shuffle 64-float payloads per band collision
+    val all = bands(sigs.select("vec_id", "sig"))
     val queryBands = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("band_idx"), col("band_val"))
-    val cand = all.join(broadcast(queryBands), Seq("band_idx", "band_val"))
+      .select(col("vec_id").as("query_id"), col("band_idx"), col("band_val"))
+    val candIds = all.join(broadcast(queryBands), Seq("band_idx", "band_val"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "qv", "qn", "vec_id", "v", "nrm", "label")
-      .dropDuplicates("query_id", "vec_id")
-    val scored = cand.select(col("query_id"), col("vec_id"), col("label"),
-      floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
-        .cast("long").as("sim_x1e6"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val corpus = sigs.select(col("vec_id"), col("v"), col("nrm"), col("label"))
+    val queries = sigs.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn")).filter(col("query_id") < nQueries)
+    val scored = candIds
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("sim_x1e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_x1e6").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
