@@ -63,6 +63,20 @@ object Hashing {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Non-distinct word 3-gram shingles (for repetition statistics —
+    * duplicates are the signal). Same plan-shape caveat as
+    * [[shinglesFromWords]]. */
+  def shinglesAllFromWords(w: Column): Column = {
+    val n = size(w)
+    when(n >= 3,
+      transform(sequence(lit(0), n - lit(3)), i =>
+        concat_ws(" ",
+          element_at(w, i + lit(1)),
+          element_at(w, i + lit(2)),
+          element_at(w, i + lit(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct word 3-gram shingles; empty array for texts < 3 words.
     * Portable twin of the oracle's
     * `list_distinct(list_transform(range(1, len(w)-1), i -> ...))`.

@@ -71,6 +71,32 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
         .cast("long").as("bpe_ish_tokens"))
 
+  /** Repetition statistics — the "repeated boilerplate" quality signal:
+    * per doc, total (non-distinct) shingles, the most frequent
+    * shingle's count, and their floor-scaled ratio. A high ratio flags
+    * template/spam text. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shinglesAllFromWords(col("w"))).as("s"))
+    val freq = sh.groupBy("doc_id", "s").agg(count(lit(1)).as("f"))
+    freq.groupBy("doc_id")
+      .agg(sum(col("f")).as("n_shingles"), max(col("f")).as("max_freq"))
+      .select(col("doc_id"), col("n_shingles"), col("max_freq"),
+        floor(col("max_freq").cast("double") * 1000 / col("n_shingles"))
+          .cast("long").as("rep_ratio_x1000"))
+  }
+
+  /** Corpus mixing report: per (source, lang) stratum — doc count,
+    * total chars, floor-scaled mean doc length. The bookkeeping view a
+    * data-mixing pipeline drives its sampling weights from. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        floor(col("total_chars").cast("double") * 1000 / col("n_docs"))
+          .cast("long").as("mean_chars_x1000"))
+
   /** Document fingerprint: min h60 over word-3-gram shingles (a 1-hash
     * MinHash — robust to local edits); md5 of the whole text as the
     * exact-content fingerprint; falls back to the text hash for docs

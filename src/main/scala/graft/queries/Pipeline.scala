@@ -273,6 +273,32 @@ object Pipeline {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // ── repetition quality signal (non-distinct shingle stats) ───────
+    Q("q37_text_repetition", "pipeline:text-repetition",
+      Some(s"""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM w),
+        |freq AS (SELECT doc_id, s, count(*) AS f FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_shingles,
+        |  CAST(max(f) AS BIGINT) AS max_freq,
+        |  CAST(floor(CAST(max(f) AS DOUBLE) * 1000 / sum(f)) AS BIGINT) AS rep_ratio_x1000
+        |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // ── corpus mixing report (per-stratum stats) ─────────────────────
+    Q("q38_corpus_stats", "pipeline:corpus-stats",
+      Some("""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(floor(CAST(sum(length(text)) AS DOUBLE) * 1000 / count(*)) AS BIGINT) AS mean_chars_x1000
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+      (s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))
+        .orderBy("source", "lang")),
+
     // ── multimodal: binary payload + mapPartitions batch decode ──────
     Q("q32_multimodal_meta", "pipeline:multimodal",
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
