@@ -45,7 +45,8 @@ object CitibikePipeline {
     * transactional table format; with plain parquet, recovery is
     * re-deriving the five tables from ImportedTrips. */
   def run(spark: SparkSession, inputDir: String, warehouse: String,
-          provider: Waypoints.RouteProvider = Waypoints.StraightLineRoutes): Int = {
+          provider: Waypoints.RouteProvider = Waypoints.StraightLineRoutes,
+          distributedIngest: Boolean = true): Int = {
     val archives = Ingest.listArchives(inputDir)
     var manifest = TableStore.readOrEmpty(spark, warehouse, "StatusDataTable",
       StatusData.schema)
@@ -54,8 +55,9 @@ object CitibikePipeline {
       StatusData.alreadyLoaded(manifest, a.year.toInt, a.month.map(_.toInt)))
 
     newOnes.foreach { a =>
-      val imported = Quality.importTrips(
-        Ingest.readArchive(spark, a), a.year).cache()
+      val raw = if (distributedIngest) Ingest.readArchiveDistributed(spark, a)
+                else Ingest.readArchive(spark, a)
+      val imported = Quality.importTrips(raw, a.year).cache()
       try {
         // the canonical fact table, partitioned for per-period pruning
         // (replaces the reference's (year, month) ART index, S12);

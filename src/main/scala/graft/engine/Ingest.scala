@@ -79,7 +79,10 @@ object Ingest {
   }
 
   /** S7 + U1: parse every CSV member of an archive and union the
-    * normalized batches (`zip_processing.py:10-17` + `clean_up.py`). */
+    * normalized batches (`zip_processing.py:10-17` + `clean_up.py`).
+    * Driver-side form — mirrors the reference's in-memory Arrow path;
+    * fine for monthly archives, see [[readArchiveDistributed]] for the
+    * executor-side form. */
   def readArchive(spark: SparkSession, archive: Archive): DataFrame = {
     import spark.implicits._
     val zipBytes = java.nio.file.Files.readAllBytes(
@@ -91,5 +94,50 @@ object Ingest {
       val ds = spark.createDataset(text.linesIterator.toSeq)
       Normalize(spark.read.option("header", "true").csv(ds))
     }.reduce(_ unionByName _)
+  }
+
+  /** Executor-side ingest: the archive bytes never touch the driver.
+    * `binaryFiles` ships each ZIP to a task; members are extracted and
+    * CSV-parsed there (univocity — the same parser Spark's CSV source
+    * uses), headers are normalized per member (they differ across a
+    * decade of format generations), rows surface as canonical string
+    * columns, and the typed cast chain runs as ordinary expressions.
+    *
+    * Scale notes: parallelism is one task per archive — the right unit
+    * when loading years of monthly files at once; at true 100 TB scale
+    * CSVs would be pre-extracted so each member splits further. Member
+    * null semantics match the driver path (empty field -> null). */
+  def readArchiveDistributed(spark: SparkSession, archive: Archive): DataFrame = {
+    val names = TripSchema.canonical.fieldNames
+    val rows = spark.sparkContext.binaryFiles(archive.path)
+      .flatMap { case (_, pds) =>
+        extractCsvMembers(pds.toArray()).iterator.flatMap { case (_, bytes) =>
+          val settings = new com.univocity.parsers.csv.CsvParserSettings
+          settings.setMaxCharsPerColumn(-1)
+          settings.setMaxColumns(512)
+          val parser = new com.univocity.parsers.csv.CsvParser(settings)
+          val it = parser.iterate(
+            new java.io.ByteArrayInputStream(bytes), "UTF-8").iterator()
+          if (!it.hasNext) Iterator.empty
+          else {
+            val header = it.next().map(c =>
+              Normalize.cleanColumnName(Option(c).getOrElse("")))
+            val idx = names.map(n => header.indexOf(n))
+            new Iterator[org.apache.spark.sql.Row] {
+              def hasNext: Boolean = it.hasNext
+              def next(): org.apache.spark.sql.Row = {
+                val rec = it.next()
+                org.apache.spark.sql.Row(idx.map { i =>
+                  if (i < 0 || i >= rec.length) null else rec(i)
+                }.toIndexedSeq: _*)
+              }
+            }
+          }
+        }
+      }
+    val stringSchema = org.apache.spark.sql.types.StructType(
+      names.map(n => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType)))
+    Normalize.castCanonical(spark.createDataFrame(rows, stringSchema))
   }
 }

@@ -44,4 +44,11 @@ object Normalize {
     }
     renamed.select(projected.toIndexedSeq: _*)
   }
+
+  /** Cast-only step for inputs whose columns are already renamed and
+    * null-padded to the canonical names (the distributed ingest path
+    * renames headers executor-side). */
+  def castCanonical(raw: DataFrame): DataFrame =
+    raw.select(TripSchema.canonical.fields.map(f =>
+      castTo(col(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
 }

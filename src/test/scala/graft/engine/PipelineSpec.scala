@@ -36,6 +36,28 @@ class PipelineSpec extends SparkSpec {
   val febCsv: Array[Byte] = modernCsv(
     "R4,classic_bike,2021-02-01 08:30:00,2021-02-01 08:40:00,A,1,B,2,40.7,-73.95,40.8,-73.96,casual")
 
+  test("driver-side and distributed ingest produce identical normalized rows") {
+    val in = tmpDir("ingest-eq")
+    // nested zip + junk + a legacy-header member with quoted commas
+    val legacyHdr = "tripduration,starttime,stoptime,start station id,start station name,start station latitude,start station longitude,end station id,end station name,end station latitude,end station longitude,bikeid,usertype,birth year,gender"
+    val legacyCsv = (legacyHdr + "\n" +
+      "600,10/01/2014 00:00:01,10/01/2014 00:10:01,101,\"Alpha, St\",40.7,-73.95,102,Beta Av,40.8,-73.96,555,Subscriber,1980,1\n" +
+      "300,10/02/2014 09:30,10/02/2014 09:35,102,Beta Av,40.8,-73.96,101,\"Alpha, St\",40.7,-73.95,556,Customer,,2")
+      .getBytes(StandardCharsets.UTF_8)
+    val zip = zipBytes(
+      "__MACOSX/._x.csv" -> s("junk"),
+      "inner.zip" -> zipBytes("2014-10.csv" -> legacyCsv),
+      "202101-modern.csv" -> janCsv)
+    new FileOutputStream(s"$in/2014-citibike-tripdata.zip").write(zip)
+    val a = Ingest.listArchives(in).head
+    val driver = Ingest.readArchive(spark, a)
+    val dist = Ingest.readArchiveDistributed(spark, a)
+    assert(driver.schema == dist.schema)
+    val key = driver.columns.map(col)
+    assert(driver.orderBy(key.toIndexedSeq: _*).collect().toSeq ==
+      dist.orderBy(key.toIndexedSeq: _*).collect().toSeq)
+  }
+
   test("pipeline: load, idempotent re-run, incremental month, junk entries") {
     val in = tmpDir("pipe-in")
     val wh = tmpDir("pipe-wh")
