@@ -23,18 +23,58 @@ object Multimodal {
     def decode(docId: Long, payload: Array[Byte]): MediaMeta
   }
 
-  /** STUB: no media libs in this environment. Deterministic fake decode
-    * deriving "dimensions" from payload bytes; a real implementation
-    * would hand `payload` to an image/audio codec here. */
+  /** Header-sniffing decoder: real container metadata where the bytes
+    * carry it, deterministic STUB values otherwise.
+    *
+    * PNG (IHDR width/height) and JPEG (SOFn frame dimensions) headers
+    * are parsed directly — pure JVM byte inspection, no media libraries.
+    * Pixel-level decode (the part that genuinely needs a codec) is the
+    * clearly-marked stub: for non-image payloads "dimensions" derive
+    * deterministically from the byte length, standing in for a real
+    * codec call. */
   object StubDecoder extends MediaDecoder {
+
+    private def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+      val magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+      if (b.length >= 24 && b.take(4).sameElements(magic)) {
+        def be32(o: Int) = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+          ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        Some((be32(16), be32(20))) // IHDR starts at offset 16
+      } else None
+    }
+
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        val marker = b(i + 1) & 0xff
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        // SOF0..SOF15 except DHT(C4)/DAC(CC)/RST: frame header with dims
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        i += 2 + len
+      }
+      None
+    }
+
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val sha = md.digest(payload).map("%02x".format(_)).mkString
       val n = payload.length.toLong
-      MediaMeta(docId, n, sha,
-        width = (n % 640).toInt + 1,
-        height = (n % 480).toInt + 1,
-        n_frames = (n % 30).toInt + 1)
+      pngDims(payload).orElse(jpegDims(payload)) match {
+        case Some((w, h)) => MediaMeta(docId, n, sha, w, h, n_frames = 1)
+        case None => // STUB fallback: no codec in this environment
+          MediaMeta(docId, n, sha,
+            width = (n % 640).toInt + 1,
+            height = (n % 480).toInt + 1,
+            n_frames = (n % 30).toInt + 1)
+      }
     }
   }
 

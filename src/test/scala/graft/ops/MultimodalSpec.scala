@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: header sniffing on real PNG/JPEG bytes, stub
+  * fallback, and the mapPartitions batch path end-to-end. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal valid-enough PNG prefix: magic + IHDR with 320x200. */
+  private val png: Array[Byte] = {
+    val out = collection.mutable.ArrayBuffer[Byte]()
+    out ++= Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    out ++= Array(0x00, 0x00, 0x00, 0x0d).map(_.toByte) // IHDR length
+    out ++= "IHDR".getBytes
+    out ++= Array(0, 0, 1, 64).map(_.toByte)  // width 320
+    out ++= Array(0, 0, 0, 200).map(_.toByte) // height 200
+    out ++= Array.fill(10)(0.toByte)
+    out.toArray
+  }
+
+  /** JPEG: SOI + APP0 stub + SOF0 with 640x480. */
+  private val jpeg: Array[Byte] = {
+    val out = collection.mutable.ArrayBuffer[Byte]()
+    out ++= Array(0xff, 0xd8).map(_.toByte)                 // SOI
+    out ++= Array(0xff, 0xe0, 0x00, 0x04, 0x00, 0x00).map(_.toByte) // APP0 len 4
+    out ++= Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)       // SOF0 len 17, precision
+    out ++= Array(0x01, 0xe0).map(_.toByte)                 // height 480
+    out ++= Array(0x02, 0x80).map(_.toByte)                 // width 640
+    out ++= Array.fill(12)(0.toByte)
+    out.toArray
+  }
+
+  test("decoder: PNG/JPEG dimensions parsed from headers, stub for other bytes") {
+    val p = Multimodal.StubDecoder.decode(1, png)
+    assert(p.width == 320 && p.height == 200 && p.n_frames == 1)
+    val j = Multimodal.StubDecoder.decode(2, jpeg)
+    assert(j.width == 640 && j.height == 480)
+    val t = Multimodal.StubDecoder.decode(3, "plain text".getBytes)
+    assert(t.n_bytes == 10 && t.width == (10 % 640) + 1)
+    assert(t.sha256.length == 64)
+  }
+
+  test("mapPartitions batch decode over a mixed binary column") {
+    val df = Seq((1L, png), (2L, jpeg), (3L, "hello".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeMeta(spark, df).collect().sortBy(_.doc_id)
+    assert(out.map(m => (m.width, m.height)).toSeq ==
+      Seq((320, 200), (640, 480), (6, 6))) // 5 % 640 + 1 = 6
+  }
+}
