@@ -22,6 +22,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("every query is run-to-run deterministic (incl. rows-only ones)") {
+    // the driver hash-compares results; any nondeterminism (unordered
+    // output, unstable ties, random seeds) fails there — catch it here
+    Registry.all.foreach { q =>
+      val a = q.fn(spark, sf).collect().map(_.toString).toSeq
+      val b = q.fn(spark, sf).collect().map(_.toString).toSeq
+      assert(a == b, s"${q.name} differs across runs")
+    }
+  }
+
   test("queries and oracleSql keys line up") {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
