@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (point-in-time) join: for each left row, the latest right row
+  * with the same key and right.ts <= left.ts.
+  *
+  * Composed from built-ins per the extension preference order — a
+  * union + sort + `last(ignoreNulls)` running window, NOT a range
+  * cross-join: both sides shuffle once on the key, the within-partition
+  * sort is linear, and no candidate pairs materialize. This is the
+  * sort-merge formulation a native AsOfJoinExec would implement, so
+  * there is nothing a custom SparkPlan would save; it also keeps
+  * whole-stage codegen (window over sorted rows).
+  *
+  * Ties (right.ts == left.ts) match, mirroring ASOF JOIN `>=` semantics;
+  * callers must make (key, ts) unique on the right side (e.g. aggregate
+  * first) or the tie-winner is undefined in any engine.
+  */
+object AsOf {
+
+  /** @param left       rows to enrich
+    * @param right      (key, ts, payload...) lookup side, unique on (key, ts)
+    * @param key        join key column name (present in both)
+    * @param ts         event-time column name (present in both)
+    * @param rightPayload right columns to carry (become nullable) */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag and align the two sides: side 0 sorts before side 1 at equal ts,
+    // so a right row at exactly left.ts is visible to it
+    val r = right.select(
+      (Seq(col(key), col(ts), lit(0).as("__side")) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      (Seq(col(key), col(ts), lit(1).as("__side")) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(r.unionByName(l)) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightPayload.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+  }
+}

@@ -372,6 +372,39 @@ object Parity {
           count(lit(1)).as("n"))
         .orderBy("station")),
 
+    // ── as-of (point-in-time) join: union + running-window composition
+    // vs DuckDB's native ASOF JOIN. Sort-merge shape: one shuffle per
+    // side on the key, no range cross-join.
+    Q("q40_asof_join", "asof-join (beyond reference; time-series op)",
+      Some("""WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purch AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  CAST(round(p.value * 100) AS BIGINT) AS purchase_cents,
+        |  CAST(round(c.click_value * 100) AS BIGINT) AS asof_click_cents,
+        |  c.ts AS asof_click_ts
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+          .withColumn("click_ts", col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        graft.ops.AsOf.asofJoin(purch, clicks, "user_id", "ts",
+            Seq("click_value", "click_ts"))
+          .select(col("event_id"), col("user_id"),
+            round(col("value") * 100).cast("long").as("purchase_cents"),
+            round(col("asof_click_value") * 100).cast("long").as("asof_click_cents"),
+            col("asof_click_ts"))
+          .orderBy("event_id")
+      }),
+
     // ── P1-P4: rename / null-pad / project / cast normalization ──────
     Q("q19_normalize", "P1 P2 P3 P4",
       Some("""SELECT event_id, event_type AS user_type,
