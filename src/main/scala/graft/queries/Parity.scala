@@ -405,6 +405,80 @@ object Parity {
           .orderBy("event_id")
       }),
 
+    // ── sessionization: lag + running conditional sum (gap > 30 min
+    // opens a session). Covers lag + ROWS frames — analytic surface the
+    // reference never needed but a complete engine must have.
+    Q("q41_sessionize", "analytics:sessionize lag frames",
+      Some("""WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+        val o = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("new_s",
+            when(lag(col("ts"), 1).over(w).isNull || gap > 30 * 60, 1L)
+              .otherwise(0L))
+        o.withColumn("session_id",
+            sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      }),
+
+    // ── running-frame aggregates + lag delta per user ────────────────
+    Q("q42_running_totals", "analytics:frames lag running-sum",
+      Some("""SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+        |  CAST(coalesce(CAST(round(value * 100) AS BIGINT) -
+        |    lag(CAST(round(value * 100) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT) AS delta_cents
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val cents = round(col("value") * 100).cast("long")
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), cents.as("cents"))
+          .select(col("event_id"), col("user_id"),
+            sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("running_cents"),
+            coalesce(col("cents") - lag(col("cents"), 1).over(w), lit(0L))
+              .as("delta_cents"))
+          .orderBy("event_id")
+      }),
+
+    // ── exact percentiles (interpolated), floor-scaled ───────────────
+    Q("q43_percentiles", "analytics:percentiles",
+      Some("""SELECT event_type,
+        |  CAST(floor(quantile_cont(value, 0.5) * 100) AS BIGINT) AS median_x100,
+        |  CAST(floor(quantile_cont(value, 0.9) * 100) AS BIGINT) AS p90_x100,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          floor(expr("percentile(value, 0.5)") * 100).cast("long").as("median_x100"),
+          floor(expr("percentile(value, 0.9)") * 100).cast("long").as("p90_x100"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // ── P1-P4: rename / null-pad / project / cast normalization ──────
     Q("q19_normalize", "P1 P2 P3 P4",
       Some("""SELECT event_id, event_type AS user_type,
