@@ -25,6 +25,9 @@ object Bench {
 
     def runOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
+      // operators cache their index/signature frames (self-join reuse);
+      // drop them between queries so storage memory doesn't accumulate
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

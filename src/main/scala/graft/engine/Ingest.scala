@@ -78,66 +78,106 @@ object Ingest {
     bos.toByteArray
   }
 
+  /** Shared per-member CSV parse (univocity — the parser Spark's own
+    * CSV source uses, so quoted commas and embedded newlines are
+    * handled): header normalized via the synonym map, records surfaced
+    * as canonical-order string arrays (null for absent columns).
+    * Whitespace is preserved and quoted-empty fields stay "" (matching
+    * the reference's Arrow reader: no trimming, empties as written). */
+  private[engine] def parseMember(bytes: Array[Byte]): Iterator[org.apache.spark.sql.Row] = {
+    val names = TripSchema.canonical.fieldNames
+    val settings = new com.univocity.parsers.csv.CsvParserSettings
+    settings.setMaxCharsPerColumn(-1)
+    settings.setMaxColumns(512)
+    settings.setIgnoreLeadingWhitespaces(false)
+    settings.setIgnoreTrailingWhitespaces(false)
+    settings.setEmptyValue("")
+    val parser = new com.univocity.parsers.csv.CsvParser(settings)
+    val it = parser.iterate(
+      new java.io.ByteArrayInputStream(bytes), "UTF-8").iterator()
+    if (!it.hasNext) Iterator.empty
+    else {
+      val header = it.next().map(c =>
+        Normalize.cleanColumnName(Option(c).getOrElse("")))
+      val idx = names.map(n => header.indexOf(n))
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val rec = it.next()
+          org.apache.spark.sql.Row(idx.map { i =>
+            if (i < 0 || i >= rec.length) null else rec(i)
+          }.toIndexedSeq: _*)
+        }
+      }
+    }
+  }
+
+  private val canonicalStringSchema = org.apache.spark.sql.types.StructType(
+    TripSchema.canonical.fieldNames.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType)))
+
   /** S7 + U1: parse every CSV member of an archive and union the
     * normalized batches (`zip_processing.py:10-17` + `clean_up.py`).
     * Driver-side form — mirrors the reference's in-memory Arrow path;
     * fine for monthly archives, see [[readArchiveDistributed]] for the
-    * executor-side form. */
+    * executor-side form. Both paths share [[parseMember]], so their
+    * CSV semantics are identical by construction. */
   def readArchive(spark: SparkSession, archive: Archive): DataFrame = {
-    import spark.implicits._
     val zipBytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(archive.path))
     val members = extractCsvMembers(zipBytes)
     require(members.nonEmpty, s"no CSV members in ${archive.path}")
-    members.map { case (_, bytes) =>
-      val text = new String(bytes, StandardCharsets.UTF_8)
-      val ds = spark.createDataset(text.linesIterator.toSeq)
-      Normalize(spark.read.option("header", "true").csv(ds))
-    }.reduce(_ unionByName _)
+    val rows = members.iterator.flatMap { case (_, bytes) => parseMember(bytes) }
+    Normalize.castCanonical(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), canonicalStringSchema))
   }
 
   /** Executor-side ingest: the archive bytes never touch the driver.
     * `binaryFiles` ships each ZIP to a task; members are extracted and
-    * CSV-parsed there (univocity — the same parser Spark's CSV source
-    * uses), headers are normalized per member (they differ across a
-    * decade of format generations), rows surface as canonical string
-    * columns, and the typed cast chain runs as ordinary expressions.
+    * CSV-parsed there via [[parseMember]], and the typed cast chain runs
+    * as ordinary expressions.
     *
     * Scale notes: parallelism is one task per archive — the right unit
     * when loading years of monthly files at once; at true 100 TB scale
-    * CSVs would be pre-extracted so each member splits further. Member
-    * null semantics match the driver path (empty field -> null). */
+    * CSVs would be pre-extracted so each member splits further.
+    *
+    * Fails fast on archives with no CSV members (cheap driver-side
+    * central-directory check for local paths) rather than silently
+    * loading zero rows and marking the period complete. */
   def readArchiveDistributed(spark: SparkSession, archive: Archive): DataFrame = {
-    val names = TripSchema.canonical.fieldNames
+    val f = new java.io.File(archive.path)
+    if (f.isFile) { // local path: cheap metadata check, no decompression
+      require(hasCsvMembers(f), s"no CSV members in ${archive.path}")
+    }
     val rows = spark.sparkContext.binaryFiles(archive.path)
       .flatMap { case (_, pds) =>
-        extractCsvMembers(pds.toArray()).iterator.flatMap { case (_, bytes) =>
-          val settings = new com.univocity.parsers.csv.CsvParserSettings
-          settings.setMaxCharsPerColumn(-1)
-          settings.setMaxColumns(512)
-          val parser = new com.univocity.parsers.csv.CsvParser(settings)
-          val it = parser.iterate(
-            new java.io.ByteArrayInputStream(bytes), "UTF-8").iterator()
-          if (!it.hasNext) Iterator.empty
-          else {
-            val header = it.next().map(c =>
-              Normalize.cleanColumnName(Option(c).getOrElse("")))
-            val idx = names.map(n => header.indexOf(n))
-            new Iterator[org.apache.spark.sql.Row] {
-              def hasNext: Boolean = it.hasNext
-              def next(): org.apache.spark.sql.Row = {
-                val rec = it.next()
-                org.apache.spark.sql.Row(idx.map { i =>
-                  if (i < 0 || i >= rec.length) null else rec(i)
-                }.toIndexedSeq: _*)
-              }
-            }
-          }
-        }
+        extractCsvMembers(pds.toArray()).iterator
+          .flatMap { case (_, bytes) => parseMember(bytes) }
       }
-    val stringSchema = org.apache.spark.sql.types.StructType(
-      names.map(n => org.apache.spark.sql.types.StructField(n,
-        org.apache.spark.sql.types.StringType)))
-    Normalize.castCanonical(spark.createDataFrame(rows, stringSchema))
+    Normalize.castCanonical(spark.createDataFrame(rows, canonicalStringSchema))
+  }
+
+  /** Central-directory scan: does the zip contain any non-junk .csv
+    * member, or a nested .zip that could? */
+  private def hasCsvMembers(f: java.io.File): Boolean = {
+    val zf = try new java.util.zip.ZipFile(f) catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"unreadable archive: $f", e)
+    }
+    try {
+      val es = zf.entries()
+      var found = false
+      while (!found && es.hasMoreElements) {
+        val e = es.nextElement()
+        val name = e.getName
+        val base = name.substring(name.lastIndexOf('/') + 1)
+        val junk = name.startsWith("__MACOSX/") || base.startsWith("._") ||
+          e.isDirectory
+        found = !junk && (name.toLowerCase.endsWith(".csv") ||
+          name.toLowerCase.endsWith(".zip"))
+      }
+      found
+    } finally zf.close()
   }
 }

@@ -15,9 +15,14 @@ import org.apache.spark.sql.expressions.Window
   * there is nothing a custom SparkPlan would save; it also keeps
   * whole-stage codegen (window over sorted rows).
   *
-  * Ties (right.ts == left.ts) match, mirroring ASOF JOIN `>=` semantics;
-  * callers must make (key, ts) unique on the right side (e.g. aggregate
-  * first) or the tie-winner is undefined in any engine.
+  * Row-level semantics: the matched right ROW's payload is carried as
+  * one struct, so a right row whose payload value is genuinely null
+  * yields null (older rows are NOT consulted per-column), and multiple
+  * payload columns always come from the same right row. Right rows with
+  * a null key or null ts match nothing (ASOF `>=` never matches null),
+  * mirroring SQL ASOF JOIN. Ties (right.ts == left.ts) match; callers
+  * must make (key, ts) unique on the right side (e.g. aggregate first)
+  * or the tie-winner is undefined in any engine.
   */
 object AsOf {
 
@@ -29,24 +34,29 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
     // tag and align the two sides: side 0 sorts before side 1 at equal ts,
-    // so a right row at exactly left.ts is visible to it
-    val r = right.select(
-      (Seq(col(key), col(ts), lit(0).as("__side")) ++
-        rightPayload.map(c => col(c).as(s"__r_$c")) ++
-        leftCols.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // so a right row at exactly left.ts is visible to it. The payload
+    // travels as ONE struct — non-null for every surviving right row —
+    // so last(ignoreNulls) picks whole rows, never stitches columns.
+    val r = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
+        (Seq(col(key), col(ts), lit(0).as("__side"),
+          payloadStruct.as("__r")) ++
+          leftCols.filterNot(c => c == key || c == ts)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val l = left.select(
-      (Seq(col(key), col(ts), lit(1).as("__side")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+      (Seq(col(key), col(ts), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__r")) ++
         leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(r.unionByName(l)) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = r.unionByName(l)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightPayload.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+        rightPayload.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 }

@@ -137,7 +137,7 @@ object Dedup {
     * shallow), with a fixpoint check. No driver-side graph state.
     * Output: (doc_id, cluster_root, keep) for every document
     * (singletons root themselves). */
-  def dupClusters(docs: DataFrame, minJ: Double, maxIters: Int = 20): DataFrame = {
+  def dupClusters(docs: DataFrame, minJ: Double, maxIters: Int = 50): DataFrame = {
     val pairs = minhashDupPairs(docs, minJ).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -158,6 +158,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    require(converged,
+      s"label propagation did not converge in $maxIters iterations " +
+        "(a dup-cluster chain longer than maxIters?) — results would be wrong")
     labels.select(col("doc_id"), col("root").as("cluster_root"),
       (col("doc_id") === col("root")).as("keep"))
   }

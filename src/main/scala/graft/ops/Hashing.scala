@@ -51,17 +51,8 @@ object Hashing {
     * an inline `tokens(text)` expression — Catalyst does no CSE inside
     * lambda bodies, so an inline split would re-tokenize the whole text
     * for every element access (O(words^2), measured 20x slower). */
-  def shinglesFromWords(w: Column): Column = {
-    val n = size(w)
-    array_distinct(
-      when(n >= 3,
-        transform(sequence(lit(0), n - lit(3)), i =>
-          concat_ws(" ",
-            element_at(w, i + lit(1)),
-            element_at(w, i + lit(2)),
-            element_at(w, i + lit(3)))))
-        .otherwise(array().cast("array<string>")))
-  }
+  def shinglesFromWords(w: Column): Column =
+    array_distinct(shinglesAllFromWords(w))
 
   /** Non-distinct word 3-gram shingles (for repetition statistics —
     * duplicates are the signal). Same plan-shape caveat as

@@ -47,18 +47,29 @@ object Multimodal {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
         return None
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 1 < b.length) {
         if ((b(i) & 0xff) != 0xff) return None
-        val marker = b(i + 1) & 0xff
-        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-        // SOF0..SOF15 except DHT(C4)/DAC(CC)/RST: frame header with dims
-        if (marker >= 0xc0 && marker <= 0xcf &&
-            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
-          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
-          return Some((w, h))
+        // ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        // marker — skip them, the marker is the first non-FF byte
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j >= b.length) return None
+        val marker = b(j) & 0xff
+        if (marker >= 0xd0 && marker <= 0xd9 || marker == 0x01) {
+          i = j + 1 // standalone marker, no length segment
+        } else {
+          if (j + 2 >= b.length) return None
+          val len = ((b(j + 1) & 0xff) << 8) | (b(j + 2) & 0xff)
+          // SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC): frame header
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (j + 7 >= b.length) return None
+            val h = ((b(j + 4) & 0xff) << 8) | (b(j + 5) & 0xff)
+            val w = ((b(j + 6) & 0xff) << 8) | (b(j + 7) & 0xff)
+            return Some((w, h))
+          }
+          i = j + 1 + len
         }
-        i += 2 + len
       }
       None
     }

@@ -427,10 +427,13 @@ object Parity {
         |ORDER BY user_id, session_id""".stripMargin),
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+        // gap at full microsecond precision — cast-to-long truncates to
+        // seconds and disagrees with the oracle's INTERVAL comparison
+        // exactly at the 30-minute boundary
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
         val o = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"))
           .withColumn("new_s",
-            when(lag(col("ts"), 1).over(w).isNull || gap > 30 * 60, 1L)
+            when(lag(col("ts"), 1).over(w).isNull || gap > 30L * 60 * 1000000, 1L)
               .otherwise(0L))
         o.withColumn("session_id",
             sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,

@@ -20,6 +20,10 @@ object Probe {
     val mode = args.headOption.getOrElse("explain")
     mode match {
       case "time" =>
+        require(args.length >= 2 &&
+          graft.queries.Registry.queries.contains(args(1)),
+          s"usage: Probe time <queryName> [sfDir] [repeats]; known: " +
+            graft.queries.Registry.queries.keys.toSeq.sorted.mkString(", "))
         val name = args(1)
         val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
         val reps = if (args.length > 3) args(3).toInt else 3

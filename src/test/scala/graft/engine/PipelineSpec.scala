@@ -58,6 +58,15 @@ class PipelineSpec extends SparkSpec {
       dist.orderBy(key.toIndexedSeq: _*).collect().toSeq)
   }
 
+  test("archives without CSV members fail fast instead of loading zero rows") {
+    val in = tmpDir("empty-arch")
+    new FileOutputStream(s"$in/202101-citibike-tripdata.zip")
+      .write(zipBytes("readme.txt" -> s("nothing here")))
+    val a = Ingest.listArchives(in).head
+    intercept[IllegalArgumentException](Ingest.readArchiveDistributed(spark, a))
+    intercept[IllegalArgumentException](Ingest.readArchive(spark, a))
+  }
+
   test("pipeline: load, idempotent re-run, incremental month, junk entries") {
     val in = tmpDir("pipe-in")
     val wh = tmpDir("pipe-wh")

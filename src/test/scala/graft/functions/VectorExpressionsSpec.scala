@@ -28,15 +28,23 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
-  test("interpreted eval path matches codegen") {
-    // force the interpreted path via the expression's own eval
+  test("interpreted eval path (Expression.eval, no codegen) matches the fold") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
     val a = data.head._1
     val b = data.head._2
     val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y }
-    val viaDf = Seq((a, b)).toDF("a", "b")
-      .select(dotProduct($"a", $"b")).collect()(0).getDouble(0)
-    assert(java.lang.Double.doubleToLongBits(viaDf) ==
+    // call the expression's own eval directly — the path used when a
+    // plan falls back from whole-stage codegen
+    val e = DotProduct(
+      Literal.create(a, ArrayType(FloatType)),
+      Literal.create(b, ArrayType(DoubleType)))
+    val got = e.eval(null).asInstanceOf[Double]
+    assert(java.lang.Double.doubleToLongBits(got) ==
       java.lang.Double.doubleToLongBits(expected))
+    // null input through eval
+    assert(DotProduct(Literal.create(null, ArrayType(DoubleType)),
+      Literal.create(b, ArrayType(DoubleType))).eval(null) == null)
   }
 
   test("null array yields null; length mismatch uses shorter prefix") {
