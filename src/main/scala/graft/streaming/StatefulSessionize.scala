@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state via flatMapGroupsWithState: gap-based
+  * sessionization that survives across micro-batches.
+  *
+  * The batch q41 sessionizer needs the whole history per user; this
+  * keeps only the OPEN session per user in the state store, emits a
+  * session the moment an event beyond the gap closes it, and carries
+  * open sessions across restarts through the checkpoint. This is the
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` surface — custom
+  * state logic the built-in windowed aggregations can't express
+  * (session end depends on the next event, not a fixed window).
+  */
+object StatefulSessionize {
+
+  final case class Ev(user_id: Long, ts_micros: Long, event_id: Long)
+  final case class OpenSession(start: Long, end: Long, n: Int)
+  final case class Session(user_id: Long, start_micros: Long,
+                           end_micros: Long, n_events: Int)
+
+  /** Pure per-user step: fold sorted events into the open session,
+    * emitting every closed one — shared by the streaming operator and
+    * its unit tests. */
+  def step(user: Long, sorted: Seq[Ev], open: Option[OpenSession],
+           gapMicros: Long): (Seq[Session], Option[OpenSession]) = {
+    val out = Seq.newBuilder[Session]
+    var cur = open
+    sorted.foreach { e =>
+      cur = cur match {
+        case Some(s) if e.ts_micros - s.end <= gapMicros =>
+          Some(s.copy(end = e.ts_micros, n = s.n + 1))
+        case Some(s) =>
+          out += Session(user, s.start, s.end, s.n)
+          Some(OpenSession(e.ts_micros, e.ts_micros, 1))
+        case None =>
+          Some(OpenSession(e.ts_micros, e.ts_micros, 1))
+      }
+    }
+    (out.result(), cur)
+  }
+
+  /** Streaming form. Emits CLOSED sessions (append mode); the open
+    * session per user lives in the state store. */
+  def sessions(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    implicit val se = Encoders.product[Session]
+    implicit val oe = Encoders.product[OpenSession]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_micros, e.event_id))
+          val (closed, open) = step(user, sorted, state.getOption, gapMicros)
+          open match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          closed.iterator
+      }
+  }
+}

@@ -51,6 +51,57 @@ class StreamingSpec extends SparkSpec {
       .filter($"hour" === 8).select("total_count").as[Int].head() == 3)
   }
 
+  test("stateful sessionization: open sessions survive micro-batches, close on gap") {
+    import StatefulSessionize._
+    val src = tmpDir("sess-src")
+    val ckpt = tmpDir("sess-ckpt")
+    def write(evs: (Long, String, Long)*): Unit =
+      evs.toSeq.map { case (u, t, id) =>
+        Ev(u, java.sql.Timestamp.valueOf(t).getTime * 1000L, id)
+      }.toDF().write.mode("append").parquet(src)
+
+    write((1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:10:00", 2L))
+
+    val out = tmpDir("sess-out")
+    def drain(): Unit = {
+      val in = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+        .parquet(src).as[Ev]
+      val q = StatefulSessionize.sessions(in, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    def closedSessions(): Seq[Session] = {
+      val files = new java.io.File(out).listFiles()
+      if (files == null || !files.exists(_.getName.endsWith(".parquet"))) Seq.empty
+      else spark.read.parquet(out).as[Session].collect().toSeq
+    }
+
+    drain()
+    assert(closedSessions().isEmpty) // session still open, nothing closed
+
+    // a later event beyond the 30-min gap closes the first session —
+    // state carried across the two drains via the checkpoint
+    write((1L, "2024-01-01 12:00:00", 3L))
+    drain()
+    val closed = closedSessions()
+    assert(closed.length == 1)
+    assert(closed(0).n_events == 2)
+    assert(closed(0).end_micros - closed(0).start_micros == 10L * 60 * 1000000)
+
+    // pure step function: two sessions when gap exceeded inside a batch
+    val (c2, open) = step(7L, Seq(
+      Ev(7, 0, 1), Ev(7, 1000000, 2), Ev(7, 10000000000L, 3)),
+      None, gapMicros = 30L * 60 * 1000000)
+    assert(c2.length == 1 && c2(0).n_events == 2 && open.exists(_.n == 1))
+  }
+
   test("streaming linegraph matches batch builder on the same data") {
     val src = tmpDir("stream-lg-src")
     val ckpt = tmpDir("stream-lg-ckpt")
