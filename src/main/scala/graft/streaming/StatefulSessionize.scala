@@ -31,7 +31,9 @@ object StatefulSessionize {
     sorted.foreach { e =>
       cur = cur match {
         case Some(s) if e.ts_micros - s.end <= gapMicros =>
-          Some(s.copy(end = e.ts_micros, n = s.n + 1))
+          // max: a late (out-of-order) event inside the gap must not
+          // move the session end backwards
+          Some(s.copy(end = math.max(s.end, e.ts_micros), n = s.n + 1))
         case Some(s) =>
           out += Session(user, s.start, s.end, s.n)
           Some(OpenSession(e.ts_micros, e.ts_micros, 1))

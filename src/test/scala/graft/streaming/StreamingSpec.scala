@@ -100,6 +100,11 @@ class StreamingSpec extends SparkSpec {
       Ev(7, 0, 1), Ev(7, 1000000, 2), Ev(7, 10000000000L, 3)),
       None, gapMicros = 30L * 60 * 1000000)
     assert(c2.length == 1 && c2(0).n_events == 2 && open.exists(_.n == 1))
+    // a late event inside the gap must not shrink the open session's end
+    val (none, open2) = step(8L,
+      Seq(Ev(8, 5000000, 2)), Some(OpenSession(0, 9000000, 2)),
+      gapMicros = 30L * 60 * 1000000)
+    assert(none.isEmpty && open2.contains(OpenSession(0, 9000000, 3)))
   }
 
   test("streaming linegraph matches batch builder on the same data") {
