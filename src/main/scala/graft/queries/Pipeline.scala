@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.ops.{Dedup, Hashing, IvfIndex, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -298,6 +298,24 @@ object Pipeline {
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin),
       (s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))
         .orderBy("source", "lang")),
+
+    // ── incremental dedup vs historical corpus (bloom prefilter +
+    // exact rescue of false positives). The oracle expresses the final
+    // SEMANTICS (exact anti-join on text): the bloom path must be
+    // invisible in the result — that is the correctness claim.
+    Q("q44_dedup_incremental", "pipeline:dedup-incremental",
+      Some("""SELECT b.doc_id, b.lang FROM documents b
+        |WHERE b.doc_id % 3 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents h
+        |    WHERE h.doc_id % 3 = 0 AND h.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val history = docs.filter(col("doc_id") % 3 === 0)
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        IncrementalDedup.newDocsExact(history, batch, 100000L, 0.03)
+          .select("doc_id", "lang").orderBy("doc_id")
+      }),
 
     // ── multimodal: binary payload + mapPartitions batch decode ──────
     Q("q32_multimodal_meta", "pipeline:multimodal",
