@@ -25,11 +25,18 @@ object IncrementalDedup {
   /** Fast path: drop rows whose content hash is probably in history.
     * Loses ~fpp of genuinely-new docs (acceptable for training-data
     * dedup); never admits a true duplicate. */
-  def probablyNewDocs(history: DataFrame, batch: DataFrame,
-                      expectedItems: Long, fpp: Double): DataFrame = {
+  private def buildFilter(history: DataFrame, expectedItems: Long, fpp: Double) = {
     val hashed = history.select(Hashing.h60(col("text")).as("h"))
     val bf = hashed.stat.bloomFilter("h", expectedItems, fpp)
-    val mightContain = udf((h: Long) => bf.mightContainLong(h))
+    // explicit broadcast: a billion-item filter is hundreds of MB —
+    // ship it once per executor, not once per task closure
+    history.sparkSession.sparkContext.broadcast(bf)
+  }
+
+  def probablyNewDocs(history: DataFrame, batch: DataFrame,
+                      expectedItems: Long, fpp: Double): DataFrame = {
+    val bfB = buildFilter(history, expectedItems, fpp)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     batch.withColumn("__h", Hashing.h60(col("text")))
       .filter(!mightContain(col("__h")))
       .drop("__h")
@@ -42,8 +49,8 @@ object IncrementalDedup {
   def newDocsExact(history: DataFrame, batch: DataFrame,
                    expectedItems: Long, fpp: Double): DataFrame = {
     val hashed = history.select(Hashing.h60(col("text")).as("h"))
-    val bf = hashed.stat.bloomFilter("h", expectedItems, fpp)
-    val mightContain = udf((h: Long) => bf.mightContainLong(h))
+    val bfB = buildFilter(history, expectedItems, fpp)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     val withHash = batch.withColumn("__h", Hashing.h60(col("text")))
     val clean = withHash.filter(!mightContain(col("__h")))
     val flagged = withHash.filter(mightContain(col("__h")))
