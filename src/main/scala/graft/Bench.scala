@@ -49,12 +49,23 @@ object Bench {
       spark.catalog.clearCache()
       val t1 = runOne(n)
       val t2 = runOne(n)
-      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      // -1.0 when EITHER run fails: a flaky query must be visible in the
+      // JSON, not hidden behind its one successful run
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // machine-parseable output: always stdout (sole non-log line), plus a
+    // clean file copy when SPARK_GRAFT_BENCH_OUT is set, so the harness
+    // never has to regex the JSON out of sbt/log4j noise
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

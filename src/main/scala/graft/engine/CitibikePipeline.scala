@@ -47,7 +47,8 @@ object CitibikePipeline {
   def run(spark: SparkSession, inputDir: String, warehouse: String,
           provider: Waypoints.RouteProvider = Waypoints.StraightLineRoutes,
           distributedIngest: Boolean = true): Int = {
-    val archives = Ingest.listArchives(inputDir)
+    val archives = Ingest.listArchives(inputDir,
+      spark.sparkContext.hadoopConfiguration)
     var manifest = TableStore.readOrEmpty(spark, warehouse, "StatusDataTable",
       StatusData.schema)
     // Manifest is tiny — one decision per archive on the driver (J7/J8).

@@ -38,12 +38,24 @@ object Ingest {
       case _ => None
     }
 
-  /** S2/S5: list archives in a local directory, keep matching names
-    * (drops `JC-*`, html, etc. by regex), chronological order. */
-  def listArchives(dir: String): Seq[Archive] = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    files.toSeq.flatMap { f =>
-      parseFileName(f.getName).map { case (y, m) => Archive(f.getPath, y, m) }
+  /** S2/S5 (+S1 remote form): list archives in a directory, keep
+    * matching names (drops `JC-*`, html, etc. by regex), chronological
+    * order. Scheme-agnostic via the Hadoop `FileSystem` API — a bare
+    * path or `file://` URI lists locally; `s3a://bucket/prefix` (the
+    * reference's `s3://tripdata` listing, `ingestion.py:61-90`) resolves
+    * through the s3a connector with the same code path. */
+  def listArchives(dir: String,
+                   conf: org.apache.hadoop.conf.Configuration =
+                     new org.apache.hadoop.conf.Configuration()): Seq[Archive] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.exists(p)) fs.listStatus(p).toSeq.filter(_.isFile)
+      else Seq.empty
+    files.flatMap { st =>
+      parseFileName(st.getPath.getName).map { case (y, m) =>
+        Archive(st.getPath.toString, y, m)
+      }
     }.sortBy(_.sortKey)
   }
 
@@ -124,8 +136,11 @@ object Ingest {
     * executor-side form. Both paths share [[parseMember]], so their
     * CSV semantics are identical by construction. */
   def readArchive(spark: SparkSession, archive: Archive): DataFrame = {
-    val zipBytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(archive.path))
+    val local = asLocalFile(archive.path).getOrElse(
+      throw new IllegalArgumentException(
+        s"driver-side readArchive needs a local path, got ${archive.path}; " +
+          "use readArchiveDistributed for remote schemes"))
+    val zipBytes = java.nio.file.Files.readAllBytes(local.toPath)
     val members = extractCsvMembers(zipBytes)
     require(members.nonEmpty, s"no CSV members in ${archive.path}")
     val rows = members.iterator.flatMap { case (_, bytes) => parseMember(bytes) }
@@ -146,8 +161,8 @@ object Ingest {
     * central-directory check for local paths) rather than silently
     * loading zero rows and marking the period complete. */
   def readArchiveDistributed(spark: SparkSession, archive: Archive): DataFrame = {
-    val f = new java.io.File(archive.path)
-    if (f.isFile) { // local path: cheap metadata check, no decompression
+    asLocalFile(archive.path).filter(_.isFile).foreach { f =>
+      // local path: cheap metadata check, no decompression
       require(hasCsvMembers(f), s"no CSV members in ${archive.path}")
     }
     val rows = spark.sparkContext.binaryFiles(archive.path)
@@ -156,6 +171,19 @@ object Ingest {
           .flatMap { case (_, bytes) => parseMember(bytes) }
       }
     Normalize.castCanonical(spark.createDataFrame(rows, canonicalStringSchema))
+  }
+
+  /** A bare path or `file:` URI as a [[java.io.File]]; None for remote
+    * schemes (s3a://, hdfs://, ...). */
+  private def asLocalFile(path: String): Option[java.io.File] = {
+    val uri = try new java.net.URI(path) catch {
+      case _: java.net.URISyntaxException => return Some(new java.io.File(path))
+    }
+    uri.getScheme match {
+      case null => Some(new java.io.File(path))
+      case "file" => Some(new java.io.File(uri.getPath))
+      case _ => None
+    }
   }
 
   /** Central-directory scan: does the zip contain any non-junk .csv

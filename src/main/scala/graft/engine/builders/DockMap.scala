@@ -70,24 +70,32 @@ object DockMap {
         min(col("station_lon")).as("station_lon"),
         sum(col("month_starts")).as("year_starts"),
         sum(col("month_ends")).as("year_ends"),
-        map_from_entries(collect_list(struct(
+        // array_sort: collect_list order follows task completion order,
+        // so without it to_json at the storage boundary would serialize
+        // different key orders run-to-run
+        map_from_entries(array_sort(collect_list(struct(
           col("month"),
           struct(
             col("month_total").as("month_total"),
             col("month_starts").as("month_starts"),
-            col("month_ends").as("month_ends"))))).as("months"))
+            col("month_ends").as("month_ends")))))).as("months"))
 
     yearly.groupBy("station_name")
       .agg(
         min(col("station_id")).as("station_id"),
         min(col("station_lat")).as("station_lat"),
         min(col("station_lon")).as("station_lon"),
-        map_from_entries(collect_list(struct(
+        // comparator form: the entry struct embeds a MapType (months),
+        // which is not orderable, so sort on the year key explicitly
+        map_from_entries(array_sort(collect_list(struct(
           col("year"),
           struct(
             col("year_starts").as("year_starts"),
             col("year_ends").as("year_ends"),
-            col("months").as("months"))))).as("station_data"))
+            col("months").as("months")))),
+          (l, r) => when(l.getField("year") < r.getField("year"), lit(-1))
+            .when(l.getField("year") === r.getField("year"), lit(0))
+            .otherwise(lit(1)))).as("station_data"))
   }
 
   /** Deep merge of two year-maps, matching the reference's Python merge

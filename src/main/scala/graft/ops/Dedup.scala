@@ -165,21 +165,31 @@ object Dedup {
       (col("doc_id") === col("root")).as("keep"))
   }
 
-  /** 31-bit SimHash over the distinct shingle set (unweighted): bit i is
-    * set iff sum over shingles of sign(bit i of h31(shingle)) is >= 0.
+  /** Signature width: 60 bits (all of [[Hashing.h60]]'s entropy). */
+  val SimhashBits = 60
+  /** Block width for the pigeonhole join: 4 blocks of 15 bits. 2^15
+    * values per block keeps bucket sizes sub-quadratic at corpus scale —
+    * at 10^9 docs a uniform block bucket holds ~30k docs (vs ~4M with
+    * the 8-bit blocks a 31-bit signature forces), and real buckets are
+    * smaller because near-identical docs are exactly what the dedup
+    * removes. */
+  val SimhashBlockBits = 15
+
+  /** 60-bit SimHash over the distinct shingle set (unweighted): bit i is
+    * set iff sum over shingles of sign(bit i of h60(shingle)) is >= 0.
     * Shingles (not single words) keep the signature discriminative when
     * documents share vocabulary but not phrasing. */
   def simhash(docs: DataFrame): DataFrame = {
-    // Plan shape: explode the 31 bit positions into rows and aggregate
-    // twice, rather than 31 parallel sum() expressions + a 31-term
+    // Plan shape: explode the 60 bit positions into rows and aggregate
+    // twice, rather than 60 parallel sum() expressions + a 60-term
     // reassembly — the expression form generates a codegen class so
-    // large that Janino compilation alone costs ~10 s (measured); this
-    // shape compiles in milliseconds and shuffles only
-    // (docs x 31) + (docs) rows.
+    // large that Janino compilation alone costs ~10 s (measured at
+    // width 31); this shape compiles in milliseconds and shuffles only
+    // (docs x 60) + (docs) rows.
     val wh = shingleIndex(docs).withColumnRenamed("s", "w")
-      .withColumn("h", h31(col("w")))
+      .withColumn("h", h60(col("w")))
     val exploded = wh.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(30))).as("i"))
+      explode(sequence(lit(0), lit(SimhashBits - 1))).as("i"))
     val signs = exploded.select(col("doc_id"), col("i"),
       when(expr("shiftright(h, i) & 1") === 1, lit(1L)).otherwise(lit(-1L))
         .as("sgn"))
@@ -190,15 +200,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3):
-    * the 31-bit signature splits into 4 blocks (8/8/8/7 bits); by
-    * pigeonhole any pair within distance 3 shares a block, so the block
-    * equi-join loses nothing while avoiding the n^2 cross join. */
+    * the 60-bit signature splits into 4 blocks of 15 bits; by pigeonhole
+    * any pair within distance 3 shares a block, so the block equi-join
+    * loses nothing while avoiding the n^2 cross join. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "block scheme is only lossless for hamming <= 3")
     val sigs = simhash(docs).cache() // one long per doc; self-joined below
+    val blockMask = (1L << SimhashBlockBits) - 1
     val blocks = (0 until 4).map { k =>
       struct(lit(k).as("blk_idx"),
-        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("blk_val"))
+        shiftright(col("simhash"), SimhashBlockBits * k)
+          .bitwiseAND(lit(blockMask)).as("blk_val"))
     }
     val exploded = sigs.select(col("doc_id"), col("simhash"),
         explode(array(blocks: _*)).as("b"))

@@ -38,28 +38,33 @@ object IvfIndex {
     * (cellId, centroid) pairs — k is small, so collecting centroids to
     * the driver between iterations is the intended pattern. */
   def train(embeddings: DataFrame, k: Int, iters: Int, dim: Int = 64): Array[(Int, Seq[Double])] = {
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    var centroids: Array[(Int, Seq[Double])] =
-      e.filter(col("vec_id") < k).orderBy("vec_id").collect()
-        .zipWithIndex.map { case (r, i) =>
-          (i, r.getSeq[Float](1).map(_.toDouble))
-        }
-    for (_ <- 0 until iters) {
-      val assigned = assign(e, centroids)
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("v"), i + 1).cast("double")).as(s"s_$i"))
-      val upd = assigned.groupBy("cell")
-        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
-        .collect()
-        .map { r =>
-          val n = r.getAs[Long]("n").toDouble
-          (r.getAs[Int]("cell"), (0 until dim).map(i => r.getAs[Double](s"s_$i") / n))
-        }
-      // empty cells keep their previous centroid
-      val updMap = upd.toMap
-      centroids = centroids.map { case (cid, c) => (cid, updMap.getOrElse(cid, c)) }
-    }
-    centroids
+    // cache for the duration of training: every Lloyd iteration (and the
+    // init collect) re-reads this projection — without the cache that is
+    // iters+1 full corpus scans
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v")).cache()
+    try {
+      var centroids: Array[(Int, Seq[Double])] =
+        e.filter(col("vec_id") < k).orderBy("vec_id").collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble))
+          }
+      for (_ <- 0 until iters) {
+        val assigned = assign(e, centroids)
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1).cast("double")).as(s"s_$i"))
+        val upd = assigned.groupBy("cell")
+          .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+          .collect() // k rows — only centroids ever reach the driver
+          .map { r =>
+            val n = r.getAs[Long]("n").toDouble
+            (r.getAs[Int]("cell"), (0 until dim).map(i => r.getAs[Double](s"s_$i") / n))
+          }
+        // empty cells keep their previous centroid
+        val updMap = upd.toMap
+        centroids = centroids.map { case (cid, c) => (cid, updMap.getOrElse(cid, c)) }
+      }
+      centroids
+    } finally e.unpersist()
   }
 
   /** Approximate top-k: probe the nProbe nearest cells per query, exact

@@ -57,14 +57,66 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
   }
 
-  /** All pairs with cosine similarity >= minSim (near-dup detection).
-    * Brute force at test scale; the LSH variant is the 100 TB path. */
-  def nearDupPairs(embeddings: DataFrame, minSim: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+  /** All pairs with cosine similarity >= minSim (near-dup detection),
+    * via hyperplane-LSH candidate generation + exact rerank — no
+    * all-pairs theta join anywhere in the plan.
+    *
+    * Shape: signatures (one pass), band explode, band-bucket EQUI
+    * self-join on ids only (payloads never ride through the candidate
+    * join), distinct, then payload joins by id and the exact cosine
+    * filter. Every join is a hash/sort-merge equi-join.
+    *
+    * Recall argument (documented per-config): with nPlanes=64 split into
+    * 32 bands of 2 bits, a pair at cos >= 0.4 has per-bit agreement
+    * p = 1 - acos(0.4)/pi ~ 0.631, so P(miss) = (1 - p^2)^32 ~ 1e-7 per
+    * pair — and the planes are seed-fixed, so the outcome is
+    * deterministic and is verified against the exact-pair oracle at
+    * every test sf. Precision is exact (candidates are reranked).
+    *
+    * Scale honesty: at threshold 0.4 (barely above the random-pair
+    * expectation of 0.5 bit agreement) 2-bit bands admit most pairs as
+    * candidates, so the rerank cost approaches brute force — the win at
+    * this threshold is the equi-join plan shape (shuffle-partitionable,
+    * AQE-skew-splittable, no BNLJ). At production near-dup thresholds
+    * (>= 0.9, p >= 0.85) the same code with wider bands (e.g. 8 bands
+    * of 8 bits) prunes candidates by orders of magnitude; pass
+    * bitsPerBand accordingly. */
+  def nearDupPairs(embeddings: DataFrame, minSim: Double,
+                   nPlanes: Int = 64, bitsPerBand: Int = 2,
+                   dim: Int = 64, seed: Long = 42L): DataFrame = {
+    // nPlanes == 64 is fine: the signature is raw bits (sum of distinct
+    // powers of two never carries, and band extraction masks after the
+    // arithmetic shift), so the sign bit is just plane 63's bit
+    require(nPlanes % bitsPerBand == 0 && nPlanes <= 64,
+      "nPlanes must be a multiple of bitsPerBand and fit a long")
+    val nBands = nPlanes / bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    val planes = hyperplanes(nPlanes, dim, seed)
+    // one small row per vector (id, sig, norm never larger than ~24 B);
+    // cached because bands + both payload sides re-derive from it
+    val sigs = lshSignatures(embeddings, planes)
+      .withColumn("nrm", l2norm(col("v"))).cache()
+    val bandStructs = (0 until nBands).map { j =>
+      struct(lit(j).as("band_idx"),
+        shiftright(col("sig"), bitsPerBand * j).bitwiseAND(lit(mask))
+          .as("band_val"))
+    }
+    val bands = sigs.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band_idx").as("band_idx"),
+        col("b.band_val").as("band_val"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val payload = sigs.select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(payload.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(payload.as("y"), col("vec_b") === col("y.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
       .filter(col("sim") >= minSim)
       .select(col("vec_a"), col("vec_b"),
         floor(col("sim") * 1e6).cast("long").as("sim_x1e6"))

@@ -40,16 +40,19 @@ object Pipeline {
       |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** DuckDB SQL mirroring [[Dedup.simhash]]: 31 bit-sum expressions over
-    * word h31 hashes, reassembled into the signature. */
+  /** DuckDB SQL mirroring [[Dedup.simhash]]: one bit-sum expression per
+    * signature bit over shingle h60 hashes, reassembled into the
+    * signature — parameterized by [[Dedup.SimhashBits]] so widening the
+    * Spark side regenerates the oracle in lockstep. */
   private val simhashOracle: String = {
-    val bitSums = (0 until 31).map(i =>
+    val bits = Dedup.SimhashBits
+    val bitSums = (0 until bits).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$i").mkString(", ")
-    val reassemble = (0 until 31).map(i =>
+    val reassemble = (0 until bits).map(i =>
       s"(CASE WHEN bs_$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     s"""WITH w AS (
       |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS w FROM documents),
-      |h AS (SELECT doc_id, ${h31Sql("w")} AS h FROM w),
+      |h AS (SELECT doc_id, ${h60Sql("w")} AS h FROM w),
       |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
       |sig AS (SELECT doc_id, $reassemble AS simhash FROM s)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -31,9 +31,16 @@ object StatefulSessionize {
     sorted.foreach { e =>
       cur = cur match {
         case Some(s) if e.ts_micros - s.end <= gapMicros =>
-          // max: a late (out-of-order) event inside the gap must not
-          // move the session end backwards
-          Some(s.copy(end = math.max(s.end, e.ts_micros), n = s.n + 1))
+          // max/min: a late (out-of-order) event inside the gap must not
+          // move the session end backwards, and an event older than the
+          // recorded start must pull the start back so start <= every
+          // absorbed event. Caveat (streaming-vs-batch divergence): an
+          // event so old that batch sessionization would assign it to an
+          // ALREADY-EMITTED earlier session is still absorbed here — with
+          // chronologically-ordered batches (the file-source reality)
+          // the two semantics coincide; see StreamingParitySpec.
+          Some(OpenSession(math.min(s.start, e.ts_micros),
+            math.max(s.end, e.ts_micros), s.n + 1))
         case Some(s) =>
           out += Session(user, s.start, s.end, s.n)
           Some(OpenSession(e.ts_micros, e.ts_micros, 1))
