@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Incremental (cross-batch) dedup: admit only documents not already in
   * the historical corpus, without joining the full history.
@@ -9,52 +12,77 @@ import org.apache.spark.sql.functions._
   * The 100 TB problem: each incoming batch must be checked against
   * billions of historical documents. A join touches the whole history
   * per batch; instead, a Bloom filter over historical content hashes
-  * (built once, incrementally maintainable) is broadcast and each new
-  * row probes it locally:
-  *   - `mightContain == false` -> definitely new (no false negatives:
+  * (built once, incrementally maintainable) is shipped to executors and
+  * each new row probes it locally:
+  *   - `might_contain == false` -> definitely new (no false negatives:
   *     a true duplicate can never slip through),
-  *   - `mightContain == true` -> either a real dup or a false positive
+  *   - `might_contain == true` -> either a real dup or a false positive
   *     (rate `fpp`); the exact variant rescues those by joining ONLY
   *     the flagged rows — a tiny fraction — against history.
+  *
+  * The probe is the catalyst [[BloomFilterMightContain]] expression (the
+  * one Spark's runtime row-level filtering injects), so the filter stays
+  * inside whole-stage codegen — no Scala UDF breaking fusion. The
+  * serialized filter is a plan literal, which rides the task-binary
+  * broadcast once per executor exactly like an explicit
+  * `sparkContext.broadcast` did.
+  *
+  * Null semantics (pinned by the q44 oracle's `NOT EXISTS`): a NULL
+  * batch text equals nothing in history, so null-text rows are admitted;
+  * null-text history rows match nothing and are excluded from the
+  * filter.
   *
   * Deterministic: Spark's BloomFilter uses fixed seeds, and the probed
   * value is the engine-portable h60 content hash.
   */
 object IncrementalDedup {
 
+  private def filterBytes(history: DataFrame, expectedItems: Long,
+                          fpp: Double): Array[Byte] = {
+    val bf = history.filter(col("text").isNotNull)
+      .stat.bloomFilter(Hashing.h60(col("text")), expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Codegen'd bloom probe: `might_contain(<filter literal>, h)`. */
+  private def mightContain(bfBytes: Array[Byte], h: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), ColumnBridge.expression(h)))
+
   /** Fast path: drop rows whose content hash is probably in history.
     * Loses ~fpp of genuinely-new docs (acceptable for training-data
     * dedup); never admits a true duplicate. */
-  private def buildFilter(history: DataFrame, expectedItems: Long, fpp: Double) = {
-    val hashed = history.select(Hashing.h60(col("text")).as("h"))
-    val bf = hashed.stat.bloomFilter("h", expectedItems, fpp)
-    // explicit broadcast: a billion-item filter is hundreds of MB —
-    // ship it once per executor, not once per task closure
-    history.sparkSession.sparkContext.broadcast(bf)
-  }
-
   def probablyNewDocs(history: DataFrame, batch: DataFrame,
                       expectedItems: Long, fpp: Double): DataFrame = {
-    val bfB = buildFilter(history, expectedItems, fpp)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    batch.withColumn("__h", Hashing.h60(col("text")))
-      .filter(!mightContain(col("__h")))
+    val bytes = filterBytes(history, expectedItems, fpp)
+    val withHash = batch.withColumn("__h", Hashing.h60(col("text")))
+    withHash.filter(col("text").isNotNull)
+      .filter(!mightContain(bytes, col("__h")))
+      .unionByName(withHash.filter(col("text").isNull))
       .drop("__h")
   }
 
   /** Exact path: bloom-filter prefilter, then anti-join ONLY the flagged
     * rows against history — new docs lost to false positives are
     * rescued; output = batch rows whose text does not appear in
-    * history, exactly. */
+    * history, exactly. The rescue join keys on the hash (shuffle
+    * locality) AND the text itself, so a 60-bit hash collision between
+    * a new doc and a different historical doc cannot drop the new doc. */
   def newDocsExact(history: DataFrame, batch: DataFrame,
                    expectedItems: Long, fpp: Double): DataFrame = {
-    val hashed = history.select(Hashing.h60(col("text")).as("h"))
-    val bfB = buildFilter(history, expectedItems, fpp)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val bytes = filterBytes(history, expectedItems, fpp)
+    val histKeyed = history.filter(col("text").isNotNull)
+      .select(Hashing.h60(col("text")).as("__hh"), col("text").as("__htext"))
     val withHash = batch.withColumn("__h", Hashing.h60(col("text")))
-    val clean = withHash.filter(!mightContain(col("__h")))
-    val flagged = withHash.filter(mightContain(col("__h")))
-      .join(hashed, col("__h") === col("h"), "left_anti") // false positives survive
-    clean.unionByName(flagged).drop("__h")
+    val nullText = withHash.filter(col("text").isNull)
+    val notNull = withHash.filter(col("text").isNotNull)
+    val clean = notNull.filter(!mightContain(bytes, col("__h")))
+    val flagged = notNull.filter(mightContain(bytes, col("__h")))
+      .join(histKeyed,
+        col("__h") === col("__hh") && col("text") === col("__htext"),
+        "left_anti") // false positives (and hash collisions) survive
+    clean.unionByName(flagged).unionByName(nullText).drop("__h")
   }
 }

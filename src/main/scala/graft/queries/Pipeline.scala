@@ -74,6 +74,61 @@ object Pipeline {
   private def occSql(expr: String, needle: String): String =
     s"CAST((length($expr) - length(replace($expr, '$needle', ''))) / ${needle.length} AS BIGINT)"
 
+  /** q45: oracle-checked ANN recall. The LSH ANN path is deterministic
+    * (seed-fixed hyperplanes, floor-scaled sims, id tie-breaks), so the
+    * oracle recomputes the FULL ANN result in SQL — hyperplane dots with
+    * the plane constants embedded as literals (shortest-decimal repr
+    * round-trips to the identical double), signature/band assembly,
+    * band-bucket candidate join, exact rerank — and joins it against the
+    * exact top-k, pulling the recall claim under the hash-check regime
+    * (q26/q33 themselves stay rows-only). */
+  private val annRecallOracle: String = {
+    val planes = Similarity.hyperplanes(32, 64)
+    def dotLit(p: Array[Double]): String = {
+      val lst = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
+    }
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm, $sig AS sig FROM e),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+      |ex_scored AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 1000000) AS BIGINT) AS sim
+      |  FROM n, q WHERE vec_id <> query_id),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM ex_scored) WHERE rank <= 5),
+      |bands AS (
+      |  SELECT vec_id, t.j AS band_idx, (sig >> (4 * t.j)) & 15 AS band_val
+      |  FROM n, range(0, 8) t(j)),
+      |qb AS (SELECT vec_id AS query_id, band_idx, band_val
+      |       FROM bands WHERE vec_id < 20),
+      |cand AS (
+      |  SELECT DISTINCT qb.query_id, b.vec_id
+      |  FROM bands b JOIN qb ON b.band_idx = qb.band_idx
+      |    AND b.band_val = qb.band_val
+      |  WHERE b.vec_id <> qb.query_id),
+      |ann_scored AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 1000000) AS BIGINT) AS sim
+      |  FROM cand
+      |  JOIN n ON n.vec_id = cand.vec_id
+      |  JOIN q ON q.query_id = cand.query_id),
+      |ann AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM ann_scored) WHERE rank <= 5)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(ann.vec_id) AS BIGINT) AS ann_hits
+      |FROM ex LEFT JOIN ann ON ann.query_id = ex.query_id
+      |  AND ann.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
   private val langIdOracle: String = {
     val t = "(' ' || lower(text) || ' ')"
     def score(ws: Seq[String]) = ws.map(w => occSql(t, s" $w ")).mkString("(", " + ", ")")
@@ -178,6 +233,26 @@ object Pipeline {
         |ORDER BY vec_a, vec_b""".stripMargin),
       (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
+
+    // ── ANN recall under the hash-check regime: the deterministic LSH
+    // top-k joined against the exact top-k, integer hit counts per
+    // query; the oracle recomputes BOTH sides in SQL (planes embedded
+    // as literals). q26/q33 stay rows-only; this is their hard check.
+    Q("q45_ann_recall", "pipeline:similarity-ann-recall",
+      Some(annRecallOracle),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val exact = Similarity.bruteForceTopK(e, 20, 5)
+          .select(col("query_id"), col("vec_id"))
+        val ann = Similarity.annTopK(e, 20, 5)
+          .select(col("query_id").as("a_qid"), col("vec_id").as("a_vid"))
+        exact.join(ann,
+            exact("query_id") === ann("a_qid") && exact("vec_id") === ann("a_vid"),
+            "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("exact_k"), count(col("a_vid")).as("ann_hits"))
+          .orderBy("query_id")
+      }),
 
     // ── language ID (marker-word heuristic) ──────────────────────────
     Q("q28_text_langid", "pipeline:text-langid",
