@@ -8,6 +8,10 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // embedded DuckDB JDBC driver (pre-warmed in the offline cache) —
+  // test-only: the engine's JDBC mode is driver-agnostic strings, the
+  // round-trip test needs a real embedded database to talk to
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -14,6 +14,10 @@ import org.apache.spark.sql.types.StructType
   */
 object TableStore {
 
+  // all JDBC traffic flows through this object, so registering here
+  // guarantees the dialect is in place before any DuckDB URL is used
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
+
   def tablePath(warehouse: String, name: String): String = s"$warehouse/$name"
 
   def exists(spark: SparkSession, warehouse: String, name: String): Boolean = {
@@ -47,6 +51,43 @@ object TableStore {
     if (exists(spark, warehouse, name)) read(spark, warehouse, name)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** S8: a JDBC warehouse target (reference: the pipeline's embedded
+    * DuckDB file, `main.py:45-55`). Driver-agnostic — `url` names the
+    * database (`jdbc:duckdb:/path/file.db`, `jdbc:derby:...`, a
+    * server URL), `driver` force-loads a class when the jar doesn't
+    * self-register, `options` passes through Spark JDBC source options
+    * (partitionColumn/numPartitions for parallel reads, batchsize,
+    * isolationLevel, ...).
+    *
+    * Scale notes: an embedded single-file database is a PUBLISH
+    * endpoint, not a shuffle-capable store — writes funnel through
+    * executor connections into one file, so use it for final serving
+    * tables (the reference's use), keep facts in Parquet. For parallel
+    * reads of big server-side tables, set partitionColumn/lowerBound/
+    * upperBound/numPartitions so each task reads a key range. */
+  final case class JdbcTarget(url: String, driver: Option[String] = None,
+                              options: Map[String, String] = Map.empty)
+
+  /** Publish `df` as JDBC table `name` (mode per Spark semantics;
+    * "overwrite" drops and recreates — the reference's CREATE OR
+    * REPLACE). */
+  def writeJdbc(df: DataFrame, target: JdbcTarget, name: String,
+                mode: String = "overwrite"): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", target.url).option("dbtable", name)
+      .options(target.options)
+    target.driver.foreach(d => w.option("driver", d))
+    w.mode(mode).save()
+  }
+
+  def readJdbc(spark: SparkSession, target: JdbcTarget, name: String): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", target.url).option("dbtable", name)
+      .options(target.options)
+    target.driver.foreach(d => r.option("driver", d))
+    r.load()
+  }
 
   /** Overwrite `name` with `df` via temp-dir write + backup-rename swap.
     * The temp write materializes the plan (which may read the table
