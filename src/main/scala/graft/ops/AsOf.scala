@@ -30,11 +30,25 @@ object AsOf {
     * @param right      (key, ts, payload...) lookup side, unique on (key, ts)
     * @param key        join key column name (present in both)
     * @param ts         event-time column name (present in both)
-    * @param rightPayload right columns to carry (become nullable) */
+    * @param rightPayload right columns to carry (become nullable)
+    * @param direction  "backward" (latest right.ts <= left.ts, the
+    *                   default) or "forward" (earliest right.ts >=
+    *                   left.ts) — pandas merge_asof's direction knob
+    * @param toleranceMicros when set, a match farther than this from
+    *                   left.ts yields nulls. Equivalent to restricting
+    *                   candidates (the nearest match is checked first),
+    *                   i.e. pandas merge_asof tolerance semantics. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               direction: String = "backward",
+               toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
-    val payloadStruct = struct(rightPayload.map(col): _*)
+    // the matched right row's ts travels inside the payload struct so
+    // the tolerance check can compare against it after the fact
+    val payloadStruct = struct(
+      (col(ts).as("__rts") +: rightPayload.map(col)): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
     // tag and align the two sides: side 0 sorts before side 1 at equal ts,
     // so a right row at exactly left.ts is visible to it. The payload
@@ -51,12 +65,32 @@ object AsOf {
       (Seq(col(key), col(ts), lit(1).as("__side"),
         lit(null).cast(payloadType).as("__r")) ++
         leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+    // backward walks time ascending (latest prior row wins); forward
+    // walks descending (earliest following row wins) — same running
+    // last(ignoreNulls) either way, still one shuffle + one sort
+    val ord = if (direction == "backward") col(ts).asc else col(ts).desc
+    val w = Window.partitionBy(key).orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+    val matched = toleranceMicros match {
+      case None => col("__asof")
+      case Some(tol) =>
+        val diff = abs(micros(col(ts), left.schema(ts).dataType) -
+          micros(col("__asof").getField("__rts"),
+            right.schema(ts).dataType))
+        when(diff <= tol, col("__asof")) // else null: out-of-tolerance
+    }
     carried.filter(col("__side") === 1)
+      .withColumn("__m", matched)
       .select((leftCols.map(col) ++
-        rightPayload.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
+        rightPayload.map(c => col("__m").getField(c).as(s"asof_$c"))): _*)
   }
+
+  /** Event time as comparable microseconds regardless of column type. */
+  private def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
 }

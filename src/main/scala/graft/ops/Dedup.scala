@@ -78,6 +78,39 @@ object Dedup {
         floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
   }
 
+  /** [[ngramJaccardPairs]] with the stop-shingle guard that makes the
+    * inverted index survive corpus scale: shingles whose document
+    * frequency exceeds maxDf (boilerplate headers, license blocks,
+    * templated phrases) are dropped from the universe BEFORE pairing,
+    * and Jaccard is computed exactly within the capped universe. The
+    * pairing cost sum-over-shingles of df^2 is then bounded by
+    * maxDf^2 x |shingles| instead of being dominated by a few
+    * quadratic-bucket stop shingles. The stop list itself is small by
+    * construction (only shingles with df > maxDf), so the subtraction
+    * is a broadcast anti-join. */
+  def ngramJaccardPairsCapped(docs: DataFrame, minJ: Double,
+                              maxDf: Long): DataFrame = {
+    val sh = shingleIndex(docs).cache()
+    val stop = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    val kept = sh.join(broadcast(stop), Seq("s"), "left_anti").cache()
+    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(cnt.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(cnt.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"),
+        (col("common").cast("double") /
+          (col("x.n") + col("y.n") - col("common"))).as("jacc"))
+      .filter(col("jacc") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
+        floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
+  }
+
   /** MinHash signatures: 16 universal hashes over shingle h31 values.
     * One row per doc with columns mh_0..mh_15; single shuffle. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
@@ -130,27 +163,29 @@ object Dedup {
         floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
   }
 
-  /** Near-dup clusters: connected components over the MinHash-LSH dup
-    * pairs via iterative min-label propagation — the "keep one document
-    * per duplicate cluster" operator. Each iteration is one join + one
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation. Each iteration is one join + one
     * aggregation; iterations needed = graph diameter (dup clusters are
     * shallow), with a fixpoint check. No driver-side graph state.
-    * Output: (doc_id, cluster_root, keep) for every document
-    * (singletons root themselves). */
-  def dupClusters(docs: DataFrame, minJ: Double, maxIters: Int = 50): DataFrame = {
-    val pairs = minhashDupPairs(docs, minJ).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    *
+    * @param nodes single-column frame of node ids (column `id`)
+    * @param pairs two-column frame of undirected edges (`a`, `b`)
+    * @return (id, cluster_root, keep) for every node — singletons root
+    *         themselves; keep marks the cluster representative. */
+  def componentLabels(nodes: DataFrame, pairs: DataFrame,
+                      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("root")).cache()
+    var labels = nodes.select(col("id"), col("id").as("root")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val viaNeighbors = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("root"))
-      val next = labels.select(col("doc_id"), col("root")).union(viaNeighbors)
-        .groupBy("doc_id").agg(min(col("root")).as("root")).cache()
-      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+      val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("root"))
+      val next = labels.select(col("id"), col("root")).union(viaNeighbors)
+        .groupBy("id").agg(min(col("root")).as("root")).cache()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.root") =!= col("o.root")).limit(1).isEmpty
       labels.unpersist()
       labels = next
@@ -161,9 +196,20 @@ object Dedup {
     require(converged,
       s"label propagation did not converge in $maxIters iterations " +
         "(a dup-cluster chain longer than maxIters?) — results would be wrong")
-    labels.select(col("doc_id"), col("root").as("cluster_root"),
-      (col("doc_id") === col("root")).as("keep"))
+    labels.select(col("id"), col("root").as("cluster_root"),
+      (col("id") === col("root")).as("keep"))
   }
+
+  /** Near-dup clusters: connected components over the MinHash-LSH dup
+    * pairs — the "keep one document per duplicate cluster" operator.
+    * Output: (doc_id, cluster_root, keep) for every document. */
+  def dupClusters(docs: DataFrame, minJ: Double, maxIters: Int = 50): DataFrame =
+    componentLabels(
+      docs.select(col("doc_id").as("id")),
+      minhashDupPairs(docs, minJ)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+      maxIters)
+      .select(col("id").as("doc_id"), col("cluster_root"), col("keep"))
 
   /** Signature width: 60 bits (all of [[Hashing.h60]]'s entropy). */
   val SimhashBits = 60

@@ -405,6 +405,44 @@ object Parity {
           .orderBy("event_id")
       }),
 
+    // ── forward as-of with tolerance: the NEXT click within 45 min of
+    // each purchase (pandas merge_asof direction="forward"/tolerance).
+    // Tolerance nulls an out-of-range nearest match — equivalent to
+    // restricting candidates, since the nearest is checked first.
+    Q("q48_asof_forward", "asof-join forward+tolerance (beyond reference)",
+      Some("""WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purch AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  CAST(round(p.value * 100) AS BIGINT) AS purchase_cents,
+        |  CASE WHEN c.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 45 MINUTE
+        |    THEN CAST(round(c.click_value * 100) AS BIGINT) END AS next_click_cents,
+        |  CASE WHEN c.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 45 MINUTE
+        |    THEN c.ts END AS next_click_ts
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+          .withColumn("click_ts", col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        graft.ops.AsOf.asofJoin(purch, clicks, "user_id", "ts",
+            Seq("click_value", "click_ts"),
+            direction = "forward",
+            toleranceMicros = Some(45L * 60 * 1000000))
+          .select(col("event_id"), col("user_id"),
+            round(col("value") * 100).cast("long").as("purchase_cents"),
+            round(col("asof_click_value") * 100).cast("long").as("next_click_cents"),
+            col("asof_click_ts").as("next_click_ts"))
+          .orderBy("event_id")
+      }),
+
     // ── sessionization: lag + running conditional sum (gap > 30 min
     // opens a session). Covers lag + ROWS frames — analytic surface the
     // reference never needed but a complete engine must have.

@@ -313,6 +313,62 @@ object Pipeline {
       (s, dir) => Dedup.dupClusters(t(s, dir, "documents"), 0.8)
         .orderBy("doc_id")),
 
+    // ── embedding near-dup clusters: connected components over the
+    // cosine >= 0.4 pair graph — "keep one vector per duplicate
+    // cluster", same operator family as q35 but on the embedding side.
+    Q("q46_embedding_clusters", "pipeline:dedup-embedding-clusters",
+      Some(s"""WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+        |edges AS (SELECT va AS a, vb AS b FROM pairs
+        |          UNION SELECT vb, va FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.x, e2.b FROM reach r JOIN edges e2 ON e2.a = r.y)
+        |SELECT d.vec_id,
+        |  CAST(least(d.vec_id, coalesce(min(r.y), d.vec_id)) AS BIGINT) AS cluster_root,
+        |  (d.vec_id = least(d.vec_id, coalesce(min(r.y), d.vec_id))) AS keep
+        |FROM embeddings d LEFT JOIN reach r ON r.x = d.vec_id
+        |GROUP BY d.vec_id ORDER BY d.vec_id""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Dedup.componentLabels(
+            e.select(col("vec_id").as("id")),
+            Similarity.nearDupPairs(e, 0.4)
+              .select(col("vec_a").as("a"), col("vec_b").as("b")))
+          .select(col("id").as("vec_id"), col("cluster_root"), col("keep"))
+          .orderBy("vec_id")
+      }),
+
+    // ── df-capped n-gram Jaccard: the stop-shingle guard that bounds
+    // the inverted-index pairing cost at corpus scale (shingles with
+    // df > 20 are boilerplate and leave the universe before pairing).
+    Q("q47_jaccard_df_capped", "pipeline:dedup-jaccard-capped",
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+        |kept AS (
+        |  SELECT doc_id, s FROM sh
+        |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 20)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common,
+        |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+        |  CAST(floor(CAST(common AS DOUBLE) / (x.n + y.n - common) * 1000) AS BIGINT) AS jacc_x1000
+        |FROM pairs JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+        |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) => Dedup.ngramJaccardPairsCapped(t(s, dir, "documents"), 0.8, 20L)
+        .orderBy("doc_a", "doc_b")),
+
     // ── deterministic stratified sampling (data mixing) ──────────────
     // Hash-bucket sampling: stable under re-runs and engine-portable —
     // the per-language rate is the mixing weight of a training-data

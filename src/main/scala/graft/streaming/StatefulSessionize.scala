@@ -51,6 +51,58 @@ object StatefulSessionize {
     (out.result(), cur)
   }
 
+  final case class EvT(user_id: Long, ts_micros: Long, event_id: Long,
+                       ts: java.sql.Timestamp)
+
+  /** Streaming form with event-time LIVENESS: [[sessions]] only closes
+    * a user's session when a newer event from the SAME user arrives, so
+    * a departed user's last session is stuck in the state store forever.
+    * Here the session also closes when the event-time watermark (fed by
+    * ALL users' events) passes session end + gap — the state store
+    * holds only genuinely-open sessions, which is what bounds state at
+    * millions of users.
+    *
+    * `lateness` is the watermark delay: events later than it may be
+    * assigned to a new session where [[sessions]] would have merged
+    * them (the standard watermark trade). */
+  def sessionsWithTimeout(events: Dataset[Ev], gapMinutes: Int,
+                          lateness: String = "0 seconds"): Dataset[Session] = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val gapMs = gapMicros / 1000L
+    implicit val se = Encoders.product[Session]
+    implicit val oe = Encoders.product[OpenSession]
+    implicit val ee = Encoders.product[EvT]
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    events.withColumn("ts", timestamp_micros(col("ts_micros")))
+      .withWatermark("ts", lateness)
+      .as[EvT]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EvT], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.end, s.n))
+          } else {
+            val sorted = it.map(e => Ev(e.user_id, e.ts_micros, e.event_id))
+              .toSeq.sortBy(e => (e.ts_micros, e.event_id))
+            val (closed, open) = step(user, sorted, state.getOption, gapMicros)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // fire once the watermark passes end + gap; the API
+                // requires a timestamp beyond the current watermark
+                state.setTimeoutTimestamp(math.max(
+                  s.end / 1000 + gapMs + 1,
+                  state.getCurrentWatermarkMs() + 1))
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming form. Emits CLOSED sessions (append mode); the open
     * session per user lives in the state store. */
   def sessions(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {

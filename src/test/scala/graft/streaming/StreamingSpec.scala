@@ -107,6 +107,52 @@ class StreamingSpec extends SparkSpec {
     assert(none.isEmpty && open2.contains(OpenSession(0, 9000000, 3)))
   }
 
+  test("event-time timeout closes idle sessions without same-user events") {
+    import StatefulSessionize._
+    val src = tmpDir("sess-to-src")
+    val ckpt = tmpDir("sess-to-ckpt")
+    val out = tmpDir("sess-to-out")
+    def write(evs: (Long, String, Long)*): Unit =
+      evs.toSeq.map { case (u, t, id) =>
+        Ev(u, java.sql.Timestamp.valueOf(t).getTime * 1000L, id)
+      }.toDF().write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val in = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+        .parquet(src).as[Ev]
+      val q = StatefulSessionize.sessionsWithTimeout(in, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def closed(): Seq[Session] = {
+      val files = new java.io.File(out).listFiles()
+      if (files == null || !files.exists(_.getName.endsWith(".parquet"))) Seq.empty
+      else spark.read.parquet(out).as[Session].collect().toSeq
+    }
+
+    write((1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:10:00", 2L))
+    drain()
+    assert(closed().isEmpty) // open, watermark not past end + gap yet
+
+    // OTHER users' events advance the watermark past user 1's
+    // end + gap; the timeout fires on the drain AFTER the watermark
+    // update (watermark from batch N applies in batch N+1)
+    write((2L, "2024-01-01 13:00:00", 10L))
+    drain()
+    write((2L, "2024-01-01 13:05:00", 11L))
+    drain()
+
+    val c = closed()
+    assert(c.length == 1)
+    assert(c(0).user_id == 1L && c(0).n_events == 2)
+    assert(c(0).end_micros - c(0).start_micros == 10L * 60 * 1000000)
+  }
+
   test("streaming linegraph matches batch builder on the same data") {
     val src = tmpDir("stream-lg-src")
     val ckpt = tmpDir("stream-lg-ckpt")
