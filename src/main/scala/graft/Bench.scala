@@ -37,6 +37,18 @@ object Bench {
     // warm-up: JIT + parquet footer caches
     SparkEntry.queries.keys.take(1).foreach(runOne)
 
+    def jsonLine(results: Seq[(String, Double)]): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    def writeOut(line: String): Unit = outFile.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
     // two timed runs per query, min reported: single-run numbers at
     // local[32] carry +-5s of GC/codegen noise; min-of-2 measures the
     // steady-state plan cost the cross-round comparison cares about.
@@ -44,28 +56,34 @@ object Bench {
     // accumulation or reuse) but not between a query's two runs — the
     // second run measures warm marginal cost, first run absorbs the
     // one-time Janino/codegen compilation.
+    // SPARK_GRAFT_BENCH_ONLY (comma list of name substrings) narrows the
+    // run for local iteration on a single query's plan.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
+    var done = List.empty[(String, Double)]
     val results = names.map { n =>
       spark.catalog.clearCache()
+      System.err.println(s"[bench] $n ...")
       val t1 = runOne(n)
       val t2 = runOne(n)
       // -1.0 when EITHER run fails: a flaky query must be visible in the
       // JSON, not hidden behind its one successful run
-      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+      val t = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
+      System.err.println(f"[bench] $n: $t%.2f s")
+      // flush partial results after every query: if the harness kills
+      // this process on a timeout, the file still names the culprit
+      done = done :+ (n -> t)
+      writeOut(jsonLine(done))
+      n -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = jsonLine(results)
     // machine-parseable output: always stdout (sole non-log line), plus a
     // clean file copy when SPARK_GRAFT_BENCH_OUT is set, so the harness
     // never has to regex the JSON out of sbt/log4j noise
     println(line)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    writeOut(line)
     spark.stop()
   }
 }

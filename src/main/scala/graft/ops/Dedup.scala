@@ -168,6 +168,19 @@ object Dedup {
     * aggregation; iterations needed = graph diameter (dup clusters are
     * shallow), with a fixpoint check. No driver-side graph state.
     *
+    * Each iteration ends in `localCheckpoint` (not `cache`): the loop
+    * references `labels` twice per round (label update + fixpoint
+    * check), so an un-truncated logical plan doubles every iteration —
+    * O(2^iters) tree nodes. Catalyst walks that tree for every
+    * analysis/optimization pass and `CachedRDDBuilder` stringifies it
+    * for the cache name, which turned a 6-iteration run into a
+    * multi-minute plan-printing hang at sf0.1 (round-2 bench timeout).
+    * Checkpointing pins each round's result as a `LogicalRDD`, keeping
+    * the plan O(1) per iteration — the same lineage-truncation contract
+    * GraphX's Pregel loop relies on. On a real cluster swap
+    * `localCheckpoint` for reliable `checkpoint` (HDFS-backed) so a
+    * lost executor cannot kill a long lineage-free job.
+    *
     * @param nodes single-column frame of node ids (column `id`)
     * @param pairs two-column frame of undirected edges (`a`, `b`)
     * @return (id, cluster_root, keep) for every node — singletons root
@@ -177,17 +190,18 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = nodes.select(col("id"), col("id").as("root")).cache()
+    var labels = nodes.select(col("id"), col("id").as("root"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("root"))
       val next = labels.select(col("id"), col("root")).union(viaNeighbors)
-        .groupBy("id").agg(min(col("root")).as("root")).cache()
+        .groupBy("id").agg(min(col("root")).as("root"))
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.root") =!= col("o.root")).limit(1).isEmpty
-      labels.unpersist()
       labels = next
       converged = changed
       i += 1
