@@ -164,54 +164,101 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list via iterative
-    * min-label propagation. Each iteration is one join + one
-    * aggregation; iterations needed = graph diameter (dup clusters are
-    * shallow), with a fixpoint check. No driver-side graph state.
+    * min-label propagation, with the iteration kernel at the RDD layer.
     *
-    * Each iteration ends in `localCheckpoint` (not `cache`): the loop
-    * references `labels` twice per round (label update + fixpoint
-    * check), so an un-truncated logical plan doubles every iteration —
-    * O(2^iters) tree nodes. Catalyst walks that tree for every
-    * analysis/optimization pass and `CachedRDDBuilder` stringifies it
-    * for the cache name, which turned a 6-iteration run into a
-    * multi-minute plan-printing hang at sf0.1 (round-2 bench timeout).
-    * Checkpointing pins each round's result as a `LogicalRDD`, keeping
-    * the plan O(1) per iteration — the same lineage-truncation contract
-    * GraphX's Pregel loop relies on. On a real cluster swap
-    * `localCheckpoint` for reliable `checkpoint` (HDFS-backed) so a
-    * lost executor cannot kill a long lineage-free job.
+    * Why RDD here and DataFrame everywhere else: an iterative fixpoint
+    * loop is the one shape Catalyst actively fights. A DataFrame loop
+    * must checkpoint every round (the labels frame is referenced twice
+    * per round, so an un-truncated plan doubles per round — O(2^iters)
+    * tree nodes; stringifying that tree for the cache name is what hung
+    * the round-2 bench), and even checkpointed, every round re-pays
+    * query planning, AQE stage materialization, and Janino codegen —
+    * measured ~0.45 s/round on a 920-edge graph regardless of partition
+    * count, 17 rounds = the whole operator budget. The RDD loop pays
+    * none of that per round, and — the actual 100 TB argument — reuses
+    * one `HashPartitioner` across all rounds: edges shuffle ONCE into
+    * place, every round's edge⨝label join is then narrow (zero edge
+    * movement), and the only per-round shuffle is the label messages
+    * (≤ edge count). This is precisely GraphX's Pregel execution
+    * pattern, which is RDD-based for the same reason.
     *
-    * @param nodes single-column frame of node ids (column `id`)
+    * The loop also iterates ONLY over nodes that appear in an edge: at
+    * corpus scale the dup graph is a sliver of the node set (most
+    * documents have no near-dup), so rounds never touch the full
+    * corpus. Edge-free nodes are singleton clusters by definition and
+    * join back in once, after convergence.
+    *
+    * Convergence: min-label propagation only ever lowers a node's root,
+    * so the exact BigInt sum of roots is strictly decreasing until the
+    * fixpoint — an O(labels) action per round, no compare-join.
+    *
+    * @param nodes single-column frame of node ids (column `id`, long)
     * @param pairs two-column frame of undirected edges (`a`, `b`)
     * @return (id, cluster_root, keep) for every node — singletons root
     *         themselves; keep marks the cluster representative. */
   def componentLabels(nodes: DataFrame, pairs: DataFrame,
                       maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
-    var labels = nodes.select(col("id"), col("id").as("root"))
-      .localCheckpoint(true)
+    val session = nodes.sparkSession
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+
+    val sym = pairs
+      .select(col("a").cast("long"), col("b").cast("long")).rdd
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1)); Iterator((a, b), (b, a))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = sym.count() // materializes the pair pipeline exactly once
+    // parallelism tracks the dup graph, not the corpus: one partition
+    // per ~2M directed edges (tiny graphs collapse to a single task per
+    // round instead of a corpus-sized grid of empty ones)
+    val part = new HashPartitioner(
+      math.max(1L, eCount / 2000000L).toInt)
+    val edges = sym.partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    sym.unpersist(blocking = false)
+
+    // labels co-partitioned with edges: reduceByKey(part, ...) keeps the
+    // partitioner, so every round's join below is narrow
+    var labels = edges.keys.map(k => (k, k))
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def rootSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      rdd.aggregate(BigInt(0))((s, kv) => s + kv._2, _ + _)
+    var prevSum = rootSum(labels)
     var converged = false
     var i = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && i < maxIters) {
-      val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("root"))
-      val next = labels.select(col("id"), col("root")).union(viaNeighbors)
-        .groupBy("id").agg(min(col("root")).as("root"))
-        .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.root") =!= col("o.root")).limit(1).isEmpty
+      val t0 = System.nanoTime()
+      val messages = edges.join(labels) // narrow: both sides on `part`
+        .map { case (_, (dst, root)) => (dst, root) }
+      val next = labels.union(messages)
+        .reduceByKey(part, math.min(_: Long, _: Long))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val curSum = rootSum(next) // also materializes next
+      labels.unpersist(blocking = false)
       labels = next
-      converged = changed
+      converged = curSum == prevSum
+      prevSum = curSum
       i += 1
+      if (debug) System.err.println(
+        f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    edges.unpersist()
     require(converged,
       s"label propagation did not converge in $maxIters iterations " +
         "(a dup-cluster chain longer than maxIters?) — results would be wrong")
-    labels.select(col("id"), col("root").as("cluster_root"),
-      (col("id") === col("root")).as("keep"))
+    edges.unpersist(blocking = false)
+
+    import session.implicits._
+    val labeled = labels.toDF("id", "root")
+    val singletons = nodes.select(col("id"))
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("root"))
+    labeled.union(singletons)
+      .select(col("id"), col("root").as("cluster_root"),
+        (col("id") === col("root")).as("keep"))
   }
 
   /** Near-dup clusters: connected components over the MinHash-LSH dup

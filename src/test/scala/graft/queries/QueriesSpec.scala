@@ -39,7 +39,9 @@ class QueriesSpec extends SparkSpec {
     val rowsOnly = qk -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q26_ann_lsh_topk", "q33_ann_ivf_topk",
       "q34_approx_distinct"), s"unexpected rows-only: $rowsOnly")
-    assert(qk.size == 43)
+    // every Registry entry is registered exactly once under its own name
+    assert(qk.size == Registry.all.size,
+      "duplicate query names collapse entries in the driver-facing map")
   }
 
   test("ANN recall vs brute force at k=5: LSH >= 0.5, IVF >= 0.5") {
