@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Hashing.tokens
+
+/** Sequence packing for LLM pretraining: documents are concatenated in
+  * doc_id order into one global token stream, then split into
+  * fixed-length context windows ("concat-and-chunk", the packing used
+  * by GPT-style pretraining). Per document the operator computes its
+  * [start, end) offset in that stream, the chunk it starts in, and how
+  * many chunk boundaries it straddles.
+  *
+  * Scale design: the naive global prefix sum is `Window.orderBy(doc_id)`
+  * with no partition key, which Spark executes as a SINGLE task — dead
+  * at corpus scale. Here the prefix sum is two-level:
+  *   1. docs bucket by `doc_id / bucketSize`; the within-bucket
+  *      exclusive cumsum is an ordinary partitioned window (distributed,
+  *      one shuffle);
+  *   2. bucket totals cumsum on the bucket table — rows =
+  *      idRange / bucketSize (thousands, not billions), so its
+  *      single-partition window is trivially safe — and the resulting
+  *      bucket base offsets broadcast-join back.
+  * Both levels are deterministic: bucketing is arithmetic on doc_id, no
+  * range-partitioner sampling anywhere.
+  */
+object Packing {
+
+  /** Per-doc whitespace-token count and exclusive global start offset
+    * in the doc_id-ordered token stream. */
+  def withOffsets(docs: DataFrame, bucketSize: Long = 65536L): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      floor(col("doc_id") / lit(bucketSize)).cast("long").as("bucket"))
+    val inBucket = toks.withColumn("cum_in_bucket",
+      sum(col("n_tokens"))
+        .over(Window.partitionBy("bucket").orderBy("doc_id"))
+        - col("n_tokens"))
+    // bucket base offsets: tiny frame (one row per bucket), so the
+    // unpartitioned window is intentional and safe
+    val bases = toks.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("base",
+        coalesce(sum(col("btotal")).over(Window.orderBy("bucket"))
+          - col("btotal"), lit(0L)))
+      .select(col("bucket"), col("base"))
+    inBucket.join(broadcast(bases), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("base") + col("cum_in_bucket")).as("start_offset"))
+  }
+
+  /** Chunk assignment at a fixed context length: first chunk, whether
+    * the doc spans a chunk boundary, and how many boundaries it
+    * crosses. Empty docs (0 tokens) sit at their offset crossing
+    * nothing. */
+  def packChunks(docs: DataFrame, contextLen: Long = 512L,
+                 bucketSize: Long = 65536L): DataFrame = {
+    val off = withOffsets(docs, bucketSize)
+    val lastTok = greatest(col("start_offset") + col("n_tokens") - 1,
+      col("start_offset"))
+    val firstChunk = floor(col("start_offset") / lit(contextLen)).cast("long")
+    val lastChunk = floor(lastTok / lit(contextLen)).cast("long")
+    off.select(col("doc_id"), col("n_tokens"), col("start_offset"),
+      firstChunk.as("chunk_id"),
+      (lastChunk > firstChunk).as("spans_boundary"),
+      (lastChunk - firstChunk).as("chunks_crossed"))
+  }
+}

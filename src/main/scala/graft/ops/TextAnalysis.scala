@@ -111,4 +111,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("content_fp"),
         coalesce(col("shingle_fp"), col("text_h60")).as("shingle_fp"))
   }
+
+  /** Train/test contamination: for each benchmark document (`doc_id %
+    * benchMod == benchRem` — a deterministic holdout), the fraction of
+    * its distinct word-3-gram shingles that also occur in ANY other
+    * document of the corpus. A benchmark shingle is contaminated iff
+    * >= 2 distinct docs contain it (the one doc containing a
+    * df-1 shingle is necessarily the benchmark doc itself).
+    *
+    * Scale: one explode + a shingle-keyed aggregate (the same inverted
+    * index as the Jaccard dedup family — the df-cap guard from
+    * q47 applies verbatim if boilerplate shingles blow up the index),
+    * then one join keyed on shingle and one doc-keyed re-aggregate. No
+    * doc-pair term anywhere, so cost is linear in corpus shingles. */
+  def contamination(docs: DataFrame, benchMod: Int = 10,
+                    benchRem: Int = 7): DataFrame = {
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("w"))).as("s"))
+    val dfStats = sh.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val bench = sh.filter(col("doc_id") % benchMod === benchRem)
+    val perDoc = bench.join(dfStats, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_contaminated"))
+    docs.filter(col("doc_id") % benchMod === benchRem)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_x1000",
+        floor(col("n_contaminated") * lit(1000.0) /
+          greatest(col("n_shingles"), lit(1L))).cast("long"))
+  }
 }

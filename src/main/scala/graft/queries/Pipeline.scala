@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -129,22 +129,30 @@ object Pipeline {
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
-  private val langIdOracle: String = {
+  private def langScoresSql: (String, String, String, String) = {
     val t = "(' ' || lower(text) || ' ')"
     def score(ws: Seq[String]) = ws.map(w => occSql(t, s" $w ")).mkString("(", " + ", ")")
-    val en = score(Seq("the", "and", "of"))
-    val es = score(Seq("el", "la", "los"))
-    val de = score(Seq("der", "und", "die"))
-    val fr = score(Seq("le", "et", "les"))
-    s"""SELECT doc_id, lang,
-      |  $en AS score_en, $es AS score_es, $de AS score_de, $fr AS score_fr,
-      |  (octet_length(encode(text)) > length(text)) AS non_ascii,
-      |  CASE WHEN octet_length(encode(text)) > length(text) THEN 'cjk'
+    (score(Seq("the", "and", "of")), score(Seq("el", "la", "los")),
+      score(Seq("der", "und", "die")), score(Seq("le", "et", "les")))
+  }
+
+  /** The argmax-language CASE from [[langIdOracle]], reused by q50. */
+  private val predictedSql: String = {
+    val (en, es, de, fr) = langScoresSql
+    s"""CASE WHEN octet_length(encode(text)) > length(text) THEN 'cjk'
       |       WHEN greatest($en, $es, $de, $fr) = 0 THEN 'unknown'
       |       WHEN $en = greatest($en, $es, $de, $fr) THEN 'en'
       |       WHEN $es = greatest($en, $es, $de, $fr) THEN 'es'
       |       WHEN $de = greatest($en, $es, $de, $fr) THEN 'de'
-      |       ELSE 'fr' END AS predicted
+      |       ELSE 'fr' END""".stripMargin
+  }
+
+  private val langIdOracle: String = {
+    val (en, es, de, fr) = langScoresSql
+    s"""SELECT doc_id, lang,
+      |  $en AS score_en, $es AS score_es, $de AS score_de, $fr AS score_fr,
+      |  (octet_length(encode(text)) > length(text)) AS non_ascii,
+      |  $predictedSql AS predicted
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -461,5 +469,67 @@ object Pipeline {
         |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => Multimodal.decodeMeta(s,
           Multimodal.withPayload(t(s, dir, "documents")))
-        .toDF().orderBy("doc_id")))
+        .toDF().orderBy("doc_id")),
+
+    // ── sequence packing (concat-and-chunk): global token offsets via
+    // a two-level prefix sum — the distributed replacement for the
+    // single-task Window.orderBy global cumsum (see graft.ops.Packing).
+    Q("q49_pack_chunks", "pipeline:pack-chunks",
+      Some("""WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
+        |  (floor(greatest(start_offset + n_tokens - 1, start_offset) / 512.0)
+        |     > floor(start_offset / 512.0)) AS spans_boundary,
+        |  CAST(floor(greatest(start_offset + n_tokens - 1, start_offset) / 512.0)
+        |     - floor(start_offset / 512.0) AS BIGINT) AS chunks_crossed
+        |FROM off ORDER BY doc_id""".stripMargin),
+      (s, dir) => Packing.packChunks(t(s, dir, "documents"), 512L)
+        .orderBy("doc_id")),
+
+    // ── per-language cap (corpus balancing): deterministic top-N per
+    // group in h60 pseudo-random order; WindowGroupLimit keeps it a
+    // bounded heap per group, not a full sort.
+    Q("q50_group_cap", "pipeline:group-cap",
+      Some(s"""WITH pred AS (
+        |  SELECT doc_id, $predictedSql AS lang FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY ${h60Sql("doc_id")}, doc_id) AS rn
+        |  FROM pred)
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin),
+      (s, dir) => Sampling.groupCap(t(s, dir, "documents"), 50)
+        .orderBy("doc_id")),
+
+    // ── train/test contamination: benchmark-shingle overlap against
+    // the rest of the corpus via the shingle-df inverted index — the
+    // eval-leakage check every pretraining pipeline runs.
+    Q("q51_contamination", "pipeline:contamination",
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+        |stats AS (SELECT s, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY s),
+        |bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 7),
+        |agg AS (
+        |  SELECT b.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN st.n_docs >= 2 THEN 1 ELSE 0 END) AS n_contaminated
+        |  FROM bench b JOIN stats st ON st.s = b.s GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(floor(coalesce(a.n_contaminated, 0) * 1000.0 /
+        |    greatest(coalesce(a.n_shingles, 0), 1)) AS BIGINT) AS contamination_x1000
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 = 7
+        |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.contamination(t(s, dir, "documents"))
+        .orderBy("doc_id")))
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the round-3 pipeline operators: sequence packing
+  * offsets/chunk math, per-group cap determinism, contamination
+  * self-exclusion. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packChunks: offsets are the exclusive prefix sum in doc_id order, " +
+    "across bucket boundaries") {
+    // bucketSize=2 forces docs to straddle prefix-sum buckets
+    val docs = Seq(
+      (0L, "a b c"),          // 3 tokens, start 0
+      (1L, "d e"),            // 2 tokens, start 3
+      (2L, "f g h i"),        // 4 tokens, start 5
+      (3L, ""),               // "" -> split yields [""], 1 token, start 9
+      (4L, "j k l m n"))      // 5 tokens, start 10
+      .toDF("doc_id", "text")
+    val out = Packing.packChunks(docs, contextLen = 4L, bucketSize = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "chunk_id",
+        "spans_boundary", "chunks_crossed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L, 0L, false, 0L),  // tokens 0-2, chunk 0
+      (1L, 2L, 3L, 0L, true, 1L),   // tokens 3-4 straddle chunks 0/1
+      (2L, 4L, 5L, 1L, true, 1L),   // tokens 5-8 straddle chunks 1/2
+      (3L, 1L, 9L, 2L, false, 0L),
+      (4L, 5L, 10L, 2L, true, 1L))) // tokens 10-14 straddle chunks 2/3
+  }
+
+  test("packChunks: a doc longer than the context crosses several " +
+    "boundaries; zero-token rows never 'span'") {
+    val docs = Seq(
+      (10L, Seq.fill(10)("w").mkString(" ")), // 10 tokens over ctx 3
+      (11L, "x"))
+      .toDF("doc_id", "text")
+    val out = Packing.packChunks(docs, contextLen = 3L)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(5) == 3L) // tokens 0-9: chunks 0..3
+    assert(out(0).getBoolean(4))
+    // start_offset 10 -> chunk 3, single token, no boundary crossed
+    assert(out(1).getLong(3) == 3L && !out(1).getBoolean(4))
+  }
+
+  test("groupCap keeps at most N per language and is deterministic") {
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "the cat and the dog of it"
+                    else "el gato la casa los perros", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.groupCap(docs, 7)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 7), s"cap violated: $counts")
+    assert(counts.keySet == Set("en", "es"))
+    val again = Sampling.groupCap(docs, 7).orderBy("doc_id").collect().toSeq
+    assert(out.orderBy("doc_id").collect().toSeq == again)
+    // rn really ranks within the language, 1..cap
+    val rns = out.filter(col("lang") === "en")
+      .select("rn").collect().map(_.getLong(0)).sorted
+    assert(rns.toSeq == (1L to 7L))
+  }
+
+  test("contamination: a benchmark doc's own shingles don't count; " +
+    "shared shingles do; <3-word docs report zero shingles") {
+    val docs = Seq(
+      // bench doc (id 7): 4 distinct shingles, two shared with doc 1
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta unrelated tail here"),
+      // bench doc 17: unique text -> 0 contaminated
+      (17L, "only in this document nothing shared anywhere"),
+      // bench doc 27: under 3 words -> no shingles at all
+      (27L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 7 shingles: {a b g, b g d, g d e, d e z}; docs 1 shares
+    // "alpha beta gamma" and "beta gamma delta"
+    assert(out.toSeq == Seq((7L, 4L, 2L), (17L, 5L, 0L), (27L, 0L, 0L)))
+  }
+}
