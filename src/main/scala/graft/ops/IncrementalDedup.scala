@@ -37,13 +37,20 @@ import org.apache.spark.sql.types.BinaryType
   */
 object IncrementalDedup {
 
+  /** None when history has no non-null-text rows: `stat.bloomFilter`
+    * over zero rows yields a filter with null internals (its writeTo
+    * NPEs), and semantically an empty history flags nothing anyway —
+    * callers treat None as "probe always false". */
   private def filterBytes(history: DataFrame, expectedItems: Long,
-                          fpp: Double): Array[Byte] = {
-    val bf = history.filter(col("text").isNotNull)
-      .stat.bloomFilter(Hashing.h60(col("text")), expectedItems, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
+                          fpp: Double): Option[Array[Byte]] = {
+    val src = history.filter(col("text").isNotNull)
+    if (src.isEmpty) None
+    else {
+      val bf = src.stat.bloomFilter(Hashing.h60(col("text")), expectedItems, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Some(bos.toByteArray)
+    }
   }
 
   /** Codegen'd bloom probe: `might_contain(<filter literal>, h)`. */
@@ -56,10 +63,11 @@ object IncrementalDedup {
     * dedup); never admits a true duplicate. */
   def probablyNewDocs(history: DataFrame, batch: DataFrame,
                       expectedItems: Long, fpp: Double): DataFrame = {
-    val bytes = filterBytes(history, expectedItems, fpp)
+    val probe = filterBytes(history, expectedItems, fpp)
+      .map(mightContain(_, col("__h"))).getOrElse(lit(false))
     val withHash = batch.withColumn("__h", Hashing.h60(col("text")))
     withHash.filter(col("text").isNotNull)
-      .filter(!mightContain(bytes, col("__h")))
+      .filter(!probe)
       .unionByName(withHash.filter(col("text").isNull))
       .drop("__h")
   }
@@ -72,14 +80,15 @@ object IncrementalDedup {
     * a new doc and a different historical doc cannot drop the new doc. */
   def newDocsExact(history: DataFrame, batch: DataFrame,
                    expectedItems: Long, fpp: Double): DataFrame = {
-    val bytes = filterBytes(history, expectedItems, fpp)
+    val probe = filterBytes(history, expectedItems, fpp)
+      .map(mightContain(_, col("__h"))).getOrElse(lit(false))
     val histKeyed = history.filter(col("text").isNotNull)
       .select(Hashing.h60(col("text")).as("__hh"), col("text").as("__htext"))
     val withHash = batch.withColumn("__h", Hashing.h60(col("text")))
     val nullText = withHash.filter(col("text").isNull)
     val notNull = withHash.filter(col("text").isNotNull)
-    val clean = notNull.filter(!mightContain(bytes, col("__h")))
-    val flagged = notNull.filter(mightContain(bytes, col("__h")))
+    val clean = notNull.filter(!probe)
+    val flagged = notNull.filter(probe)
       .join(histKeyed,
         col("__h") === col("__hh") && col("text") === col("__htext"),
         "left_anti") // false positives (and hash collisions) survive
