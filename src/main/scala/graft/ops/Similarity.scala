@@ -84,33 +84,11 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, minSim: Double,
                    nPlanes: Int = 64, bitsPerBand: Int = 2,
                    dim: Int = 64, seed: Long = 42L): DataFrame = {
-    // nPlanes == 64 is fine: the signature is raw bits (sum of distinct
-    // powers of two never carries, and band extraction masks after the
-    // arithmetic shift), so the sign bit is just plane 63's bit
-    require(nPlanes % bitsPerBand == 0 && nPlanes <= 64,
-      "nPlanes must be a multiple of bitsPerBand and fit a long")
-    val nBands = nPlanes / bitsPerBand
-    val mask = (1L << bitsPerBand) - 1
-    val planes = hyperplanes(nPlanes, dim, seed)
     // one small row per vector (id, sig, norm never larger than ~24 B);
     // cached because bands + both payload sides re-derive from it
-    val sigs = lshSignatures(embeddings, planes)
+    val sigs = lshSignatures(embeddings, hyperplanes(nPlanes, dim, seed))
       .withColumn("nrm", l2norm(col("v"))).cache()
-    val bandStructs = (0 until nBands).map { j =>
-      struct(lit(j).as("band_idx"),
-        shiftright(col("sig"), bitsPerBand * j).bitwiseAND(lit(mask))
-          .as("band_val"))
-    }
-    val bands = sigs.select(col("vec_id"),
-        explode(array(bandStructs: _*)).as("b"))
-      .select(col("vec_id"), col("b.band_idx").as("band_idx"),
-        col("b.band_val").as("band_val"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val cand = bandCandidates(sigs, nPlanes, bitsPerBand)
     val payload = sigs.select(col("vec_id"), col("v"), col("nrm"))
     cand
       .join(payload.as("x"), col("vec_a") === col("x.vec_id"))
@@ -120,6 +98,37 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("vec_a"), col("vec_b"),
         floor(col("sim") * 1e6).cast("long").as("sim_x1e6"))
+  }
+
+  /** Distinct candidate pairs sharing at least one signature band —
+    * the pruning stage of [[nearDupPairs]], exposed so the band-width
+    * vs candidate-volume trade is measurable (CandidatePruningSpec
+    * asserts wide bands prune by orders of magnitude on the real
+    * embeddings). `sigs` must carry (vec_id, sig). */
+  def bandCandidates(sigs: DataFrame, nPlanes: Int,
+                     bitsPerBand: Int): DataFrame = {
+    // nPlanes == 64 is fine: the signature is raw bits (sum of distinct
+    // powers of two never carries, and band extraction masks after the
+    // arithmetic shift), so the sign bit is just plane 63's bit
+    require(nPlanes % bitsPerBand == 0 && nPlanes <= 64,
+      "nPlanes must be a multiple of bitsPerBand and fit a long")
+    val nBands = nPlanes / bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    val bandStructs = (0 until nBands).map { j =>
+      struct(lit(j).as("band_idx"),
+        shiftright(col("sig"), bitsPerBand * j).bitwiseAND(lit(mask))
+          .as("band_val"))
+    }
+    val bands = sigs.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band_idx").as("band_idx"),
+        col("b.band_val").as("band_val"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
   }
 
   /** Deterministic random hyperplanes: nPlanes x dim, components in
