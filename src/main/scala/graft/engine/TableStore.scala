@@ -98,6 +98,23 @@ object TableStore {
     * format (Delta/Iceberg) would replace this class wholesale. A crash
     * exactly between old->bak and tmp->dst leaves a recoverable
     * `.bak_<name>` rather than silent data loss. */
+  /** Bucketed write: pre-shuffles rows into a fixed bucket layout on
+    * `bucketCols` so every subsequent equi-join or aggregation keyed on
+    * them reads co-located buckets and SKIPS the exchange — the
+    * pay-the-shuffle-once story for warehouse tables that join
+    * repeatedly (fact⨝fact on doc_id/vec_id at corpus scale).
+    * `saveAsTable` is required: bucket metadata lives in the catalog,
+    * not the parquet footers. BucketedJoinSpec asserts the no-exchange
+    * plan. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    bucketCols: Seq[String],
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   def write(df: DataFrame, warehouse: String, name: String,
             partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession

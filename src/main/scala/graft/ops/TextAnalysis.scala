@@ -62,6 +62,27 @@ object TextAnalysis {
         .cast("long").as("avg_word_len_x1000"))
   }
 
+  /** Composite quality gates (Gopher-style rule filter) over the
+    * [[quality]] signals: per-gate booleans so a pipeline reports WHY a
+    * document dropped, plus the final keep. All thresholds are
+    * integer-exact (ratio comparisons cross-multiplied) so the oracle
+    * matches bit-for-bit. Per-row, no shuffle — composes with any scan. */
+  def qualityGates(docs: DataFrame): DataFrame = {
+    val q = quality(docs)
+    val tooShort = (col("n_words") < 20).as("too_short")
+    val tooLong = (col("n_words") > 1000).as("too_long")
+    // stopword ratio < 5%: n_stopwords / n_words < 1/20
+    val lowStop = (col("n_stopwords") * 20 < col("n_words")).as("low_stopword")
+    // punctuation-heavy: n_punct / n_words > 1/5
+    val highPunct = (col("n_punct") * 5 > col("n_words")).as("high_punct")
+    val weirdLen = (col("avg_word_len_x1000") < 3000 ||
+      col("avg_word_len_x1000") > 15000).as("weird_word_len")
+    q.select(col("doc_id"), tooShort, tooLong, lowStop, highPunct, weirdLen)
+      .withColumn("keep",
+        !(col("too_short") || col("too_long") || col("low_stopword") ||
+          col("high_punct") || col("weird_word_len")))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single non-alphanumeric marks). */
   def tokenCounts(docs: DataFrame): DataFrame =

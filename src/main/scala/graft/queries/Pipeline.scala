@@ -156,7 +156,8 @@ object Pipeline {
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  private val qualityOracle: String = {
+  /** The q29 quality-signal SELECT body, shared with q52's gates. */
+  private val qualityBodySql: String = {
     val t = "(' ' || lower(text) || ' ')"
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in")
       .map(w => occSql(t, s" $w ")).mkString(" + ")
@@ -166,8 +167,11 @@ object Pipeline {
       |  ($stop) AS n_stopwords,
       |  CAST(floor(CAST(length(text) AS DOUBLE) * 1000 /
       |    greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)) AS BIGINT) AS avg_word_len_x1000
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
   }
+
+  private val qualityOracle: String =
+    qualityBodySql + "\nORDER BY doc_id"
 
   val queries: Seq[Q] = Seq(
 
@@ -531,5 +535,22 @@ object Pipeline {
         |WHERE d.doc_id % 10 = 7
         |ORDER BY d.doc_id""".stripMargin),
       (s, dir) => TextAnalysis.contamination(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // ── composite quality gates (Gopher-style rule filter): per-gate
+    // booleans + keep, integer-exact thresholds, per-row (no shuffle).
+    Q("q52_quality_gates", "pipeline:quality-gates",
+      Some(s"""WITH q AS ($qualityBodySql)
+        |SELECT doc_id,
+        |  (n_words < 20) AS too_short,
+        |  (n_words > 1000) AS too_long,
+        |  (n_stopwords * 20 < n_words) AS low_stopword,
+        |  (n_punct * 5 > n_words) AS high_punct,
+        |  (avg_word_len_x1000 < 3000 OR avg_word_len_x1000 > 15000) AS weird_word_len,
+        |  NOT ((n_words < 20) OR (n_words > 1000)
+        |    OR (n_stopwords * 20 < n_words) OR (n_punct * 5 > n_words)
+        |    OR (avg_word_len_x1000 < 3000 OR avg_word_len_x1000 > 15000)) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.qualityGates(t(s, dir, "documents"))
         .orderBy("doc_id")))
 }
