@@ -107,4 +107,24 @@ object Multimodal {
         it.map { case (id, bytes) => d.decode(id, bytes) }
       }
   }
+
+  /** Frame sampling: one output row per kept frame, every `stride`-th
+    * frame from 0, capped at `maxFrames` per doc (uniform head-sample
+    * of the decoded metadata — the actual pixel fetch would be the
+    * decoder's seek, stubbed here like decode itself). Declarative
+    * (sequence + explode): the fan-out runs inside codegen and
+    * partition sizing survives the row multiplication because
+    * maxFrames bounds it. */
+  def sampleFrames(meta: DataFrame, stride: Int,
+                   maxFrames: Int): DataFrame = {
+    require(stride >= 1 && maxFrames >= 1, "stride/maxFrames must be >= 1")
+    val lastKept = least(
+      (col("n_frames") - 1) - pmod(col("n_frames") - 1, lit(stride)),
+      lit(stride.toLong * (maxFrames - 1)))
+    meta.select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), lastKept.cast("long"), lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"))
+  }
 }

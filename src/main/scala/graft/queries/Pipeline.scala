@@ -552,5 +552,25 @@ object Pipeline {
         |    OR (avg_word_len_x1000 < 3000 OR avg_word_len_x1000 > 15000)) AS keep
         |FROM q ORDER BY doc_id""".stripMargin),
       (s, dir) => TextAnalysis.qualityGates(t(s, dir, "documents"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── multimodal frame sampling: every 3rd frame, max 5 per doc,
+    // over the decoded metadata (decode itself is the documented stub).
+    Q("q53_frame_sample", "pipeline:multimodal-frames",
+      Some("""WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n_frames,
+        |    least((n_frames - 1) - ((n_frames - 1) % 3), 3 * 4) AS last_kept
+        |  FROM meta)
+        |SELECT doc_id, n_frames,
+        |  CAST(unnest(range(0, last_kept + 1, 3)) AS BIGINT) AS frame_idx
+        |FROM k ORDER BY doc_id, frame_idx""".stripMargin),
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.decodeMeta(s,
+            Multimodal.withPayload(t(s, dir, "documents"))).toDF(),
+          stride = 3, maxFrames = 5)
+        .orderBy("doc_id", "frame_idx")))
 }
