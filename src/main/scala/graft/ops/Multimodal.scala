@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with
@@ -106,6 +106,26 @@ object Multimodal {
         val d = decoder // one instance per partition
         it.map { case (id, bytes) => d.decode(id, bytes) }
       }
+  }
+
+  /** Resize planning: target dimensions preserving aspect ratio, long
+    * side clamped to `maxDim` — pure integer math (floor division) so
+    * the oracle matches exactly. Upscaling never happens (scale capped
+    * at 1). The pixel resample itself is the decoder's job and stays
+    * behind the stub boundary like decode; this computes the plan every
+    * batch resizer needs: output dims + whether work is required. */
+  def resizeMeta(meta: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    val longSide = greatest(col("width"), col("height"))
+    val needs = longSide > maxDim
+    // floor(side * maxDim / longSide): int math, no doubles anywhere
+    def scaled(side: Column) =
+      when(needs, floor(side.cast("long") * maxDim / longSide).cast("int"))
+        .otherwise(side)
+    meta.select(col("doc_id"), col("width"), col("height"),
+      scaled(col("width")).as("out_width"),
+      scaled(col("height")).as("out_height"),
+      needs.as("resized"))
   }
 
   /** Frame sampling: one output row per kept frame, every `stride`-th

@@ -572,5 +572,28 @@ object Pipeline {
           Multimodal.decodeMeta(s,
             Multimodal.withPayload(t(s, dir, "documents"))).toDF(),
           stride = 3, maxFrames = 5)
-        .orderBy("doc_id", "frame_idx")))
+        .orderBy("doc_id", "frame_idx")),
+
+    // ── multimodal resize planning: aspect-preserving clamp to 256 on
+    // the long side, integer math only (floor both engines).
+    Q("q54_resize_plan", "pipeline:multimodal-resize",
+      Some("""WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |    CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(CASE WHEN greatest(width, height) > 256
+        |    THEN floor(width * 256.0 / greatest(width, height))
+        |    ELSE width END AS INT) AS out_width,
+        |  CAST(CASE WHEN greatest(width, height) > 256
+        |    THEN floor(height * 256.0 / greatest(width, height))
+        |    ELSE height END AS INT) AS out_height,
+        |  (greatest(width, height) > 256) AS resized
+        |FROM meta ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.resizeMeta(
+          Multimodal.decodeMeta(s,
+            Multimodal.withPayload(t(s, dir, "documents"))).toDF(),
+          maxDim = 256)
+        .orderBy("doc_id")))
 }
