@@ -53,6 +53,41 @@ object StreamingDedup {
     StructType(doc.fields :+
       org.apache.spark.sql.types.StructField("batch_id", LongType))
 
+  /** One micro-batch: dedup within the batch and against history, then
+    * dynamic-overwrite the survivors into this batch's partition.
+    * Public so the replay-idempotency contract is directly testable —
+    * processing the same (batch, batchId) twice must leave the table
+    * byte-identical, because that is exactly what a post-failure
+    * foreachBatch replay does. */
+  def processBatch(batch: Dataset[Row], batchId: Long, warehouse: String,
+                   table: String, expectedItems: Long = 1000000L,
+                   fpp: Double = 0.03): Unit = {
+    val spark = batch.sparkSession
+    val history = TableStore
+      .readOrEmpty(spark, warehouse, table, historySchema(batch.schema))
+      .filter(col("batch_id").isNull || col("batch_id") =!= batchId)
+      .drop("batch_id")
+    // within-batch keep-first (min doc_id per text); null-text rows
+    // group with nobody and all pass through
+    val nonNull = batch.filter(col("text").isNotNull)
+    val firstPerText = nonNull
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("text").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+    val candidates = firstPerText
+      .unionByName(batch.filter(col("text").isNull))
+    val fresh = IncrementalDedup
+      .newDocsExact(history, candidates, expectedItems, fpp)
+      .localCheckpoint(true)
+    // empty batches write nothing: a parquet dir with zero row
+    // groups is unreadable, and there is nothing to make idempotent
+    if (!fresh.isEmpty) {
+      TableStore.overwritePartitions(
+        fresh.withColumn("batch_id", lit(batchId)),
+        warehouse, table, Seq("batch_id"))
+    }
+  }
+
   /** Drain everything currently in the source (Trigger.AvailableNow),
     * appending deduped survivors to `warehouse/table` partitioned by
     * micro-batch id. Safe to call repeatedly; a call with no new files
@@ -62,29 +97,7 @@ object StreamingDedup {
           fpp: Double = 0.03): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val history = TableStore
-          .readOrEmpty(spark, warehouse, table, historySchema(batch.schema))
-          .drop("batch_id")
-        // within-batch keep-first (min doc_id per text); null-text rows
-        // group with nobody and all pass through
-        val nonNull = batch.filter(col("text").isNotNull)
-        val firstPerText = nonNull
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy("text").orderBy("doc_id")))
-          .filter(col("__rn") === 1).drop("__rn")
-        val candidates = firstPerText
-          .unionByName(batch.filter(col("text").isNull))
-        val fresh = IncrementalDedup
-          .newDocsExact(history, candidates, expectedItems, fpp)
-          .localCheckpoint(true)
-        // empty batches write nothing: a parquet dir with zero row
-        // groups is unreadable, and there is nothing to make idempotent
-        if (!fresh.isEmpty) {
-          TableStore.overwritePartitions(
-            fresh.withColumn("batch_id", lit(batchId)),
-            warehouse, table, Seq("batch_id"))
-        }
+        processBatch(batch, batchId, warehouse, table, expectedItems, fpp)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -47,6 +47,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getLong(3) == 3L && !out(1).getBoolean(4))
   }
 
+  test("packChunks offsets are contiguous over many docs and buckets " +
+    "(property: end(i) == start(i+1) in doc_id order)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 300L)
+      .map(i => (i * 3 + 7, Seq.fill(rnd.nextInt(9))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Packing.withOffsets(docs, bucketSize = 64L)
+      .orderBy("doc_id")
+      .select("n_tokens", "start_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.head._2 == 0L)
+    rows.sliding(2).foreach { case Array((n, s), (_, s2)) =>
+      assert(s + n == s2, s"gap: $s+$n != $s2")
+    }
+  }
+
   test("groupCap keeps at most N per language and is deterministic") {
     val docs = (1L to 40L)
       .map(i => (i, if (i % 2 == 0) "the cat and the dog of it"

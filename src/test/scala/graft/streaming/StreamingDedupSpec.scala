@@ -50,6 +50,26 @@ class StreamingDedupSpec extends SparkSpec {
     assert(history == Set(1L, 3L, 4L, 6L, 7L))
   }
 
+  test("replaying the same micro-batch leaves the table identical — " +
+    "even though its own partition is already on disk") {
+    val wh = tmpDir("sdedup3-wh")
+    val b0 = docs((1L, Some("aa")), (2L, Some("bb")))
+    val b1 = docs((3L, Some("aa")), (4L, Some("cc")), (5L, None))
+    StreamingDedup.processBatch(b0, 0L, wh, "History")
+    StreamingDedup.processBatch(b1, 1L, wh, "History")
+    def state = TableStore.read(spark, wh, "History")
+      .select(col("doc_id"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = state
+    assert(before == Set((1L, 0L), (2L, 0L), (4L, 1L), (5L, 1L)))
+    // replay batch 1 (what foreachBatch does after a failure between
+    // sink write and checkpoint commit): history must not treat batch
+    // 1's own previous output as "already seen", or docs 4/5 would be
+    // dropped and the partition rewritten partial
+    StreamingDedup.processBatch(b1, 1L, wh, "History")
+    assert(state == before)
+  }
+
   test("batch_id partitions make replays idempotent by construction") {
     val src = tmpDir("sdedup2-src")
     val ckpt = tmpDir("sdedup2-ckpt")
