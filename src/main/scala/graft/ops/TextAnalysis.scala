@@ -133,6 +133,34 @@ object TextAnalysis {
         coalesce(col("shingle_fp"), col("text_h60")).as("shingle_fp"))
   }
 
+  /** Intra-document dedup: drop repeated sentences within each doc
+    * (the boilerplate-stripping cleanup step), keeping the FIRST
+    * occurrence and the original order of survivors. One
+    * posexplode + per-doc window + re-aggregation — no cross-doc term,
+    * embarrassingly parallel at corpus scale.
+    *
+    * Split is on the literal ". " with trailing empties KEPT
+    * (`split(_, _, -1)`): Java's default split drops trailing empty
+    * strings while SQL engines keep them, and the oracle compares the
+    * reassembled text byte-for-byte. */
+  def intraDocDedup(docs: DataFrame): DataFrame = {
+    val sent = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ", -1)))
+      .toDF("doc_id", "pos", "sent")
+    val firstSeen = sent.withColumn("occ",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "sent").orderBy("pos")))
+    firstSeen.groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_sentences"),
+        sum(when(col("occ") === 1, 1L).otherwise(0L)).as("n_unique"),
+        array_sort(collect_list(
+          when(col("occ") === 1, struct(col("pos"), col("sent")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_sentences"), col("n_unique"),
+        array_join(transform(col("kept"), k => k.getField("sent")), ". ")
+          .as("dedup_text"))
+  }
+
   /** Train/test contamination: for each benchmark document (`doc_id %
     * benchMod == benchRem` — a deterministic holdout), the fraction of
     * its distinct word-3-gram shingles that also occur in ANY other

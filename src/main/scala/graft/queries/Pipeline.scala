@@ -595,5 +595,29 @@ object Pipeline {
           Multimodal.decodeMeta(s,
             Multimodal.withPayload(t(s, dir, "documents"))).toDF(),
           maxDim = 256)
+        .orderBy("doc_id")),
+
+    // ── intra-document dedup (boilerplate stripping): drop repeated
+    // sentences per doc, keep first occurrences in original order,
+    // reassemble — compared byte-for-byte against the oracle.
+    Q("q55_intradoc_dedup", "pipeline:dedup-intradoc",
+      Some("""WITH parts AS (
+        |  SELECT doc_id, string_split(text, '. ') AS p FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(p) + 1),
+        |      i -> struct_pack(pos := i, sent := p[i]))) AS u
+        |  FROM parts),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.sent AS sent,
+        |    row_number() OVER (PARTITION BY doc_id, u.sent
+        |      ORDER BY u.pos) AS occ
+        |  FROM e)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  coalesce(string_agg(CASE WHEN occ = 1 THEN sent END, '. '
+        |    ORDER BY pos), '') AS dedup_text
+        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.intraDocDedup(t(s, dir, "documents"))
         .orderBy("doc_id")))
 }

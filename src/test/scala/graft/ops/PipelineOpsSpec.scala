@@ -81,6 +81,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rns.toSeq == (1L to 7L))
   }
 
+  test("intraDocDedup drops repeats, keeps first-occurrence order, " +
+    "and preserves trailing-empty split semantics") {
+    val docs = Seq(
+      (1L, "buy now. great offer. buy now. call today. great offer"),
+      (2L, "single sentence"),
+      (3L, "ends with sep. "))  // trailing ". " -> trailing empty kept
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.intraDocDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out(0) == ((1L, 5L, 3L,
+      "buy now. great offer. call today")))
+    assert(out(1) == ((2L, 1L, 1L, "single sentence")))
+    // "ends with sep. " splits into ["ends with sep", ""] — both unique
+    assert(out(2) == ((3L, 2L, 2L, "ends with sep. ")))
+  }
+
   test("contamination: a benchmark doc's own shingles don't count; " +
     "shared shingles do; <3-word docs report zero shingles") {
     val docs = Seq(
