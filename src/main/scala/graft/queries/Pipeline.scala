@@ -619,5 +619,34 @@ object Pipeline {
         |    ORDER BY pos), '') AS dedup_text
         |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => TextAnalysis.intraDocDedup(t(s, dir, "documents"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── int8-quantized similarity: top-k over quantize→dequantize'd
+    // embeddings — the 4x-smaller-payload storage path, oracle-exact
+    // because quantization is floor-based round-half-up on both engines.
+    Q("q56_quantized_topk", "pipeline:similarity-quantized",
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |sc AS (SELECT vec_id, v, label,
+        |  list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+        |dq AS (SELECT vec_id, label,
+        |  list_transform(v, x ->
+        |    (CASE WHEN s = 0 THEN 0.0 ELSE floor(x / s * 127 + 0.5) END)
+        |      * s / 127.0) AS v
+        |  FROM sc),
+        |n AS (SELECT vec_id, v, label, ${normSql("v")} AS nrm FROM dq),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT query_id, vec_id, label,
+        |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 1000000) AS BIGINT) AS sim_x1e6
+        |  FROM n, q WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id, label, sim_x1e6,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_x1e6 DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, label, sim_x1e6 FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => Similarity.bruteForceTopK(
+          Similarity.dequantizeInt8(
+            Similarity.quantizeInt8(t(s, dir, "embeddings"))), 20, 5)
+        .orderBy("query_id", "rank")))
 }

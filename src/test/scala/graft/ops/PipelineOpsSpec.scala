@@ -81,6 +81,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rns.toSeq == (1L to 7L))
   }
 
+  test("int8 quantization: values bounded, round-trip error < 1/127, " +
+    "and quantized top-k mostly agrees with exact") {
+    val emb = graft.engine.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = Similarity.quantizeInt8(emb)
+    val bad = q.select(explode(col("q_emb")).as("i"))
+      .filter(col("i") < -127 || col("i") > 127).count()
+    assert(bad == 0)
+    // per-element |x - dq| <= scale/254 + eps (half a quantization step)
+    val err = Similarity.dequantizeInt8(q).as("d")
+      .join(emb.as("e"), "vec_id")
+      .select(explode(arrays_zip(col("d.embedding"),
+        col("e.embedding").cast("array<double>"))).as("z"))
+      .select(abs(col("z.embedding") - col("z.1")).as("ae"))
+    // embeddings are O(1)-scaled; half-step of a unit-scale vector
+    assert(err.agg(max(col("ae"))).head.getDouble(0) < 1.0 / 127)
+    val exact = Similarity.bruteForceTopK(emb, 20, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity
+      .bruteForceTopK(Similarity.dequantizeInt8(q), 20, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized top-k overlap too low: $overlap")
+  }
+
   test("intraDocDedup drops repeats, keeps first-occurrence order, " +
     "and preserves trailing-empty split semantics") {
     val docs = Seq(
