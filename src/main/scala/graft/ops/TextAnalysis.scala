@@ -147,14 +147,22 @@ object TextAnalysis {
     val sent = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ", -1)))
       .toDF("doc_id", "pos", "sent")
-    val firstSeen = sent.withColumn("occ",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id", "sent").orderBy("pos")))
+    // first-occurrence flag from ONE doc_id-partitioned sort: in
+    // (sent, pos) order a sentence is first iff it differs from the
+    // previous row's — equivalent to row_number()==1 over
+    // (doc_id, sent), but partitioned by doc_id alone so the final
+    // per-doc aggregation reuses the exchange (one shuffle total, not
+    // two; verified in the plan)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("sent", "pos")
+    val prev = lag(col("sent"), 1).over(w)
+    val firstSeen = sent.withColumn("first",
+      prev.isNull || prev =!= col("sent"))
     firstSeen.groupBy("doc_id").agg(
         count(lit(1)).cast("long").as("n_sentences"),
-        sum(when(col("occ") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("n_unique"),
         array_sort(collect_list(
-          when(col("occ") === 1, struct(col("pos"), col("sent")))))
+          when(col("first"), struct(col("pos"), col("sent")))))
           .as("kept"))
       .select(col("doc_id"), col("n_sentences"), col("n_unique"),
         array_join(transform(col("kept"), k => k.getField("sent")), ". ")
