@@ -202,22 +202,28 @@ object Dedup {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
 
-    val sym = pairs
-      .select(col("a").cast("long"), col("b").cast("long")).rdd
-      .flatMap { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1)); Iterator((a, b), (b, a))
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val eCount = sym.count() // materializes the pair pipeline exactly once
+    // materialize the pair pipeline as a DATAFRAME first: crossing the
+    // .rdd boundary on the raw plan would execute the whole upstream
+    // (LSH candidates, rerank...) through the row-based deserialization
+    // path, outside whole-stage codegen — checkpointing keeps the
+    // expensive part columnar/codegen'd and the RDD kernel only ever
+    // reads the tiny materialized edge list
+    val pairRows = pairs
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint(true)
+    val eCount = pairRows.count() * 2
     // parallelism tracks the dup graph, not the corpus: one partition
     // per ~2M directed edges (tiny graphs collapse to a single task per
     // round instead of a corpus-sized grid of empty ones)
     val part = new HashPartitioner(
       math.max(1L, eCount / 2000000L).toInt)
-    val edges = sym.partitionBy(part)
+    val edges = pairRows.rdd
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1)); Iterator((a, b), (b, a))
+      }
+      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
-    sym.unpersist(blocking = false)
 
     // labels co-partitioned with edges: reduceByKey(part, ...) keeps the
     // partitioner, so every round's join below is narrow
