@@ -34,9 +34,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up: JIT + parquet footer caches
-    SparkEntry.queries.keys.take(1).foreach(runOne)
-
     def jsonLine(results: Seq[(String, Double)]): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -62,6 +59,9 @@ object Bench {
       .map(_.split(',').toSeq.filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
+    // warm-up with the first FILTERED query: JIT + parquet footer
+    // caches on the code paths that are actually about to be measured
+    names.take(1).foreach(runOne)
     var done = List.empty[(String, Double)]
     val results = names.map { n =>
       spark.catalog.clearCache()

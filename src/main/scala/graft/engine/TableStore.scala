@@ -103,13 +103,15 @@ object TableStore {
     * them reads co-located buckets and SKIPS the exchange — the
     * pay-the-shuffle-once story for warehouse tables that join
     * repeatedly (fact⨝fact on doc_id/vec_id at corpus scale).
-    * `saveAsTable` is required: bucket metadata lives in the catalog,
-    * not the parquet footers. BucketedJoinSpec asserts the no-exchange
-    * plan. */
-  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-                    bucketCols: Seq[String],
+    * `saveAsTable` is required (bucket metadata lives in the catalog,
+    * not the parquet footers), but the FILES follow the TableStore
+    * warehouse convention via the external-table path, like every other
+    * writer here. BucketedJoinSpec asserts the no-exchange plan. */
+  def writeBucketed(df: DataFrame, warehouse: String, table: String,
+                    nBuckets: Int, bucketCols: Seq[String],
                     sortCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
+      .option("path", tablePath(warehouse, table))
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet").saveAsTable(table)

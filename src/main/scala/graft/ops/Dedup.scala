@@ -236,29 +236,42 @@ object Dedup {
     var converged = false
     var i = 0
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    while (!converged && i < maxIters) {
-      val t0 = System.nanoTime()
-      val messages = edges.join(labels) // narrow: both sides on `part`
-        .map { case (_, (dst, root)) => (dst, root) }
-      val next = labels.union(messages)
-        .reduceByKey(part, math.min(_: Long, _: Long))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val curSum = rootSum(next) // also materializes next
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
-      i += 1
-      if (debug) System.err.println(
-        f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    }
+    try {
+      while (!converged && i < maxIters) {
+        val t0 = System.nanoTime()
+        val messages = edges.join(labels) // narrow: both sides on `part`
+          .map { case (_, (dst, root)) => (dst, root) }
+        // cogroup, NOT union+reduceByKey: a union with the unpartitioned
+        // messages RDD forgets the partitioner and reduceByKey would
+        // re-shuffle the labels side every round — cogroup keeps labels
+        // narrow on `part`, so only the messages actually move
+        val next = labels.cogroup(messages, part)
+          .mapValues { case (ls, ms) =>
+            val l = ls.head // labels is total on edge nodes
+            if (ms.isEmpty) l else math.min(l, ms.min)
+          }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val curSum = rootSum(next) // also materializes next
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = curSum == prevSum
+        prevSum = curSum
+        i += 1
+        if (debug) System.err.println(
+          f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    } finally edges.unpersist(blocking = false)
     require(converged,
       s"label propagation did not converge in $maxIters iterations " +
         "(a dup-cluster chain longer than maxIters?) — results would be wrong")
-    edges.unpersist(blocking = false)
 
     import session.implicits._
-    val labeled = labels.toDF("id", "root")
+    // pin the converged labels into a checkpointed DataFrame and free
+    // the RDD blocks: RDD-level persists are invisible to
+    // spark.catalog.clearCache(), so leaving them behind accumulates
+    // block-store memory across repeated calls in a long session
+    val labeled = labels.toDF("id", "root").localCheckpoint(true)
+    labels.unpersist(blocking = false)
     val singletons = nodes.select(col("id"))
       .join(labeled.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("root"))

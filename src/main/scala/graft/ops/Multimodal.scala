@@ -141,7 +141,11 @@ object Multimodal {
     val lastKept = least(
       (col("n_frames") - 1) - pmod(col("n_frames") - 1, lit(stride)),
       lit(stride.toLong * (maxFrames - 1)))
-    meta.select(col("doc_id"), col("n_frames"),
+    // frameless media (a real decoder returning n_frames <= 0 for
+    // corrupt input) contributes zero rows; without the filter the
+    // negative sequence bound aborts the whole job
+    meta.filter(col("n_frames") >= 1)
+      .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0L), lastKept.cast("long"), lit(stride.toLong)))
           .as("frame_idx"))
       .select(col("doc_id"), col("n_frames"),

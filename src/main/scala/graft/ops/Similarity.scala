@@ -66,13 +66,18 @@ object Similarity {
     * everywhere — no round-half-even — so quantize→dequantize→score is
     * oracle-exact. */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
-    val v = col("embedding")
-    val scale = array_max(transform(v, x => abs(x.cast("double"))))
-    embeddings.select(col("vec_id"), col("label"),
-      scale.as("q_scale"),
-      transform(v, x =>
-        when(scale === 0d, lit(0L))
-          .otherwise(floor(x.cast("double") / scale * 127d + 0.5d))
+    // scale materialized FIRST: Catalyst does no CSE inside lambda
+    // bodies (see Hashing.shinglesFromWords), so referencing the
+    // array_max expression inside the transform would recompute it per
+    // element — O(dim^2) interpreted work per row
+    val withScale = embeddings.select(col("vec_id"), col("label"),
+      col("embedding"),
+      array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        .as("q_scale"))
+    withScale.select(col("vec_id"), col("label"), col("q_scale"),
+      transform(col("embedding"), x =>
+        when(col("q_scale") === 0d, lit(0L))
+          .otherwise(floor(x.cast("double") / col("q_scale") * 127d + 0.5d))
           .cast("int")).as("q_emb"))
   }
 

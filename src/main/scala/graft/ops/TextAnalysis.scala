@@ -183,8 +183,12 @@ object TextAnalysis {
     * doc-pair term anywhere, so cost is linear in corpus shingles. */
   def contamination(docs: DataFrame, benchMod: Int = 10,
                     benchRem: Int = 7): DataFrame = {
+    // cached: both the df-stats aggregate and the bench join re-derive
+    // from the exploded index, and self-derived branches do not share
+    // exchanges (same reason ngramJaccardPairs caches its index)
     val sh = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(shinglesFromWords(col("w"))).as("s"))
+      .cache()
     val dfStats = sh.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val bench = sh.filter(col("doc_id") % benchMod === benchRem)

@@ -11,10 +11,13 @@ class BucketedJoinSpec extends SparkSpec {
   import spark.implicits._
 
   test("join of two tables bucketed on the key runs without any exchange") {
+    val wh = new java.io.File(tmpDir("bucket-wh")).getAbsolutePath
     val docs = (1L to 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val stats = (1L to 1000L).map(i => (i, i % 7)).toDF("doc_id", "score")
-    TableStore.writeBucketed(docs, "bjs_docs", 8, Seq("doc_id"), Seq("doc_id"))
-    TableStore.writeBucketed(stats, "bjs_stats", 8, Seq("doc_id"), Seq("doc_id"))
+    TableStore.writeBucketed(docs, wh, "bjs_docs", 8, Seq("doc_id"), Seq("doc_id"))
+    TableStore.writeBucketed(stats, wh, "bjs_stats", 8, Seq("doc_id"), Seq("doc_id"))
+    // files live in the TableStore warehouse, not the session default
+    assert(new java.io.File(s"$wh/bjs_docs").exists())
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -37,7 +40,8 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("aggregation keyed on the bucket column skips the exchange too") {
     val docs = (1L to 500L).map(i => (i, i % 3)).toDF("doc_id", "v")
-    TableStore.writeBucketed(docs, "bjs_agg", 4, Seq("doc_id"))
+    TableStore.writeBucketed(docs, tmpDir("bucket-wh2"), "bjs_agg", 4,
+      Seq("doc_id"))
     try {
       val agg = spark.table("bjs_agg").groupBy("doc_id")
         .agg(sum(col("v")).as("s"))

@@ -42,6 +42,10 @@ class QueriesSpec extends SparkSpec {
     // every Registry entry is registered exactly once under its own name
     assert(qk.size == Registry.all.size,
       "duplicate query names collapse entries in the driver-facing map")
+    // pinned count: catches an accidentally dropped/unregistered query,
+    // which the relative check above cannot (both sides shrink together)
+    assert(qk.size == 55, s"registry size changed: ${qk.size} — " +
+      "update this pin if a query was deliberately added/removed")
   }
 
   test("ANN recall vs brute force at k=5: LSH >= 0.5, IVF >= 0.5") {
