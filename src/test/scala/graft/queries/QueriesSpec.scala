@@ -48,6 +48,24 @@ class QueriesSpec extends SparkSpec {
       "update this pin if a query was deliberately added/removed")
   }
 
+  test("no registered query plans a cartesian product; nested-loop " +
+    "joins only where a tiny broadcast side is the design") {
+    // the brute-force top-k family broadcasts the ~20-row query set and
+    // scans the corpus once with a non-equi (vec_id != query_id)
+    // condition — a BNLJ whose build side is bounded by nQueries, which
+    // is the intended one-pass shape, not an n^2 join
+    val bnljAllowed = Set("q25_similarity_topk", "q45_ann_recall",
+      "q56_quantized_topk")
+    Registry.all.foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+      if (!bnljAllowed(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an unexpected nested-loop join")
+    }
+  }
+
   test("ANN recall vs brute force at k=5: LSH >= 0.5, IVF >= 0.5") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, 20, 5)
