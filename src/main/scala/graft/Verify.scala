@@ -16,6 +16,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // isolate queries from each other's cached state, same as Bench:
+      // several operators cache internal frames (shingle indexes, LSH
+      // signatures) and never unpersist — without the clear, 55 queries
+      // accumulate block-store entries across the run
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
