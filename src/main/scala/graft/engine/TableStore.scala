@@ -89,6 +89,68 @@ object TableStore {
     r.load()
   }
 
+  /** Catalog name for a warehouse table. The session catalog is global
+    * while TableStore paths are per-warehouse, so the name embeds a
+    * warehouse hash: the same `table` written to two warehouses gets two
+    * catalog entries instead of silently repointing one. */
+  def bucketedName(warehouse: String, table: String): String =
+    s"${table}_wh_${java.lang.Integer.toHexString(warehouse.hashCode).takeRight(8)}"
+
+  /** Bucketed write: pre-shuffles rows into a fixed bucket layout on
+    * `bucketCols` so every subsequent equi-join or aggregation keyed on
+    * them reads co-located buckets and SKIPS the exchange — the
+    * pay-the-shuffle-once story for warehouse tables that join
+    * repeatedly (fact⨝fact on doc_id/vec_id at corpus scale).
+    * `saveAsTable` is required (bucket metadata lives in the catalog,
+    * not the parquet footers), but the FILES follow the TableStore
+    * warehouse convention, and the same crash-safety contract as
+    * [[write]]: data stages into `.tmp_<table>` via a throwaway staging
+    * catalog entry, dirs swap old->bak / tmp->dst, and only then is the
+    * real catalog entry (re)created over the final location — a crash
+    * mid-write leaves the old table intact, never a half-written one.
+    * Bucket ids ride in the staged file NAMES (`..._00007.c000...`), so
+    * re-declaring `CLUSTERED BY` over the moved files preserves the
+    * layout. Returns the namespaced catalog name to query.
+    * BucketedJoinSpec asserts the no-exchange plan. */
+  def writeBucketed(df: DataFrame, warehouse: String, table: String,
+                    nBuckets: Int, bucketCols: Seq[String],
+                    sortCols: Seq[String] = Nil): String = {
+    val spark = df.sparkSession
+    val name = bucketedName(warehouse, table)
+    val staging = s"${name}_staging"
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fully qualify: the DataSource path option and the Hadoop renames
+    // must resolve a relative warehouse the same way
+    val tmp = fs.makeQualified(new Path(s"$warehouse/.tmp_$table"))
+    val bak = fs.makeQualified(new Path(s"$warehouse/.bak_$table"))
+    val dst = fs.makeQualified(new Path(tablePath(warehouse, table)))
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val w = df.write.mode("overwrite").option("path", tmp.toString)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(staging)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"could not move $dst aside to $bak")
+    if (!fs.rename(tmp, dst)) {
+      if (hadOld) fs.rename(bak, dst) // restore
+      throw new java.io.IOException(s"could not swap $tmp into $dst")
+    }
+    if (hadOld) fs.delete(bak, true)
+    val quoted = (cs: Seq[String]) => cs.map(c => s"`$c`").mkString(", ")
+    val sortedBy =
+      if (sortCols.nonEmpty) s"SORTED BY (${quoted(sortCols)}) " else ""
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` (${df.schema.toDDL}) USING parquet " +
+      s"CLUSTERED BY (${quoted(bucketCols)}) ${sortedBy}" +
+      s"INTO $nBuckets BUCKETS LOCATION '${dst.toString}'")
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`") // external: files already moved
+    name
+  }
+
   /** Overwrite `name` with `df` via temp-dir write + backup-rename swap.
     * The temp write materializes the plan (which may read the table
     * being replaced) before anything is touched; the swap then is
@@ -98,25 +160,6 @@ object TableStore {
     * format (Delta/Iceberg) would replace this class wholesale. A crash
     * exactly between old->bak and tmp->dst leaves a recoverable
     * `.bak_<name>` rather than silent data loss. */
-  /** Bucketed write: pre-shuffles rows into a fixed bucket layout on
-    * `bucketCols` so every subsequent equi-join or aggregation keyed on
-    * them reads co-located buckets and SKIPS the exchange — the
-    * pay-the-shuffle-once story for warehouse tables that join
-    * repeatedly (fact⨝fact on doc_id/vec_id at corpus scale).
-    * `saveAsTable` is required (bucket metadata lives in the catalog,
-    * not the parquet footers), but the FILES follow the TableStore
-    * warehouse convention via the external-table path, like every other
-    * writer here. BucketedJoinSpec asserts the no-exchange plan. */
-  def writeBucketed(df: DataFrame, warehouse: String, table: String,
-                    nBuckets: Int, bucketCols: Seq[String],
-                    sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
-      .option("path", tablePath(warehouse, table))
-      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .format("parquet").saveAsTable(table)
-  }
-
   def write(df: DataFrame, warehouse: String, name: String,
             partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession

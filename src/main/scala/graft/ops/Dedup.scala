@@ -193,9 +193,16 @@ object Dedup {
     * fixpoint — an O(labels) action per round, no compare-join.
     *
     * @param nodes single-column frame of node ids (column `id`, long)
-    * @param pairs two-column frame of undirected edges (`a`, `b`)
-    * @return (id, cluster_root, keep) for every node — singletons root
-    *         themselves; keep marks the cluster representative. */
+    * @param pairs two-column frame of undirected edges (`a`, `b`);
+    *        endpoints outside `nodes` participate in propagation
+    *        (bridging components) but emit no output row — and if such
+    *        an endpoint IS the component's min id, it claims the root
+    *        and no surviving row has keep=true for that cluster, so
+    *        keep `pairs` ⊆ `nodes`×`nodes` when a representative is
+    *        required
+    * @return (id, cluster_root, keep) for exactly the ids in `nodes` —
+    *         singletons root themselves; keep marks the cluster
+    *         representative. */
   def componentLabels(nodes: DataFrame, pairs: DataFrame,
                       maxIters: Int = 50): DataFrame = {
     val session = nodes.sparkSession
@@ -270,10 +277,16 @@ object Dedup {
     // the RDD blocks: RDD-level persists are invisible to
     // spark.catalog.clearCache(), so leaving them behind accumulates
     // block-store memory across repeated calls in a long session
-    val labeled = labels.toDF("id", "root").localCheckpoint(true)
+    val labeledAll = labels.toDF("id", "root").localCheckpoint(true)
     labels.unpersist(blocking = false)
+    // the output universe is exactly `nodes`: edge endpoints outside
+    // nodes participated in propagation (their labels kept the graph
+    // connected) but emit no row — the docstring promises one row per
+    // node, nothing else
+    val labeled = labeledAll
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
     val singletons = nodes.select(col("id"))
-      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .join(labeledAll.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("root"))
     labeled.union(singletons)
       .select(col("id"), col("root").as("cluster_root"),

@@ -118,9 +118,13 @@ object Multimodal {
     require(maxDim >= 1, "maxDim must be >= 1")
     val longSide = greatest(col("width"), col("height"))
     val needs = longSide > maxDim
-    // floor(side * maxDim / longSide): int math, no doubles anywhere
+    // floor(side * maxDim / longSide): int math, no doubles anywhere.
+    // Short side clamps to >= 1: extreme aspect ratios (1 x 10000 at
+    // maxDim 256) would otherwise floor to a 0-dim plan no resizer can
+    // execute.
     def scaled(side: Column) =
-      when(needs, floor(side.cast("long") * maxDim / longSide).cast("int"))
+      when(needs, greatest(
+        floor(side.cast("long") * maxDim / longSide).cast("int"), lit(1)))
         .otherwise(side)
     meta.select(col("doc_id"), col("width"), col("height"),
       scaled(col("width")).as("out_width"),

@@ -32,7 +32,13 @@ object Packing {
   def withOffsets(docs: DataFrame, bucketSize: Long = 65536L): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      // null text counts as 0 tokens, explicitly: size(tokens(null)) is
+      // NULL under ANSI semantics, and a NULL n_tokens would poison the
+      // window sum here while DuckDB's window sum (which skips NULLs)
+      // would still produce a defined offset — the two engines would
+      // silently disagree on every later doc's start_offset.
+      coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tokens"),
       floor(col("doc_id") / lit(bucketSize)).cast("long").as("bucket"))
     val inBucket = toks.withColumn("cum_in_bucket",
       sum(col("n_tokens"))

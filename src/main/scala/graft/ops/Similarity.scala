@@ -121,7 +121,7 @@ object Similarity {
       .withColumn("nrm", l2norm(col("v"))).cache()
     val cand = bandCandidates(sigs, nPlanes, bitsPerBand)
     val payload = sigs.select(col("vec_id"), col("v"), col("nrm"))
-    cand
+    val out = cand
       .join(payload.as("x"), col("vec_a") === col("x.vec_id"))
       .join(payload.as("y"), col("vec_b") === col("y.vec_id"))
       .select(col("vec_a"), col("vec_b"),
@@ -129,6 +129,12 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("vec_a"), col("vec_b"),
         floor(col("sim") * 1e6).cast("long").as("sim_x1e6"))
+      // pin the surviving edge set (tiny next to the signature cache)
+      // and release sigs: repeated library calls must not leak
+      // block-store entries (same discipline as componentLabels)
+      .localCheckpoint(true)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** Distinct candidate pairs sharing at least one signature band —

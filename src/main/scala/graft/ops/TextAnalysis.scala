@@ -196,7 +196,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_contaminated"))
-    docs.filter(col("doc_id") % benchMod === benchRem)
+    val out = docs.filter(col("doc_id") % benchMod === benchRem)
       .select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -205,5 +205,11 @@ object TextAnalysis {
       .withColumn("contamination_x1000",
         floor(col("n_contaminated") * lit(1000.0) /
           greatest(col("n_shingles"), lit(1L))).cast("long"))
+      // pin the (small, per-bench-doc) result and release the shingle
+      // index: a long-lived library session must not accrue a block-store
+      // entry per contamination() call (same discipline as componentLabels)
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
   }
 }

@@ -481,7 +481,7 @@ object Pipeline {
     Q("q49_pack_chunks", "pipeline:pack-chunks",
       Some("""WITH tok AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(coalesce(len(regexp_split_to_array(trim(lower(text)), '\s+')), 0) AS BIGINT) AS n_tokens
         |  FROM documents),
         |off AS (
         |  SELECT doc_id, n_tokens,
@@ -584,10 +584,10 @@ object Pipeline {
         |  FROM documents)
         |SELECT doc_id, width, height,
         |  CAST(CASE WHEN greatest(width, height) > 256
-        |    THEN floor(width * 256.0 / greatest(width, height))
+        |    THEN greatest(floor(width * 256.0 / greatest(width, height)), 1)
         |    ELSE width END AS INT) AS out_width,
         |  CAST(CASE WHEN greatest(width, height) > 256
-        |    THEN floor(height * 256.0 / greatest(width, height))
+        |    THEN greatest(floor(height * 256.0 / greatest(width, height)), 1)
         |    ELSE height END AS INT) AS out_height,
         |  (greatest(width, height) > 256) AS resized
         |FROM meta ORDER BY doc_id""".stripMargin),

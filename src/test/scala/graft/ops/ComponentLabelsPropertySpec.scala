@@ -51,6 +51,16 @@ class ComponentLabelsPropertySpec extends SparkSpec {
     }
   }
 
+  test("edge endpoints outside `nodes` bridge components but emit no " +
+    "output row (the universe is exactly `nodes`)") {
+    // 1 -9- 2: node 9 is not in nodes but connects 1 and 2
+    val got = Dedup.componentLabels(
+        Seq(1L, 2L, 3L).toDF("id"),
+        Seq((1L, 9L), (9L, 2L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSet == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+  }
+
   test("empty edge set: every node is its own singleton component") {
     val got = Dedup.componentLabels(
         (1L to 5L).toDF("id"),

@@ -49,4 +49,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(m => (m.width, m.height)).toSeq ==
       Seq((320, 200), (640, 480), (6, 6))) // 5 % 640 + 1 = 6
   }
+
+  test("resizeMeta: extreme aspect ratios clamp the short side to 1, " +
+    "never a 0-dim plan") {
+    val meta = Seq(
+      (1L, 1, 10000),   // floor(1*256/10000)=0 -> clamps to 1
+      (2L, 10000, 1),
+      (3L, 512, 256),   // ordinary downscale: 256 x 128
+      (4L, 100, 100))   // no resize needed
+      .toDF("doc_id", "width", "height")
+    val out = Multimodal.resizeMeta(meta, maxDim = 256)
+      .orderBy("doc_id")
+      .select("out_width", "out_height", "resized")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1, 256, true), (256, 1, true), (256, 128, true), (100, 100, false)))
+  }
 }

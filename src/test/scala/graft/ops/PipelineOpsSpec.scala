@@ -33,6 +33,20 @@ class PipelineOpsSpec extends SparkSpec {
       (4L, 5L, 10L, 2L, true, 1L))) // tokens 10-14 straddle chunks 2/3
   }
 
+  test("packChunks: null text counts as 0 tokens and does not poison " +
+    "downstream offsets (ANSI size(null) is NULL, not -1/0)") {
+    val docs = Seq(
+      (0L, "a b c"),               // 3 tokens, start 0
+      (1L, null.asInstanceOf[String]), // null text -> 0 tokens, start 3
+      (2L, "d e"))                 // 2 tokens, start 3 (not NULL!)
+      .toDF("doc_id", "text")
+    val out = Packing.withOffsets(docs, bucketSize = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 3L, 0L), (1L, 0L, 3L), (2L, 2L, 3L)))
+  }
+
   test("packChunks: a doc longer than the context crosses several " +
     "boundaries; zero-token rows never 'span'") {
     val docs = Seq(
