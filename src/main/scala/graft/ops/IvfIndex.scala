@@ -67,13 +67,71 @@ object IvfIndex {
     } finally e.unpersist()
   }
 
+  /** Sample-based training — the production path. At corpus scale you
+    * never Lloyd the full dataset: faiss trains IVF quantizers on a
+    * bounded sample (~tens of vectors per centroid suffice for a coarse
+    * quantizer). The sample is deterministic and scalable — hash-ordered
+    * top-`sampleSize` is a map-side partial top-k
+    * (TakeOrderedAndProject), never a global sort — and Lloyd then runs
+    * on the driver over primitive arrays in microseconds. The cluster
+    * sees ONE pass to collect the sample and ONE assignment pass when
+    * the index is built; per-iteration distributed fixed costs
+    * (planning + codegen + shuffle floor, ~0.45 s/round on local[32]
+    * regardless of data size) leave the job entirely. Same
+    * assignment/update/empty-cell semantics as [[train]]. */
+  def trainOnSample(embeddings: DataFrame, k: Int, iters: Int,
+                    sampleSize: Int = 4096,
+                    dim: Int = 64): Array[(Int, Seq[Double])] = {
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(sample.nonEmpty, "cannot train on an empty corpus")
+    // init from the k lowest vec_ids in the sample (same rule as train)
+    var centroids: Array[Array[Double]] =
+      sample.sortBy(_._1).take(k).map(_._2.clone())
+    val kEff = centroids.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      sample.foreach { case (_, v) =>
+        // nearest by squared L2 via |c|^2 - 2<v,c> (|v|^2 constant per
+        // row); ties break on the lower cell id, like assign()
+        var best = 0
+        var bestD = Double.MaxValue
+        var cid = 0
+        while (cid < kEff) {
+          val c = centroids(cid)
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += c(i) * (c(i) - 2.0 * v(i)); i += 1 }
+          if (d < bestD) { bestD = d; best = cid }
+          cid += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(kEff) { cid =>
+        if (counts(cid) == 0) centroids(cid) // empty cell keeps previous
+        else {
+          val n = counts(cid).toDouble
+          Array.tabulate(dim)(i => sums(cid)(i) / n)
+        }
+      }
+    }
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+  }
+
   /** Approximate top-k: probe the nProbe nearest cells per query, exact
     * cosine rerank within them. Output shape matches
-    * [[Similarity.bruteForceTopK]]. */
+    * [[Similarity.bruteForceTopK]]. Trains via [[trainOnSample]]. */
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
               dim: Int = 64): DataFrame = {
-    val centroids = train(embeddings, nCells, iters, dim)
+    val centroids = trainOnSample(embeddings, nCells, iters, dim = dim)
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"), col("label"))
     val indexed = assign(e, centroids)
 
