@@ -107,12 +107,68 @@ object Similarity {
     * it only adds candidate-generation overhead; at or above it,
     * hyperplane-LSH candidate generation + exact rerank
     * ([[nearDupPairsLsh]]). Both return the identical exact pair set
-    * shape (vec_a < vec_b, sim_x1e6). */
+    * shape (vec_a < vec_b, sim_x1e6).
+    *
+    * Knob scoping: `nPlanes`/`bitsPerBand`/`dim`/`seed` tune the LSH
+    * path and apply ONLY at or above the crossover; `nBlocks` tunes the
+    * blocked kernel and applies ONLY below it (0 = auto-size from plan
+    * stats, see [[deriveNBlocks]]). Parameters for the branch not taken
+    * are ignored by construction — the two algorithms share nothing but
+    * the result contract.
+    *
+    * Zero-norm convention (both paths): a vector with L2 norm 0 has no
+    * defined cosine to anything, so it participates in NO pair — it is
+    * dropped before any comparison rather than letting 0/0 = NaN reach
+    * the threshold (Scala's `>=` rejects NaN, Spark SQL's `>=` sorts
+    * NaN above every double; filtering first keeps the branches and the
+    * DuckDB oracle identical). */
   def nearDupPairs(embeddings: DataFrame, minSim: Double,
                    nPlanes: Int = 64, bitsPerBand: Int = 2,
-                   dim: Int = 64, seed: Long = 42L): DataFrame =
-    if (minSim < LshCrossoverSim) allPairsBlocked(embeddings, minSim)
+                   dim: Int = 64, seed: Long = 42L,
+                   nBlocks: Int = 0): DataFrame =
+    if (minSim < LshCrossoverSim) allPairsBlocked(embeddings, minSim, nBlocks)
     else nearDupPairsLsh(embeddings, minSim, nPlanes, bitsPerBand, dim, seed)
+
+  /** Per-block byte budget for [[deriveNBlocks]]: two blocks of packed
+    * double vectors at this size (~0.5 GiB) fit comfortably inside a
+    * standard 4–8 GiB executor with headroom for the emitted pairs. */
+  val DefaultBlockBytes: Long = 256L << 20
+
+  /** Floor for the derived block count — below this the tiles are too
+    * few to occupy even a small cluster, and local runs keep the
+    * measured round-4 plan shape. */
+  val MinBlocks = 16
+
+  /** Sizing rule for [[allPairsBlocked]], applied (the scaladoc used to
+    * only state it): enough blocks that one block of vectors fits the
+    * per-block byte budget, so any two blocks co-resident in a tile task
+    * fit an executor. Replication factor is the returned count and
+    * parallelism is nB(nB+1)/2 tiles, so the budget — not a fixed 16 —
+    * is what survives a 100x corpus scale-up untouched. */
+  def deriveNBlocks(totalBytes: Long,
+                    targetBlockBytes: Long = DefaultBlockBytes,
+                    floor: Int = MinBlocks): Int = {
+    require(targetBlockBytes > 0 && floor > 0)
+    val needed = math.ceil(totalBytes.toDouble / targetBlockBytes)
+    math.max(floor.toDouble, needed).toInt
+  }
+
+  /** Dense triangular index for the tile of block pair (bi <= bj):
+    * bijects the nB(nB+1)/2 live tiles onto [0, nTiles), so
+    * HashPartitioner(nTiles) gives every tile exactly one partition.
+    * (The previous sparse key bi*nB+bj spanned [0, nB^2) and collided
+    * modulo nTiles — some partitions carried two tiles while others
+    * stayed empty, up to 2x skew in the kernel's hottest stage.) */
+  private[ops] def tileIndex(bi: Int, bj: Int, nB: Int): Int =
+    bi * nB - bi * (bi - 1) / 2 + (bj - bi)
+
+  /** Inverse of [[tileIndex]]: recover (bi, bj) from the dense id. */
+  private[ops] def tileBlocks(t: Int, nB: Int): (Int, Int) = {
+    var bi = 0
+    var off = 0
+    while (off + (nB - bi) <= t) { off += nB - bi; bi += 1 }
+    (bi, bi + (t - off))
+  }
 
   /** Exact all-pairs cosine >= minSim via block-tiled self-comparison —
     * the scalable EXACT path for thresholds too low for LSH to prune.
@@ -131,21 +187,27 @@ object Similarity {
     * and arithmetic intensity (tight loops, no per-pair row
     * materialization).
     *
-    * 100 TB sizing: pick nBlocks so two blocks of vectors fit an
+    * 100 TB sizing: nBlocks defaults to 0 = derived via [[deriveNBlocks]]
+    * from the input plan's size estimate so two blocks of vectors fit an
     * executor (block bytes ~ n/nBlocks * dim * 8); replication factor
     * is nBlocks, parallelism is nBlocks*(nBlocks+1)/2 tiles. Sequential
     * ids spread uniformly via modulo; pre-hash ids that cluster.
+    *
+    * Zero-norm vectors are dropped before replication (no defined
+    * cosine — see [[nearDupPairs]] for the shared convention).
     *
     * Determinism: dot products are the same sequential left-fold over
     * double-widened elements as [[dot]]/the DuckDB oracle, so
     * floor-scaled sims hash-match exactly. */
   def allPairsBlocked(embeddings: DataFrame, minSim: Double,
-                      nBlocks: Int = 16): DataFrame = {
+                      nBlocks: Int = 0): DataFrame = {
     val session = embeddings.sparkSession
     import session.implicits._
-    val nB = nBlocks
     val rows = embeddings.select(col("vec_id").cast("long"),
       asDouble(col("embedding")).as("v"))
+    val nB = if (nBlocks > 0) nBlocks
+      else deriveNBlocks(rows.queryExecution.optimizedPlan.stats
+        .sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
     val replicated = rows.rdd.flatMap { r =>
       val id = r.getLong(0)
       val v = r.getSeq[Double](1).toArray
@@ -153,21 +215,24 @@ object Similarity {
       var i = 0
       while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
       val nrm = math.sqrt(nrm2)
-      val k = java.lang.Math.floorMod(id, nB.toLong).toInt
-      // left member of tiles (k, j>=k), right member of tiles (i<k, k);
-      // the diagonal tile (k, k) gets the row once, flagged left
-      val asLeft = (k until nB).iterator.map(j =>
-        (k * nB + j, (id, v, nrm, true)))
-      val asRight = (0 until k).iterator.map(i2 =>
-        (i2 * nB + k, (id, v, nrm, false)))
-      asLeft ++ asRight
+      if (nrm == 0.0) Iterator.empty
+      else {
+        val k = java.lang.Math.floorMod(id, nB.toLong).toInt
+        // left member of tiles (k, j>=k), right member of tiles
+        // (i<k, k); the diagonal tile (k, k) gets the row once,
+        // flagged left
+        val asLeft = (k until nB).iterator.map(j =>
+          (tileIndex(k, j, nB), (id, v, nrm, true)))
+        val asRight = (0 until k).iterator.map(i2 =>
+          (tileIndex(i2, k, nB), (id, v, nrm, false)))
+        asLeft ++ asRight
+      }
     }
     val nTiles = nB * (nB + 1) / 2
     val emitted = replicated
       .groupByKey(new org.apache.spark.HashPartitioner(nTiles))
       .flatMap { case (tileId, members) =>
-        val bi = tileId / nB
-        val bj = tileId % nB
+        val (bi, bj) = tileBlocks(tileId, nB)
         val out = Array.newBuilder[(Long, Long, Long)]
         def score(a: (Long, Array[Double], Double, Boolean),
                   b: (Long, Array[Double], Double, Boolean)): Unit = {
@@ -223,14 +288,20 @@ object Similarity {
     * deterministic. Precision is exact (candidates are reranked). At
     * production near-dup thresholds (>= 0.9, p >= 0.85) wide bands
     * (e.g. 8 bands of 8 bits) prune candidates by orders of magnitude;
-    * pass bitsPerBand accordingly. */
+    * pass bitsPerBand accordingly.
+    *
+    * Zero-norm vectors are filtered before banding (no defined cosine —
+    * see [[nearDupPairs]]); without the filter, SQL's NaN-high `>=`
+    * would KEEP 0/0 = NaN pairs here while the blocked kernel's Scala
+    * `>=` drops them, breaking the identical-pair-set contract. */
   def nearDupPairsLsh(embeddings: DataFrame, minSim: Double,
                       nPlanes: Int = 64, bitsPerBand: Int = 2,
                       dim: Int = 64, seed: Long = 42L): DataFrame = {
     // one small row per vector (id, sig, norm never larger than ~24 B);
     // cached because bands + both payload sides re-derive from it
     val sigs = lshSignatures(embeddings, hyperplanes(nPlanes, dim, seed))
-      .withColumn("nrm", l2norm(col("v"))).cache()
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0d).cache()
     val cand = bandCandidates(sigs, nPlanes, bitsPerBand)
     val payload = sigs.select(col("vec_id"), col("v"), col("nrm"))
     val out = cand

@@ -52,6 +52,65 @@ class CandidatePruningSpec extends SparkSpec {
       pairs.length)
   }
 
+  test("dense triangular tile index bijects live tiles onto partitions: " +
+    "every partition holds exactly one tile") {
+    for (nB <- Seq(1, 2, 7, 16, 32)) {
+      val nTiles = nB * (nB + 1) / 2
+      val live = for (bi <- 0 until nB; bj <- bi until nB)
+        yield Similarity.tileIndex(bi, bj, nB)
+      // bijection [0, nTiles) — the sparse bi*nB+bj key this replaced
+      // spanned [0, nB^2) and collided modulo nTiles
+      assert(live.sorted == (0 until nTiles), s"nB=$nB: $live")
+      // the inverse recovers the block pair
+      for (bi <- 0 until nB; bj <- bi until nB)
+        assert(Similarity.tileBlocks(Similarity.tileIndex(bi, bj, nB), nB)
+          == (bi, bj), s"nB=$nB bi=$bi bj=$bj")
+      // and HashPartitioner over the dense keys is one-tile-per-partition
+      val part = new org.apache.spark.HashPartitioner(nTiles)
+      val assigned = live.map(part.getPartition)
+      assert(assigned.distinct.length == nTiles,
+        s"nB=$nB: tiles stacked on a partition: $assigned")
+    }
+  }
+
+  test("deriveNBlocks applies the two-blocks-fit-an-executor rule with " +
+    "the local default as floor") {
+    import Similarity.{deriveNBlocks, DefaultBlockBytes, MinBlocks}
+    // tiny local corpora stay at the floor (round-4 plan shape unchanged)
+    assert(deriveNBlocks(1L << 20) == MinBlocks)
+    assert(deriveNBlocks(0L) == MinBlocks)
+    // at scale the budget, not the floor, decides
+    assert(deriveNBlocks(100L << 30) ==
+      math.ceil((100L << 30).toDouble / DefaultBlockBytes).toInt)
+    // exact multiples don't over-allocate
+    assert(deriveNBlocks(DefaultBlockBytes * 64) == 64)
+    assert(deriveNBlocks(DefaultBlockBytes * 64 + 1) == 65)
+    // custom budget honored
+    assert(deriveNBlocks(1000, targetBlockBytes = 100, floor = 2) == 10)
+  }
+
+  test("zero-norm vectors join no pair in either branch (shared convention)") {
+    import spark.implicits._
+    // vec 0 and 1 are identical (cos 1), vec 2 is all-zero, vec 3 far
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), "a"),
+      (1L, Array(1.0f, 2.0f, 3.0f), "b"),
+      (2L, Array(0.0f, 0.0f, 0.0f), "z"),
+      (3L, Array(-3.0f, 1.0f, 0.5f), "c")
+    ).toDF("vec_id", "embedding", "label")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.allPairsBlocked(emb, 0.4, nBlocks = 3)
+    val lsh = Similarity.nearDupPairsLsh(emb, 0.4, dim = 3)
+    assert(!ids(blocked).contains(2L), "blocked kernel emitted a 0-norm pair")
+    assert(!ids(lsh).contains(2L), "LSH path emitted a 0-norm pair")
+    // identical-pair-set contract holds in the degenerate case too
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(asSet(blocked) == asSet(lsh))
+    assert(asSet(blocked).map(p => (p._1, p._2)).contains((0L, 1L)))
+  }
+
   test("nearDupPairs dispatches: low threshold takes the blocked kernel " +
     "(no join anywhere), high threshold the LSH checkpoint path") {
     val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
