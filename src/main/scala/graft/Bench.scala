@@ -53,6 +53,22 @@ object Bench {
     // accumulation or reuse) but not between a query's two runs — the
     // second run measures warm marginal cost, first run absorbs the
     // one-time Janino/codegen compilation.
+    //
+    // Storage release between queries must go BELOW the catalog:
+    // eagerly localCheckpoint'ed results (q23/q27/q35/q46/q51...) pin
+    // RDD blocks that spark.catalog.clearCache() never sees, and at 55
+    // queries x local[32] the accumulated blocks built enough GC
+    // pressure to inflate innocent queries 3-4x past even min-of-2
+    // (BENCH_r04 q29 3.35 s vs 0.78 s isolated). getPersistentRDDs is
+    // the SparkContext-level registry that does include them; blocking
+    // unpersist + an explicit GC hint drains the heap before the next
+    // query's timer starts.
+    def releaseStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     // SPARK_GRAFT_BENCH_ONLY (comma list of name substrings) narrows the
     // run for local iteration on a single query's plan.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -64,7 +80,7 @@ object Bench {
     names.take(1).foreach(runOne)
     var done = List.empty[(String, Double)]
     val results = names.map { n =>
-      spark.catalog.clearCache()
+      releaseStorage()
       System.err.println(s"[bench] $n ...")
       val t1 = runOne(n)
       val t2 = runOne(n)

@@ -92,9 +92,24 @@ object TableStore {
   /** Catalog name for a warehouse table. The session catalog is global
     * while TableStore paths are per-warehouse, so the name embeds a
     * warehouse hash: the same `table` written to two warehouses gets two
-    * catalog entries instead of silently repointing one. */
-  def bucketedName(warehouse: String, table: String): String =
-    s"${table}_wh_${java.lang.Integer.toHexString(warehouse.hashCode).takeRight(8)}"
+    * catalog entries instead of silently repointing one.
+    *
+    * The warehouse string is qualified through the filesystem FIRST
+    * (same normalization [[writeBucketed]] applies to the data paths)
+    * so `wh`, `wh/`, and `./wh` name ONE entry, and the hash is a
+    * 64-bit SHA-256 prefix — a 32-bit String.hashCode collision between
+    * two warehouses would silently share/repoint one entry, exactly the
+    * failure this name exists to prevent. */
+  def bucketedName(spark: SparkSession, warehouse: String,
+                   table: String): String = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(new Path(warehouse)).toString
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    s"${table}_wh_$hex"
+  }
 
   /** Bucketed write: pre-shuffles rows into a fixed bucket layout on
     * `bucketCols` so every subsequent equi-join or aggregation keyed on
@@ -103,11 +118,22 @@ object TableStore {
     * repeatedly (fact⨝fact on doc_id/vec_id at corpus scale).
     * `saveAsTable` is required (bucket metadata lives in the catalog,
     * not the parquet footers), but the FILES follow the TableStore
-    * warehouse convention, and the same crash-safety contract as
-    * [[write]]: data stages into `.tmp_<table>` via a throwaway staging
-    * catalog entry, dirs swap old->bak / tmp->dst, and only then is the
-    * real catalog entry (re)created over the final location — a crash
-    * mid-write leaves the old table intact, never a half-written one.
+    * warehouse convention: data stages into `.tmp_<table>` via a
+    * throwaway staging catalog entry, the real catalog entry is DROPPED,
+    * dirs swap old->bak / tmp->dst, and the entry is recreated over the
+    * final location.
+    *
+    * Crash contract: DATA is never lost (the swap is the same
+    * checked-rename sequence as [[write]]), but the catalog entry is
+    * deliberately absent from the drop until the final CREATE — a crash
+    * in that window leaves a table that fails loudly on read until the
+    * write is re-run. Dropping BEFORE the swap is what buys that: were
+    * the old entry kept through the swap, a crash after tmp->dst would
+    * leave the OLD spec (old schema/bucket count) pointing at the NEW
+    * files, and a later exchange-free bucketed join against the stale
+    * spec would silently return wrong rows. Loud-until-rerun beats
+    * silently-wrong.
+    *
     * Bucket ids ride in the staged file NAMES (`..._00007.c000...`), so
     * re-declaring `CLUSTERED BY` over the moved files preserves the
     * layout. Returns the namespaced catalog name to query.
@@ -116,7 +142,7 @@ object TableStore {
                     nBuckets: Int, bucketCols: Seq[String],
                     sortCols: Seq[String] = Nil): String = {
     val spark = df.sparkSession
-    val name = bucketedName(warehouse, table)
+    val name = bucketedName(spark, warehouse, table)
     val staging = s"${name}_staging"
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -131,6 +157,10 @@ object TableStore {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet").saveAsTable(staging)
+    // drop the live entry BEFORE touching directories (see crash
+    // contract above): no window ever has a catalog spec over files it
+    // doesn't describe
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     if (fs.exists(bak)) fs.delete(bak, true)
     val hadOld = fs.exists(dst)
     if (hadOld && !fs.rename(dst, bak))
@@ -143,7 +173,6 @@ object TableStore {
     val quoted = (cs: Seq[String]) => cs.map(c => s"`$c`").mkString(", ")
     val sortedBy =
       if (sortCols.nonEmpty) s"SORTED BY (${quoted(sortCols)}) " else ""
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(s"CREATE TABLE `$name` (${df.schema.toDDL}) USING parquet " +
       s"CLUSTERED BY (${quoted(bucketCols)}) ${sortedBy}" +
       s"INTO $nBuckets BUCKETS LOCATION '${dst.toString}'")

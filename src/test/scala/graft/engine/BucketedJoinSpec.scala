@@ -63,6 +63,20 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketedName normalizes warehouse spellings: slash and relative " +
+    "forms of one directory name ONE catalog entry") {
+    val abs = new java.io.File(tmpDir("bucket-norm")).getAbsolutePath
+    val base = TableStore.bucketedName(spark, abs, "t")
+    assert(TableStore.bucketedName(spark, abs + "/", "t") == base)
+    assert(TableStore.bucketedName(spark, abs + "//", "t") == base)
+    val rel = new java.io.File(".").toPath.toAbsolutePath.normalize()
+      .relativize(new java.io.File(abs).toPath).toString
+    assert(TableStore.bucketedName(spark, rel, "t") == base,
+      s"relative spelling $rel diverged")
+    // distinct warehouses still get distinct entries
+    assert(TableStore.bucketedName(spark, abs + "_other", "t") != base)
+  }
+
   test("aggregation keyed on the bucket column skips the exchange too") {
     val docs = (1L to 500L).map(i => (i, i % 3)).toDF("doc_id", "v")
     val aggT = TableStore.writeBucketed(docs, tmpDir("bucket-wh2"), "bjs_agg", 4,
