@@ -113,8 +113,14 @@ object Dedup {
 
   /** MinHash signatures: 16 universal hashes over shingle h31 values.
     * One row per doc with columns mh_0..mh_15; single shuffle. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleIndex(docs).withColumn("h", h31(col("s")))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFromIndex(shingleIndex(docs))
+
+  /** [[minhashSignatures]] over an already-built (doc_id, s) shingle
+    * index — the shape [[minhashDupPairs]] needs so the signature and
+    * verification branches share ONE tokenization pass. */
+  def minhashSignaturesFromIndex(index: DataFrame): DataFrame = {
+    val sh = index.withColumn("h", h31(col("s")))
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min(universalHash(col("h"), a, b)).as(s"mh_$i")
     }
@@ -137,18 +143,28 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs, exactly verified: candidates from band
     * buckets, then exact Jaccard on the candidates' shingle sets via
-    * array_intersect. Same output shape as [[ngramJaccardPairs]]. */
+    * array_intersect. Same output shape as [[ngramJaccardPairs]].
+    *
+    * The corpus is tokenized ONCE: the cached inverted shingle index
+    * feeds both the signature branch and the verification sets (which
+    * are themselves self-joined as x and y) — without the shared cache
+    * the tokenize/shingle pipeline ran up to three times per execution,
+    * three full corpus passes at scale. */
   def minhashDupPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    // signatures are one small row per doc — cache before the band
-    // self-join so the shingle+hash pipeline runs once
-    val bands = lshBands(minhashSignatures(docs).cache())
+    val sh = shingleIndex(docs).cache()
+    // signatures are one small row per doc — cached too, because the
+    // band self-join scans them twice
+    val bands = lshBands(minhashSignaturesFromIndex(sh).cache())
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingleSets(docs)
+    // the index is distinct per doc, so regrouping it rebuilds exactly
+    // the shingleSets arrays (order irrelevant: only sizes and
+    // intersection sizes are consumed)
+    val sets = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sh"))
     cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
