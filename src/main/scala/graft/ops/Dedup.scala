@@ -231,9 +231,8 @@ object Dedup {
     // path, outside whole-stage codegen — checkpointing keeps the
     // expensive part columnar/codegen'd and the RDD kernel only ever
     // reads the tiny materialized edge list
-    val pairRows = pairs
-      .select(col("a").cast("long"), col("b").cast("long"))
-      .localCheckpoint(true)
+    val pairRows = graft.engine.Checkpoints.pin(pairs
+      .select(col("a").cast("long"), col("b").cast("long")))
     val eCount = pairRows.count() * 2
     // parallelism tracks the dup graph, not the corpus: one partition
     // per ~2M directed edges (tiny graphs collapse to a single task per
@@ -293,7 +292,7 @@ object Dedup {
     // the RDD blocks: RDD-level persists are invisible to
     // spark.catalog.clearCache(), so leaving them behind accumulates
     // block-store memory across repeated calls in a long session
-    val labeledAll = labels.toDF("id", "root").localCheckpoint(true)
+    val labeledAll = graft.engine.Checkpoints.pin(labels.toDF("id", "root"))
     labels.unpersist(blocking = false)
     // the output universe is exactly `nodes`: edge endpoints outside
     // nodes participated in propagation (their labels kept the graph

@@ -314,8 +314,11 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_x1e6"))
       // pin the surviving edge set (tiny next to the signature cache)
       // and release sigs: repeated library calls must not leak
-      // block-store entries (same discipline as componentLabels)
-      .localCheckpoint(true)
+      // block-store entries (same discipline as componentLabels).
+      // Checkpoints.pin = localCheckpoint locally, reliable under
+      // graft.checkpoint.dir on clusters (executor loss otherwise
+      // kills the truncated lineage)
+      .transform(graft.engine.Checkpoints.pin)
     sigs.unpersist(blocking = false)
     out
   }

@@ -207,8 +207,9 @@ object TextAnalysis {
           greatest(col("n_shingles"), lit(1L))).cast("long"))
       // pin the (small, per-bench-doc) result and release the shingle
       // index: a long-lived library session must not accrue a block-store
-      // entry per contamination() call (same discipline as componentLabels)
-      .localCheckpoint(true)
+      // entry per contamination() call (same discipline as
+      // componentLabels); reliable under graft.checkpoint.dir
+      .transform(graft.engine.Checkpoints.pin)
     sh.unpersist(blocking = false)
     out
   }

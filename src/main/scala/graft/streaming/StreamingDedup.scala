@@ -78,7 +78,7 @@ object StreamingDedup {
       .unionByName(batch.filter(col("text").isNull))
     val fresh = IncrementalDedup
       .newDocsExact(history, candidates, expectedItems, fpp)
-      .localCheckpoint(true)
+      .transform(graft.engine.Checkpoints.pin)
     // empty batches write nothing: a parquet dir with zero row
     // groups is unreadable, and there is nothing to make idempotent
     if (!fresh.isEmpty) {
