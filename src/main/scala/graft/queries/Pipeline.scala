@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Tables
+import graft.engine.{Tables, TableStore}
 import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h31Sql, shingles3Sql}
 
@@ -406,17 +406,27 @@ object Pipeline {
       (s, dir) => IvfIndex.annTopK(t(s, dir, "embeddings"), 20, 5)
         .orderBy("query_id", "rank")),
 
-    // ── approximate distinct (HLL) next to exact — the cardinality
-    // sketch a 100 TB dedup pipeline uses for stats. Sketches are
-    // engine-specific -> rows-only; the 5% rsd bound is asserted in
-    // QueriesSpec.
+    // ── approximate distinct (HLL) checked against exact — the
+    // cardinality sketch a 100 TB dedup pipeline uses for stats. The
+    // raw HLL++ estimate is engine-specific (DuckDB's sketch gives a
+    // different number), so the registered output hash-checks the
+    // EXACT count per group plus the 3-sigma accuracy CLAIM about the
+    // estimate (|approx - exact| <= 3 x 5% rsd) as a boolean the
+    // oracle asserts is uniformly TRUE; the raw estimate value itself
+    // stays spec-asserted in QueriesSpec.
     Q("q34_approx_distinct", "pipeline:approx-distinct",
-      None,
+      Some("""SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_within_3rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => t(s, dir, "events")
         .groupBy("event_type")
         .agg(
           approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.15)).as("approx_within_3rsd"))
         .orderBy("event_type")),
 
     // ── repetition quality signal (non-distinct shingle stats) ───────
@@ -648,5 +658,37 @@ object Pipeline {
       (s, dir) => Similarity.bruteForceTopK(
           Similarity.dequantizeInt8(
             Similarity.quantizeInt8(t(s, dir, "embeddings"))), 20, 5)
-        .orderBy("query_id", "rank")))
+        .orderBy("query_id", "rank")),
+
+    // ── bucketed warehouse round-trip: pay-the-shuffle-once wired into
+    // the driver path, not just a spec. Documents and their per-doc
+    // token stats are written bucketed on doc_id via
+    // TableStore.writeBucketed, and the fact⨝fact join reads co-located
+    // buckets — QueriesSpec asserts the executed plan has NO hash
+    // exchange (the only shuffle is the final presentation orderBy).
+    // The bucketing is transparent to results, so the oracle is plain
+    // SQL over the unbucketed table.
+    Q("q57_bucketed_join", "pipeline:bucketed-warehouse",
+      Some("""WITH tok AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, tok.ws_tokens
+        |FROM documents d JOIN tok ON tok.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // per-sf warehouse under the build dir (testdata is read-only);
+        // deterministic location, overwritten in place on every run
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val docsT = TableStore.writeBucketed(docs.select("doc_id", "text"),
+          wh, "q57_docs", 8, Seq("doc_id"), Seq("doc_id"))
+        val tokT = TableStore.writeBucketed(
+          TextAnalysis.tokenCounts(docs).select("doc_id", "ws_tokens"),
+          wh, "q57_tokens", 8, Seq("doc_id"), Seq("doc_id"))
+        s.table(docsT).join(s.table(tokT), "doc_id")
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            col("ws_tokens"))
+          .orderBy("doc_id")
+      }))
 }
