@@ -139,18 +139,40 @@ object Similarity {
     * measured round-4 plan shape. */
   val MinBlocks = 16
 
+  /** Cap for the derived block count. 65535 keeps
+    * nTiles = nB(nB+1)/2 <= ~2.1e9 inside Int for HashPartitioner, and
+    * 65535 blocks x 256 MiB is a 16 PiB corpus — far past the design
+    * point, so the cap never binds on a real size estimate. */
+  val MaxBlocks = 65535
+
+  /** Catalyst's sizeInBytes for plans with no stats (createDataFrame,
+    * JDBC, some views) is a defaultSizeInBytes sentinel at or near
+    * Long.MaxValue. Anything above this threshold (~1/1024 of
+    * Long.MaxValue, still ~8 EiB — no real estimate gets here) is
+    * treated as "unknown", not as a real size. */
+  val UnknownSizeThreshold: Long = Long.MaxValue >> 10
+
   /** Sizing rule for [[allPairsBlocked]], applied (the scaladoc used to
     * only state it): enough blocks that one block of vectors fits the
     * per-block byte budget, so any two blocks co-resident in a tile task
     * fit an executor. Replication factor is the returned count and
     * parallelism is nB(nB+1)/2 tiles, so the budget — not a fixed 16 —
-    * is what survives a 100x corpus scale-up untouched. */
+    * is what survives a 100x corpus scale-up untouched.
+    *
+    * Stat-less plans report a Long.MaxValue-ish sentinel, not a size:
+    * those fall back to the floor instead of saturating the block count
+    * (pre-fix this produced nBlocks = Int.MaxValue and a negative
+    * HashPartitioner tile count). The result is clamped to
+    * [[MaxBlocks]] so the tile count always fits an Int. */
   def deriveNBlocks(totalBytes: Long,
                     targetBlockBytes: Long = DefaultBlockBytes,
                     floor: Int = MinBlocks): Int = {
-    require(targetBlockBytes > 0 && floor > 0)
-    val needed = math.ceil(totalBytes.toDouble / targetBlockBytes)
-    math.max(floor.toDouble, needed).toInt
+    require(targetBlockBytes > 0 && floor > 0 && floor <= MaxBlocks)
+    if (totalBytes >= UnknownSizeThreshold) floor
+    else {
+      val needed = math.ceil(totalBytes.toDouble / targetBlockBytes)
+      math.min(MaxBlocks.toDouble, math.max(floor.toDouble, needed)).toInt
+    }
   }
 
   /** Dense triangular index for the tile of block pair (bi <= bj):
@@ -228,7 +250,11 @@ object Similarity {
         asLeft ++ asRight
       }
     }
-    val nTiles = nB * (nB + 1) / 2
+    val nTilesL = nB.toLong * (nB + 1) / 2
+    require(nTilesL > 0 && nTilesL <= Int.MaxValue,
+      s"tile count $nTilesL for nBlocks=$nB exceeds Int range — " +
+        s"cap nBlocks at $MaxBlocks")
+    val nTiles = nTilesL.toInt
     val emitted = replicated
       .groupByKey(new org.apache.spark.HashPartitioner(nTiles))
       .flatMap { case (tileId, members) =>

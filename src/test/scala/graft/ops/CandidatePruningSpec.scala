@@ -89,6 +89,41 @@ class CandidatePruningSpec extends SparkSpec {
     assert(deriveNBlocks(1000, targetBlockBytes = 100, floor = 2) == 10)
   }
 
+  test("deriveNBlocks treats the stat-less sizeInBytes sentinel as unknown " +
+    "and caps so nTiles always fits an Int") {
+    import Similarity.{deriveNBlocks, MinBlocks, MaxBlocks, UnknownSizeThreshold}
+    // Catalyst's no-stats sentinel (Long.MaxValue and nearby defaults)
+    // must fall back to the floor, not saturate to Int.MaxValue
+    assert(deriveNBlocks(Long.MaxValue) == MinBlocks)
+    assert(deriveNBlocks(UnknownSizeThreshold) == MinBlocks)
+    // a genuine-but-huge estimate below the sentinel threshold clamps to
+    // the cap, keeping nB(nB+1)/2 inside Int for HashPartitioner
+    val capped = deriveNBlocks(UnknownSizeThreshold - 1)
+    assert(capped == MaxBlocks)
+    assert(MaxBlocks.toLong * (MaxBlocks + 1) / 2 <= Int.MaxValue)
+  }
+
+  test("allPairsBlocked runs on a stats-less createDataFrame input " +
+    "(regression: nBlocks saturated and HashPartitioner(negative) threw)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rdd = spark.sparkContext.parallelize(Seq(
+      Row(0L, Seq(1.0f, 2.0f, 3.0f)),
+      Row(1L, Seq(1.0f, 2.0f, 3.0f)),
+      Row(2L, Seq(-3.0f, 1.0f, 0.5f))))
+    val emb = spark.createDataFrame(rdd, schema)
+    // the premise: this plan really does report the unknown-size sentinel
+    val size = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size >= BigInt(Similarity.UnknownSizeThreshold),
+      s"expected a stat-less sentinel, got $size — pick a stat-less source")
+    val pairs = Similarity.allPairsBlocked(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("zero-norm vectors join no pair in either branch (shared convention)") {
     import spark.implicits._
     // vec 0 and 1 are identical (cos 1), vec 2 is all-zero, vec 3 far
