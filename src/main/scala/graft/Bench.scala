@@ -6,14 +6,56 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line {"metric":...,"queries":{name: sec}}.
   *
   * Results are forced through the "noop" sink so the full plan executes
-  * (a bare count() lets Spark skip projections); each query runs after a
-  * JVM/session warm-up query so JIT noise lands on the warm-up, not the
-  * measurements.
+  * (a bare count() lets Spark skip projections).
+  *
+  * == Isolation model (round-7 fix for the full-run inflation) ==
+  *
+  * Rounds 4-6 showed the shared-session full run inflating individual
+  * queries 2-4x over fresh-session runs of the same bytes (r5 vs r6:
+  * identical code scored 52.5 s then 45.0 s; judge-isolated q23 2.49 s vs
+  * 4.41 s full-run, q35 1.62 s vs 5.44 s). The in-session
+  * clearCache + unpersist + System.gc() release was not enough: the
+  * remaining accumulators are JVM-global (old-gen heap growth and GC
+  * time, metaspace/codegen classes, block-manager disk dirs), which no
+  * catalog-level release touches. So the default mode now runs EVERY
+  * query in its own SparkSession — stop the context, rebuild, warm up,
+  * measure — making each full-run measurement a fresh-session
+  * measurement by construction, i.e. identical methodology to an
+  * isolated `SPARK_GRAFT_BENCH_ONLY=<name>` invocation (which creates a
+  * session, warm-runs the one query, then times two runs).
+  *
+  * Per query: one warm-up run (absorbs Janino/codegen compilation and
+  * parquet footer reads), then two timed runs, min reported — the
+  * steady-state plan cost the cross-round comparison cares about.
+  *
+  * == Self-diagnosis ==
+  *
+  * The JSON gains a "probes" object alongside "queries": for each query
+  * the two raw run times, plus, when the two runs disagree by >1.5x, a
+  * third run in ANOTHER fresh session ("reprobe") and a "stable" flag.
+  * A regressed plan shows consistent times across all probes; harness
+  * noise shows one outlier run — the driver can tell them apart from
+  * the JSON alone.
+  *
+  * == Diagnosis modes ==
+  *
+  * SPARK_GRAFT_BENCH_SHARED=1 restores the legacy single-session run
+  * (with the catalog-level release between queries) so the inflation
+  * remains reproducible; SPARK_GRAFT_BENCH_DIAG=1 prints per-query
+  * JVM/storage counters (GC time delta, metaspace, loaded classes,
+  * storage memory, block-manager disk bytes) to stderr in either mode.
+  * The round-7 diagnosis run with both flags named the accumulators:
+  * monotonically growing GC time per query and metaspace/class count
+  * (numbers in PLANS.md round-7 section).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  private val sfDir =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def newSession(): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,84 +64,166 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
 
-    def runOne(name: String): Double = {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+  private def runOne(spark: SparkSession, name: String): Double = {
+    val fn = SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      return -1.0
     }
+    (System.nanoTime() - t0) / 1e9
+  }
 
-    def jsonLine(results: Seq[(String, Double)]): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
+  /** warm-up + two timed runs inside `spark`; (t1, t2). */
+  private def measure(spark: SparkSession, name: String): (Double, Double) = {
+    runOne(spark, name)
+    (runOne(spark, name), runOne(spark, name))
+  }
+
+  // ---- diagnosis instrumentation (SPARK_GRAFT_BENCH_DIAG=1) ----
+
+  private val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  private def dirBytes(d: java.io.File): Long =
+    if (!d.exists) 0L
+    else if (d.isFile) d.length
+    else Option(d.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  /** Bytes under this JVM's block-manager / spark temp dirs — shuffle
+    * files, disk-spilled blocks, broadcast disk copies. */
+  private def sparkLocalBytes: Long = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("blockmgr-") ||
+        f.getName.startsWith("spark-"))
+      .map(dirBytes).sum
+  }
+
+  private def diagLine(spark: SparkSession, tag: String,
+                       gc0: Long): Unit = if (diag) {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.{ManagementFactory => mf}
+    val meta = mf.getMemoryPoolMXBeans.asScala
+      .find(_.getName.contains("Metaspace")).map(_.getUsage.getUsed / 1e6)
+      .getOrElse(-1.0)
+    val classes = mf.getClassLoadingMXBean.getLoadedClassCount
+    val heap = mf.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e6
+    val storage = spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, free) => max - free }.sum / 1e6
+    System.err.println(
+      f"[diag] $tag: gc+=${gcMillis - gc0}%dms heap=$heap%.0fMB " +
+        f"meta=$meta%.0fMB classes=$classes%d storageMem=$storage%.0fMB " +
+        f"localDirs=${sparkLocalBytes / 1e6}%.0fMB")
+  }
+
+  // ---- legacy shared-session release (kept for the diagnosis mode) ----
+
+  private def releaseStorage(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val shared = sys.env.get("SPARK_GRAFT_BENCH_SHARED").contains("1")
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-    def writeOut(line: String): Unit = outFile.foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-
-    // two timed runs per query, min reported: single-run numbers at
-    // local[32] carry +-5s of GC/codegen noise; min-of-2 measures the
-    // steady-state plan cost the cross-round comparison cares about.
-    // Caches clear between DIFFERENT queries (no cross-query storage
-    // accumulation or reuse) but not between a query's two runs — the
-    // second run measures warm marginal cost, first run absorbs the
-    // one-time Janino/codegen compilation.
-    //
-    // Storage release between queries must go BELOW the catalog:
-    // eagerly localCheckpoint'ed results (q23/q27/q35/q46/q51...) pin
-    // RDD blocks that spark.catalog.clearCache() never sees, and at 55
-    // queries x local[32] the accumulated blocks built enough GC
-    // pressure to inflate innocent queries 3-4x past even min-of-2
-    // (BENCH_r04 q29 3.35 s vs 0.78 s isolated). getPersistentRDDs is
-    // the SparkContext-level registry that does include them; blocking
-    // unpersist + an explicit GC hint drains the heap before the next
-    // query's timer starts.
-    def releaseStorage(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-    }
     // SPARK_GRAFT_BENCH_ONLY (comma list of name substrings) narrows the
     // run for local iteration on a single query's plan.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq.filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
-    // warm-up with the first FILTERED query: JIT + parquet footer
-    // caches on the code paths that are actually about to be measured
-    names.take(1).foreach(runOne)
-    var done = List.empty[(String, Double)]
-    val results = names.map { n =>
-      releaseStorage()
-      System.err.println(s"[bench] $n ...")
-      val t1 = runOne(n)
-      val t2 = runOne(n)
-      // -1.0 when EITHER run fails: a flaky query must be visible in the
-      // JSON, not hidden behind its one successful run
-      val t = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
-      System.err.println(f"[bench] $n: $t%.2f s")
-      // flush partial results after every query: if the harness kills
-      // this process on a timeout, the file still names the culprit
-      done = done :+ (n -> t)
-      writeOut(jsonLine(done))
-      n -> t
+
+    final case class Probe(t1: Double, t2: Double,
+                           reprobe: Option[Double]) {
+      def runs: Seq[Double] = Seq(t1, t2) ++ reprobe
+      def best: Double =
+        if (runs.exists(_ < 0)) -1.0 else runs.min
+      def stable: Boolean =
+        runs.forall(_ >= 0) && runs.max <= runs.min * 1.5
     }
-    val line = jsonLine(results)
+
+    def jsonLine(results: Seq[(String, Probe)]): String = {
+      def num(v: Double) = f"$v%.4f"
+      val qs = results.map { case (k, p) => "\"" + k + "\":" + num(p.best) }
+        .mkString("{", ",", "}")
+      val probes = results.map { case (k, p) =>
+        val re = p.reprobe.map(r => ",\"reprobe\":" + num(r)).getOrElse("")
+        "\"" + k + "\":{\"runs\":[" + num(p.t1) + "," + num(p.t2) + "]" +
+          re + ",\"stable\":" + p.stable + "}"
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2.best).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"probes":$probes,"sf":"$sfDir"}"""
+    }
+    def writeOut(line: String): Unit = outFile.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    var done = List.empty[(String, Probe)]
+    if (shared) {
+      // legacy mode: one session for the whole pass, catalog-level
+      // release between queries — reproduces the r4-r6 inflation for
+      // diagnosis
+      val spark = newSession()
+      names.take(1).foreach(n => runOne(spark, n)) // global warm-up
+      names.foreach { n =>
+        releaseStorage(spark)
+        val gc0 = gcMillis
+        System.err.println(s"[bench] $n ...")
+        val t1 = runOne(spark, n)
+        val t2 = runOne(spark, n)
+        diagLine(spark, n, gc0)
+        val p = Probe(t1, t2, None)
+        System.err.println(f"[bench] $n: ${p.best}%.2f s")
+        done = done :+ (n -> p)
+        writeOut(jsonLine(done))
+      }
+      spark.stop()
+    } else {
+      // default: fresh session per query == isolated-run methodology
+      names.foreach { n =>
+        System.err.println(s"[bench] $n ...")
+        val spark = newSession()
+        val gc0 = gcMillis
+        val (t1, t2) = measure(spark, n)
+        diagLine(spark, n, gc0)
+        spark.stop()
+        // two runs disagreeing >1.5x = noise suspected; settle it with a
+        // third run in another fresh session
+        val needReprobe = t1 >= 0 && t2 >= 0 &&
+          math.max(t1, t2) > math.min(t1, t2) * 1.5
+        val reprobe = if (needReprobe) {
+          val s2 = newSession()
+          val r = { runOne(s2, n); runOne(s2, n) }
+          s2.stop()
+          Some(r)
+        } else None
+        val p = Probe(t1, t2, reprobe)
+        System.err.println(
+          f"[bench] $n: ${p.best}%.2f s (stable=${p.stable})")
+        // flush partial results after every query: if the harness kills
+        // this process on a timeout, the file still names the culprit
+        done = done :+ (n -> p)
+        writeOut(jsonLine(done))
+      }
+    }
+    val line = jsonLine(done)
     // machine-parseable output: always stdout (sole non-log line), plus a
     // clean file copy when SPARK_GRAFT_BENCH_OUT is set, so the harness
     // never has to regex the JSON out of sbt/log4j noise
     println(line)
     writeOut(line)
-    spark.stop()
   }
 }
