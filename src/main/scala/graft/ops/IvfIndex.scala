@@ -130,8 +130,21 @@ object IvfIndex {
     * [[Similarity.bruteForceTopK]]. Trains via [[trainOnSample]]. */
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
-              dim: Int = 64): DataFrame = {
-    val centroids = trainOnSample(embeddings, nCells, iters, dim = dim)
+              dim: Int = 64): DataFrame =
+    annTopKWithCentroids(embeddings, nQueries, k,
+      trainOnSample(embeddings, nCells, iters, dim = dim), nProbe)
+
+  /** [[annTopK]] with the coarse quantizer supplied by the caller — the
+    * index-build/index-use split a production pipeline has anyway (train
+    * once, assign many), and the hook that lets q58 pin centroids to
+    * data-independent literals so the whole IVF path (assignment, cell
+    * probing, exact rerank) replays in the DuckDB oracle. Cell QUALITY
+    * depends on the centroids; cell SEMANTICS (argmin assignment with
+    * low-id tie-break, nProbe nearest cells, floor-scaled rerank) do
+    * not, so any fixed centroid set exercises the full operator. */
+  def annTopKWithCentroids(embeddings: DataFrame, nQueries: Int, k: Int,
+                           centroids: Array[(Int, Seq[Double])],
+                           nProbe: Int = 4): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"), col("label"))
     val indexed = assign(e, centroids)
 

@@ -129,6 +129,78 @@ object Pipeline {
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
+  /** q58's pinned coarse quantizer: 16 data-INDEPENDENT centroids from
+    * the seeded uniform generator (seed 7, not the LSH seed 42 — the
+    * two fixtures must not alias). Cell quality is irrelevant to the
+    * check — cell SEMANTICS (argmin assignment, low-id tie-break,
+    * nProbe nearest cells, floor-scaled rerank) are what q58 pins, and
+    * those are centroid-agnostic (see
+    * [[IvfIndex.annTopKWithCentroids]]). Being data-independent, the
+    * fixture survives a testdata regeneration, unlike literals lifted
+    * from a trained run. */
+  private val ivfPinnedCentroids: Array[(Int, Seq[Double])] =
+    Similarity.hyperplanes(16, 64, seed = 7L).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+
+  /** q58: oracle-checked IVF ANN recall — the q45 pattern applied to
+    * the IVF path. With centroids pinned as literals the whole path is
+    * deterministic SQL: per-vector distance list against the 16
+    * centroid literals, argmin cell (list_position finds the FIRST
+    * minimum = Spark's array_min struct tie-break on lower cid),
+    * per-query 4-nearest-cell probe list, exact floor-scaled rerank
+    * within probed cells, then the recall join against the exact
+    * top-k. q33 (trained centroids) stays rows-only; this is its hard
+    * check. */
+  private val ivfRecallOracle: String = {
+    def dotLit(c: Seq[Double]): String = {
+      val lst = c.map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
+    }
+    // same double arithmetic as IvfIndex.assign: c2 - 2.0 * <v, c>,
+    // c2 pre-summed in Scala and embedded (both engines parse the
+    // shortest-decimal repr back to the identical double)
+    val dists = ivfPinnedCentroids.map { case (_, c) =>
+      val c2 = c.map(x => x * x).sum
+      s"($c2 - 2.0 * ${dotLit(c)})"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |d AS (SELECT vec_id, v, nrm, $dists AS dl FROM n),
+      |cells AS (SELECT vec_id, v, nrm, dl,
+      |  list_position(dl, list_min(dl)) - 1 AS cell FROM d),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+      |  list_transform(
+      |    list_sort(list_transform(range(1, 17),
+      |      j -> struct_pack(d := dl[j], cid := j - 1)))[1:4],
+      |    s -> s.cid) AS probes
+      |  FROM cells WHERE vec_id < 20),
+      |ex_scored AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 1000000) AS BIGINT) AS sim
+      |  FROM n, q WHERE vec_id <> query_id),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM ex_scored) WHERE rank <= 5),
+      |cand AS (
+      |  SELECT q.query_id, c.vec_id, q.qv, q.qn, c.v, c.nrm
+      |  FROM q JOIN cells c ON list_contains(q.probes, c.cell)
+      |  WHERE c.vec_id <> q.query_id),
+      |ivf_scored AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 1000000) AS BIGINT) AS sim
+      |  FROM cand),
+      |ivf AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM ivf_scored) WHERE rank <= 5)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(ivf.vec_id) AS BIGINT) AS ivf_hits
+      |FROM ex LEFT JOIN ivf ON ivf.query_id = ex.query_id
+      |  AND ivf.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
   private def langScoresSql: (String, String, String, String) = {
     val t = "(' ' || lower(text) || ' ')"
     def score(ws: Seq[String]) = ws.map(w => occSql(t, s" $w ")).mkString("(", " + ", ")")
@@ -690,5 +762,29 @@ object Pipeline {
             length(col("text")).cast("long").as("n_chars"),
             col("ws_tokens"))
           .orderBy("doc_id")
+      }),
+
+    // ── IVF ANN recall under the hash-check regime — the q45 pattern
+    // applied to the IVF path, with the coarse quantizer pinned to
+    // data-independent literal centroids (see ivfPinnedCentroids) so
+    // the DuckDB oracle replays assignment, probing, and rerank
+    // exactly. q33 (sample-trained centroids) stays rows-only; this
+    // pulls its operator semantics under rows+schema+hash.
+    Q("q58_ivf_recall", "pipeline:similarity-ann-ivf-recall",
+      Some(ivfRecallOracle),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val exact = Similarity.bruteForceTopK(e, 20, 5)
+          .select(col("query_id"), col("vec_id"))
+        val ivf = IvfIndex
+          .annTopKWithCentroids(e, 20, 5, ivfPinnedCentroids)
+          .select(col("query_id").as("a_qid"), col("vec_id").as("a_vid"))
+        exact.join(ivf,
+            exact("query_id") === ivf("a_qid") &&
+              exact("vec_id") === ivf("a_vid"),
+            "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("exact_k"), count(col("a_vid")).as("ivf_hits"))
+          .orderBy("query_id")
       }))
 }
