@@ -154,7 +154,8 @@ object Dedup {
     val sh = shingleIndex(docs).cache()
     // signatures are one small row per doc — cached too, because the
     // band self-join scans them twice
-    val bands = lshBands(minhashSignaturesFromIndex(sh).cache())
+    val sigs = minhashSignaturesFromIndex(sh).cache()
+    val bands = lshBands(sigs)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -165,7 +166,7 @@ object Dedup {
     // the shingleSets arrays (order irrelevant: only sizes and
     // intersection sizes are consumed)
     val sets = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sh"))
-    cand
+    val out = cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -177,6 +178,14 @@ object Dedup {
       .filter(col("jacc") >= minJ)
       .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
         floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
+      // pin the verified pair set (tiny next to the shingle index) and
+      // release the operator-internal caches: repeated library calls
+      // must not leak block-store entries (same discipline as
+      // nearDupPairsLsh / componentLabels)
+      .transform(graft.engine.Checkpoints.pin)
+    sigs.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** Connected components over an undirected pair list via iterative

@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("minhashDupPairs releases its operator-internal caches: only the " +
+    "pinned pair set survives the call") {
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.minhashDupPairs(docs, 0.8)
+    assert(out.count() > 0)
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // Checkpoints.pin (localCheckpoint of the verified pairs) is the ONE
+    // storage entry allowed to outlive the call; the shingle-index and
+    // signature caches must be gone (pre-fix they leaked both, growing
+    // the block store on every library call)
+    assert(survivors.size <= 1,
+      s"operator-internal caches leaked: $survivors")
+    out.unpersist(blocking = true)
+  }
+
   test("packChunks: offsets are the exclusive prefix sum in doc_id order, " +
     "across bucket boundaries") {
     // bucketSize=2 forces docs to straddle prefix-sum buckets
