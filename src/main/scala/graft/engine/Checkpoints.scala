@@ -20,6 +20,15 @@ import org.apache.spark.sql.DataFrame
   * unset on single-node runs; set it on any cluster where executor
   * churn is expected (spot instances, autoscaling, 1000-executor
   * 100 TB jobs).
+  *
+  * Checkpoint-file lifecycle: Spark deletes reliable checkpoint data
+  * when the pinned RDD is garbage-collected ONLY if
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` was set in
+  * the SparkConf at context creation (it is read once by
+  * ContextCleaner). Set it on long-lived clusters that pin repeatedly;
+  * without it, each context leaves one UUID subdirectory under
+  * [[DirKey]] that needs an external lifecycle rule (object-store TTL
+  * or a post-job sweep).
   */
 object Checkpoints {
 
@@ -28,9 +37,14 @@ object Checkpoints {
   val DirKey = "graft.checkpoint.dir"
 
   // SparkContext.setCheckpointDir mints a fresh UUID subdirectory on
-  // every call — only (re)set it when the configured value changes,
-  // or repeated pins would litter one subdir per call
-  private var appliedDir: Option[String] = None
+  // every call — only (re)set it when the configured value changes for
+  // THIS context, or repeated pins would litter one subdir per call.
+  // Keyed weakly by SparkContext: a restarted context arrives with no
+  // checkpoint dir, and a dir remembered from the dead context must
+  // not suppress the set (a process-global Option[String] did exactly
+  // that, making the first pin after a restart throw).
+  private val appliedDir =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
 
   /** Materialize `df` eagerly and truncate its lineage. Local blocks
     * by default; a reliable checkpoint when [[DirKey]] is set. */
@@ -38,10 +52,11 @@ object Checkpoints {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey) match {
       case Some(dir) =>
+        val sc = spark.sparkContext
         synchronized {
-          if (!appliedDir.contains(dir)) {
-            spark.sparkContext.setCheckpointDir(dir)
-            appliedDir = Some(dir)
+          if (appliedDir.get(sc) != dir || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
+            appliedDir.put(sc, dir)
           }
         }
         df.checkpoint(eager = true)

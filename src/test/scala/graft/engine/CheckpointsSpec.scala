@@ -41,4 +41,46 @@ class CheckpointsSpec extends SparkSpec {
       assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
+
+  test("pin with graft.checkpoint.dir survives a SparkContext restart") {
+    val dir = new java.io.File(tmpDir("restart-ckpt")).getAbsolutePath
+    def freshSession(): org.apache.spark.sql.SparkSession = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.conf.set(Checkpoints.DirKey, dir)
+      s
+    }
+    def pinnedCount(s: org.apache.spark.sql.SparkSession): Long = {
+      import s.implicits._
+      Checkpoints.pin((1L to 10L).toDF("id")).count()
+    }
+    // make sure the suite's shared session isn't holding the conf
+    spark.conf.unset(Checkpoints.DirKey)
+    val s1 = freshSession()
+    assert(pinnedCount(s1) == 10)
+    s1.stop()
+    // pre-fix: the dir remembered from the dead context suppressed
+    // setCheckpointDir on the new one and this pin threw
+    // "Checkpoint directory has not been set"
+    val s2 = freshSession()
+    try assert(pinnedCount(s2) == 10)
+    finally {
+      s2.stop()
+      // leave a context matching the shared SparkSpec config for any
+      // suite that runs after us in this JVM
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+  }
 }
