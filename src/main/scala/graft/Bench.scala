@@ -53,12 +53,21 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  // Shuffle partitions default to the core count — right for the
+  // driver's sf0.1 runs. Scale-law experiments (ScaleGen corpora)
+  // override via SPARK_GRAFT_SHUFFLE_PARTITIONS: at 10x volume, 32
+  // partitions put 10x in each task's sorter/aggregator and spills go
+  // superlinear, which measures the local resource ceiling, not the
+  // plan (a real cluster scales partitions with data).
+  private val shufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   private def newSession(): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -162,17 +162,43 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // the index is distinct per doc, so regrouping it rebuilds exactly
-    // the shingleSets arrays (order irrelevant: only sizes and
-    // intersection sizes are consumed)
-    val sets = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sh"))
-    val out = cand
-      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("x.sh"), col("y.sh"))).cast("long").as("common"),
-        size(col("x.sh")).cast("long").as("n_a"),
-        size(col("y.sh")).cast("long").as("n_b"))
+    // exact verification WITHOUT materializing per-doc shingle arrays:
+    // the earlier collect_list/array_intersect formulation rebuilt a
+    // shingle array for every doc in the corpus and replicated both
+    // full arrays onto every candidate pair row. On a boilerplate-
+    // skewed corpus the candidate set inflates (docs sharing common
+    // tokens collide in bands at r=2; measured 601 candidates/doc on a
+    // 50k-doc corpus with one shared token interleaved — ~6 GiB of
+    // array copies, superlinear GC). Streaming the intersection
+    // through the inverted index keeps every operator pipelined:
+    // replicate each candidate pair by doc_a's shingles, equi-join on
+    // (doc_b, s) to count the overlap — cost is sum over pairs of
+    // |sh(doc_a)|, linear in the candidate set, and nothing wider than
+    // one (pair, shingle) row ever sits in memory or shuffle.
+    //
+    // The index branches are re-projected with FRESH column names (not
+    // `.as(alias)` qualifiers): cand's lineage already contains sh
+    // (via sigs), so this is a triple self-join — qualified refs like
+    // `cx.s === cy.s` can silently resolve both sides to one attribute
+    // after plan deduplication, collapsing the shingle equality into a
+    // tautology and exploding the join to pairs x |sh_a| x |sh_b|.
+    // Renamed projections mint new attribute ids, which makes that
+    // mis-resolution structurally impossible.
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("va_doc"), col("s").as("va_s"))
+    val shB = sh.select(col("doc_id").as("vb_doc"), col("s").as("vb_s"))
+    val common = cand
+      .join(shA, col("doc_a") === col("va_doc"))
+      .select(col("doc_a"), col("doc_b"), col("va_s"))
+      .join(shB, col("doc_b") === col("vb_doc") && col("va_s") === col("vb_s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    // pairs with an empty intersection drop out of the inner join —
+    // correct, their Jaccard is 0 < minJ
+    val out = common
+      .join(cnt.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(cnt.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
       .withColumn("jacc", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jacc") >= minJ)

@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Synthetic corpus scaler for scale-law validation runs (round-5
+  * task #6 / round-6 verdict #9): replicates the `documents` and
+  * `embeddings` tables of a source sf dir `factor`-fold with shifted
+  * ids, WITHOUT multiplying the duplicate-pair density:
+  *
+  *  - documents: every TOKEN gets a per-replica suffix `~r<k>`
+  *    (tokenization is a whitespace split, so the suffix stays inside
+  *    its token). The map token -> token~rk is injective, so the
+  *    shingle space maps bijectively per replica: intra-replica
+  *    Jaccard — and therefore MinHash/LSH candidate density — is
+  *    preserved EXACTLY, while cross-replica shingle sets are disjoint
+  *    (Jaccard 0). Two rejected designs measured the wrong thing:
+  *    naive replication (same text, 10 copies) gives every doc >= 9
+  *    exact dups and grows the pair set ~45x (output explosion, not
+  *    scaling); an earlier separator tag (whitespace -> ` r<k> `)
+  *    minted shingles like (rk, w, rk) that depend on ONE shared word,
+  *    so every unrelated same-replica doc pair shared shingles —
+  *    measured 601 LSH candidates per doc at x10 vs the true 1.9
+  *    (~2000x inflation; 2.4e9-row verification join). Run with
+  *    factor=1 for the matching baseline (token lengths grow slightly,
+  *    so raw-sf numbers are close but not identical — compare
+  *    factor=10 against factor=1).
+  *
+  *  - embeddings: element i of replica k is multiplied by the sign
+  *    (1 - 2 * pmod(hash(k, i), 2)) — a per-replica +-1 pattern.
+  *    Applying the same pattern to both members of any pair leaves
+  *    every intra-replica cosine bit-identical (products x_i*y_i are
+  *    sign^2-invariant), while cross-replica cosines decorrelate
+  *    toward 0, so the near-dup graph scales linearly with the corpus
+  *    as a real 10x corpus would.
+  *
+  * Usage: ScaleGen <srcSfDir> <dstDir> <factor>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleGen <srcSfDir> <dstDir> <factor>")
+    val Array(src, dst, factorS) = args
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables(spark, src, "documents")
+    val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k.toLong * nDocs)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1~r$k").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = Tables(spark, src, "embeddings")
+    val nVecs = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k.toLong * nVecs)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1) - lit(2) * pmod(hash(lit(k), i), lit(2)))
+            .cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    println(s"wrote $dst: documents=${nDocs * factor} embeddings=${nVecs * factor}")
+    spark.stop()
+  }
+}
