@@ -213,4 +213,113 @@ object TextAnalysis {
     sh.unpersist(blocking = false)
     out
   }
+
+  /** Cross-document repeated-span detection — the exact-substring layer
+    * of training-data dedup (boilerplate headers/footers, license
+    * blocks, templated passages) that document-level MinHash/Jaccard
+    * dedup cannot LOCALIZE: it tells you two docs are similar, not
+    * which token range is the shared text. Emits every maximal token
+    * span whose every `spanTokens`-token window occurs in >= `minDf`
+    * distinct documents.
+    *
+    * Output: (doc_id, span_start, span_len_tokens, n_windows, max_df),
+    * span_start 0-based in tokens; a span of n_windows consecutive
+    * repeated windows covers n_windows + spanTokens - 1 tokens.
+    *
+    * Scale shape — no pair term anywhere, cost linear in corpus tokens
+    * regardless of how many docs share a span (the failure mode of
+    * pair-expansion designs measured in PLANS.md "Scale-law
+    * validation"):
+    *  1. ONE explode into (doc_id, pos, window-h60) — Σ tokens rows,
+    *     the window string hashed to a long immediately so nothing
+    *     wider than 24 bytes is ever shuffled;
+    *  2. window df by hash — map-side partial combine absorbs
+    *     within-partition repeats (boilerplate is locally dense);
+    *  3. the df >= minDf hash set joined back against the window
+    *     stream — at real boilerplate rates that side is a sliver of
+    *     the index (AQE broadcasts it; beyond that a plain shuffle
+    *     equi-join on the hash);
+    *  4. gaps-and-islands merge of consecutive repeated positions into
+    *     maximal spans: one doc_id-partitioned sort, `pos -
+    *     row_number()` constant within a run of consecutive positions.
+    * h60 is the portable md5-derived hash ([[Hashing.h60]]), so window
+    * identity is replayable in any engine with md5 — collisions need
+    * 2^30 distinct windows (birthday at 60 bits) before they matter. */
+  def repeatedSpans(docs: DataFrame, spanTokens: Int = 5,
+                    minDf: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val L = spanTokens
+    // cached: the df aggregate and the join-back both re-derive from
+    // the exploded window stream (same reason contamination caches)
+    val wins = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("w")) >= L,
+          transform(sequence(lit(0), size(col("w")) - lit(L)),
+            i => concat_ws(" ", slice(col("w"), i + lit(1), lit(L)))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        h60(col("s")).as("h"))
+      .cache()
+    val rep = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val out = wins.join(rep, Seq("h"))
+      .withColumn("grp", col("pos") - row_number().over(wnd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (count(lit(1)) + lit(L - 1).cast("long")).as("span_len_tokens"),
+        count(lit(1)).as("n_windows"),
+        max(col("n_docs")).cast("long").as("max_df"))
+      .select(col("doc_id"), col("span_start"), col("span_len_tokens"),
+        col("n_windows"), col("max_df"))
+      .transform(graft.engine.Checkpoints.pin)
+    wins.unpersist(blocking = false)
+    out
+  }
+
+  /** Vocabulary-frequency quality score: how "in-distribution" a doc's
+    * vocabulary is relative to the corpus. Rare-token-heavy documents
+    * (OCR garbage, mojibake, hex dumps) score low; fluent text whose
+    * tokens appear across many documents scores high. The unigram-LM
+    * quality filter of pretraining pipelines, reformulated over doc
+    * frequencies with integer/floor-only arithmetic — a log-prob
+    * variant is NOT portable because ln() is not correctly-rounded and
+    * differs across engines in the last ulp.
+    *
+    * Output: (doc_id, n_tokens, n_hapax, common_score_x1000) where
+    * n_hapax counts tokens whose corpus DOCUMENT frequency is 1 (they
+    * occur nowhere outside this doc), and common_score_x1000 =
+    * floor(1000 * Σ min(df, dfCap) / (n_tokens * dfCap)) — 1000 means
+    * every token is corpus-common at the cap, 10 means essentially
+    * every token is unique to the doc.
+    *
+    * Scale: one explode (Σ tokens rows, strings bounded by word
+    * length), one token-keyed df aggregate (vocabulary-sized output —
+    * Heaps' law, sublinear in corpus), one join back keyed on token
+    * (the vocabulary side broadcasts at any realistic corpus size),
+    * one doc-keyed re-aggregate. Linear, no pair term. */
+  def vocabQuality(docs: DataFrame, dfCap: Int = 100): DataFrame = {
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .cache()
+    val dfStats = tok.groupBy("t")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val out = tok.join(dfStats, Seq("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(least(col("df"), lit(dfCap.toLong))).as("capped_df_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
+        floor(col("capped_df_sum") * lit(1000.0) /
+          (col("n_tokens") * lit(dfCap.toLong)))
+          .cast("long").as("common_score_x1000"))
+      .transform(graft.engine.Checkpoints.pin)
+    tok.unpersist(blocking = false)
+    out
+  }
 }

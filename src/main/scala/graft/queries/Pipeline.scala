@@ -797,5 +797,53 @@ object Pipeline {
           .groupBy("query_id")
           .agg(count(lit(1)).as("exact_k"), count(col("a_vid")).as("ivf_hits"))
           .orderBy("query_id")
-      }))
+      }),
+
+    // ── cross-doc repeated spans: the exact-substring layer of
+    // training-data dedup — maximal token ranges whose every 5-token
+    // window occurs in >= 2 distinct docs. Localizes shared
+    // boilerplate that doc-level MinHash/Jaccard can only flag.
+    Q("q59_repeated_spans", "pipeline:repeated-spans",
+      Some(s"""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(w) - 4, 0))) AS pos,
+        |    unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+        |      i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM w),
+        |h AS (SELECT doc_id, pos, ${h60Sql("s")} AS h FROM wins),
+        |rep AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM h
+        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT x.doc_id, x.pos, r.n_docs FROM h x JOIN rep r ON r.h = x.h),
+        |isl AS (SELECT doc_id, pos, n_docs,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM hit)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 4 AS BIGINT) AS span_len_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(max(n_docs) AS BIGINT) AS max_df
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin),
+      (s, dir) => TextAnalysis.repeatedSpans(t(s, dir, "documents"), 5, 2)
+        .orderBy("doc_id", "span_start")),
+
+    // ── vocabulary-frequency quality score: the unigram-LM quality
+    // filter reformulated over doc frequencies with integer/floor-only
+    // arithmetic (ln() is not cross-engine-portable).
+    Q("q60_vocab_quality", "pipeline:vocab-quality",
+      Some("""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+        |j AS (SELECT x.doc_id, d.df FROM tok x JOIN dfs d ON d.t = x.t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(floor(sum(least(df, 100)) * 1000.0 / (count(*) * 100)) AS BIGINT)
+        |    AS common_score_x1000
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.vocabQuality(t(s, dir, "documents"), 100)
+        .orderBy("doc_id")))
 }

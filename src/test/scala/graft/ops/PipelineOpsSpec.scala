@@ -25,6 +25,60 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist(blocking = true)
   }
 
+  test("repeatedSpans: maximal cross-doc spans with exact boundaries; " +
+    "intra-doc repetition alone does not qualify") {
+    // docs 0 and 1 share the 6-token run "q w e r t y" (two 5-windows,
+    // positions 1..2 in doc 0, 0..1 in doc 1); doc 2 shares nothing
+    // cross-doc but repeats its own 5-gram twice; doc 3 is < 5 tokens
+    val docs = Seq(
+      (0L, "x q w e r t y z1 z2"),
+      (1L, "q w e r t y k1 k2"),
+      (2L, "a b c d e f a b c d e f"),
+      (3L, "p q r"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpans(docs, spanTokens = 5, minDf = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 2's self-repeat: window df counts DISTINCT docs, so df=1 -> out
+    assert(out == Seq(
+      (0L, 1L, 6L, 2L, 2L),   // spans tokens 1..6 of doc 0
+      (1L, 0L, 6L, 2L, 2L)),  // spans tokens 0..5 of doc 1
+      s"got $out")
+    out // islands merged: 2 windows -> ONE span of 6 tokens, not two rows
+  }
+
+  test("repeatedSpans: non-adjacent repeated windows stay separate spans " +
+    "and max_df reflects the widest window") {
+    val docs = Seq(
+      (0L, "s1 s2 s3 s4 s5 u1 u2 t1 t2 t3 t4 t5"), // two shared 5-grams, gap between
+      (1L, "s1 s2 s3 s4 s5 v1 v2 t1 t2 t3 t4 t5"),
+      (2L, "t1 t2 t3 t4 t5"))                      // third doc shares only t-run
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpans(docs, spanTokens = 5, minDf = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 5L, 1L, 2L), (0L, 7L, 5L, 1L, 3L),
+      (1L, 0L, 5L, 1L, 2L), (1L, 7L, 5L, 1L, 3L),
+      (2L, 0L, 5L, 1L, 3L)), s"got $out")
+  }
+
+  test("vocabQuality: integer-exact scores from hand-computed dfs") {
+    // dfs: "a" in docs 0,1,2 -> 3; "b" in 0,1 -> 2; "c" only 0 -> 1;
+    // "d" only 2 -> 1 (twice in-doc, still df=1)
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"), (2L, "a d d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabQuality(docs, dfCap = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cap=2: doc0 sum=2+2+1=5 of 3*2=6 -> 833; doc1 sum=4 of 4 -> 1000;
+    // doc2 sum=2+1+1=4 of 6 -> 666; hapax: c=1, none, d twice
+    assert(out == Seq(
+      (0L, 3L, 1L, 833L), (1L, 2L, 0L, 1000L), (2L, 3L, 2L, 666L)),
+      s"got $out")
+  }
+
   test("packChunks: offsets are the exclusive prefix sum in doc_id order, " +
     "across bucket boundaries") {
     // bucketSize=2 forces docs to straddle prefix-sum buckets
