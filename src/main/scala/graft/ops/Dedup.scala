@@ -150,12 +150,48 @@ object Dedup {
     * are themselves self-joined as x and y) — without the shared cache
     * the tokenize/shingle pipeline ran up to three times per execution,
     * three full corpus passes at scale. */
-  def minhashDupPairs(docs: DataFrame, minJ: Double): DataFrame = {
+  def minhashDupPairs(docs: DataFrame, minJ: Double): DataFrame =
+    minhashVerifiedPairs(docs, minJ, bucketCap = None)
+
+  /** [[minhashDupPairs]] with a band-bucket size cap — the
+    * boilerplate-robust production variant. Band buckets larger than
+    * `maxBucket` docs are dropped BEFORE pair expansion, so a shared
+    * header/footer/license block that lands thousands of documents in
+    * one bucket costs O(bucket) instead of O(bucket²) pairs (the same
+    * Σdf² failure mode the stop-shingle cap bounds for exact Jaccard —
+    * measured during scale-law validation: one shared token pattern
+    * inflated candidates ~2000×, see PLANS.md).
+    *
+    * Recall contract: a pair is missed iff EVERY band the two docs
+    * agree on is oversized. For genuinely near-duplicate pairs inside
+    * a boilerplate cluster that is precisely the intended behavior
+    * (the cluster needs cluster-level handling, not C(n,2) pairs); for
+    * pairs agreeing on any organic band the result is identical to
+    * [[minhashDupPairs]]. Deterministic given (minJ, maxBucket), so
+    * the full pipeline — signatures, banding, cap, exact verify — is
+    * replayable in oracle SQL. */
+  def minhashDupPairsCapped(docs: DataFrame, minJ: Double,
+                            maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    minhashVerifiedPairs(docs, minJ, bucketCap = Some(maxBucket))
+  }
+
+  private def minhashVerifiedPairs(docs: DataFrame, minJ: Double,
+                                   bucketCap: Option[Int]): DataFrame = {
     val sh = shingleIndex(docs).cache()
     // signatures are one small row per doc — cached too, because the
     // band self-join scans them twice
     val sigs = minhashSignaturesFromIndex(sh).cache()
-    val bands = lshBands(sigs)
+    val allBands = lshBands(sigs)
+    // bucket-size cap via ONE window pass over the band-partitioned
+    // sort (no join): the self-join below re-shuffles on the same
+    // (band_idx, band_val) key, so the exchange is reused
+    val bands = bucketCap.fold(allBands) { cap =>
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_val")
+      allBands.withColumn("bsz", count(lit(1)).over(wb))
+        .filter(col("bsz") <= cap).drop("bsz")
+    }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&

@@ -845,5 +845,63 @@ object Pipeline {
         |    AS common_score_x1000
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => TextAnalysis.vocabQuality(t(s, dir, "documents"), 100)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── bucket-capped MinHash-LSH: the boilerplate-robust production
+    // variant. Band buckets > 16 docs are dropped before pair
+    // expansion (O(bucket) instead of O(bucket²) for boilerplate
+    // clusters). The pipeline is deterministic end-to-end, so the
+    // oracle replays ALL of it in SQL: shingle h31s, the 16
+    // universal-hash minima, band assembly, bucket sizing, the cap,
+    // candidate expansion, and exact-Jaccard verification.
+    Q("q61_minhash_lsh_capped", "pipeline:dedup-minhash-capped",
+      Some(cappedLshOracle(maxBucket = 16)),
+      (s, dir) => Dedup.minhashDupPairsCapped(t(s, dir, "documents"), 0.8, 16)
+        .orderBy("doc_a", "doc_b")))
+
+  /** DuckDB SQL replaying [[Dedup.minhashDupPairsCapped]] exactly —
+    * parameterized by the SAME [[Hashing.minhashCoeffs]] constants as
+    * the Spark side (the simhashOracle lockstep pattern), so widening
+    * the signature regenerates the oracle. */
+  private def cappedLshOracle(maxBucket: Int): String = {
+    val P = Hashing.P31
+    val mins = Hashing.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS mh_$i"
+    }.mkString(",\n      |    ")
+    val bandRows = (0 until 8).map { j =>
+      s"SELECT doc_id, $j AS bi, mh_${2 * j} * $P + mh_${2 * j + 1} AS bv FROM mh"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH sh AS (
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+      |hh AS (SELECT doc_id, ${h31Sql("s")} AS h FROM sh),
+      |mh AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM hh GROUP BY doc_id),
+      |bands AS (
+      |  $bandRows),
+      |sized AS (
+      |  SELECT bi, bv, count(*) AS bsz FROM bands GROUP BY bi, bv),
+      |kept AS (
+      |  SELECT b.doc_id, b.bi, b.bv FROM bands b
+      |  JOIN sized z ON z.bi = b.bi AND z.bv = b.bv
+      |  WHERE z.bsz <= $maxBucket),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM kept a JOIN kept b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common,
+      |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+      |  CAST(floor(CAST(common AS DOUBLE) / (x.n + y.n - common) * 1000) AS BIGINT) AS jacc_x1000
+      |FROM pairs JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

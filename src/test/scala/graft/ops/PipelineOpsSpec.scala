@@ -25,6 +25,27 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist(blocking = true)
   }
 
+  test("minhashDupPairsCapped: a boilerplate mega-cluster is pruned to " +
+    "O(bucket) while organic near-dup pairs survive the cap") {
+    // 30 identical docs (every band bucket has 30 members) plus one
+    // organic near-dup pair whose buckets have size 2
+    val boiler = (0L until 30L).map(i =>
+      (i, "the same license header repeated across every file in the corpus verbatim"))
+    val organic = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val docs = (boiler ++ organic).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashDupPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashDupPairsCapped(docs, 0.5, maxBucket = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // uncapped expands the cluster to all C(30,2) pairs + the organic one
+    assert(uncapped.size == 30 * 29 / 2 + 1, s"got ${uncapped.size}")
+    // capped drops ONLY the oversized-bucket pairs; the organic pair's
+    // band buckets are size 2 and survive untouched
+    assert(capped == Set((100L, 101L)), s"got $capped")
+  }
+
   test("repeatedSpans: maximal cross-doc spans with exact boundaries; " +
     "intra-doc repetition alone does not qualify") {
     // docs 0 and 1 share the 6-token run "q w e r t y" (two 5-windows,
