@@ -281,6 +281,75 @@ object TextAnalysis {
     out
   }
 
+  /** Corpus-global sentence dedup — the sub-document twin of
+    * [[intraDocDedup]] and the RefinedWeb/Falcon-style exact layer:
+    * every sentence is kept only at its FIRST occurrence in the whole
+    * corpus (ordered by (doc_id, position)); later docs repeating it —
+    * syndicated passages, quoted boilerplate, mirrored pages — lose
+    * that sentence, and each doc's survivors are reassembled in
+    * original order.
+    *
+    * Output: (doc_id, n_sentences, n_kept, dedup_text).
+    *
+    * Scale shape: one explode (Σ sentences rows), one global shuffle
+    * keyed on the sentence for the first-occurrence window (the only
+    * place corpus-global state is needed — skew from a mega-repeated
+    * sentence is bounded because only rank-1 survives the window and
+    * partial sort spills), one doc-keyed re-aggregate for reassembly.
+    * No pair term, no driver state.
+    *
+    * Split convention matches [[intraDocDedup]]: literal ". " with
+    * trailing empties KEPT (`split(_, _, -1)`) so reassembly is
+    * byte-faithful and the oracle can compare texts exactly. */
+  def corpusSentenceDedup(docs: DataFrame): DataFrame = {
+    val sent = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ", -1)))
+      .toDF("doc_id", "pos", "sent")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sent").orderBy("doc_id", "pos")
+    sent.withColumn("rn", row_number().over(w))
+      .withColumn("first", col("rn") === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_sentences"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(
+          when(col("first"), struct(col("pos"), col("sent")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_sentences"), col("n_kept"),
+        array_join(transform(col("kept"), k => k.getField("sent")), ". ")
+          .as("dedup_text"))
+  }
+
+  /** PII scrubbing: count and redact emails, dash/dot-delimited phone
+    * numbers, and IPv4 literals. Patterns are the RE2-compatible
+    * subset (character classes, bounded repetition, \b) so the SAME
+    * pattern string runs identically under Java regex (Spark) and RE2
+    * (DuckDB/oracle) — no lookarounds, no backreferences.
+    *
+    * Output: (doc_id, n_emails, n_phones, n_ips, scrubbed_text) with
+    * matches replaced by <EMAIL>/<PHONE>/<IP> in that order (email
+    * first: an email's domain must not be half-eaten by the IP rule).
+    *
+    * Scale: pure per-row map work — no shuffle at all; the scan cost
+    * is the regex automaton over each text exactly once per pattern.
+    * Embarrassingly parallel at any corpus size. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val (email, phone, ip) = (EmailRe, PhoneRe, IpRe)
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, phone, "<PHONE>")
+    val t3 = regexp_replace(t2, ip, "<IP>")
+    docs.select(col("doc_id"),
+      regexp_count(t0, lit(email)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(phone)).cast("long").as("n_phones"),
+      regexp_count(t2, lit(ip)).cast("long").as("n_ips"),
+      t3.as("scrubbed_text"))
+  }
+
   /** Vocabulary-frequency quality score: how "in-distribution" a doc's
     * vocabulary is relative to the corpus. Rare-token-heavy documents
     * (OCR garbage, mojibake, hex dumps) score low; fluent text whose

@@ -857,7 +857,60 @@ object Pipeline {
     Q("q61_minhash_lsh_capped", "pipeline:dedup-minhash-capped",
       Some(cappedLshOracle(maxBucket = 16)),
       (s, dir) => Dedup.minhashDupPairsCapped(t(s, dir, "documents"), 0.8, 16)
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+
+    // ── corpus-global sentence dedup: every sentence survives only at
+    // its first (doc_id, pos) occurrence across the WHOLE corpus —
+    // the RefinedWeb-style exact sub-document layer (q55 is the
+    // intra-doc twin).
+    Q("q62_corpus_sentence_dedup", "pipeline:dedup-sentence-global",
+      Some("""WITH parts AS (
+        |  SELECT doc_id, string_split(text, '. ') AS p FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(p) + 1),
+        |      i -> struct_pack(pos := i, sent := p[i]))) AS u
+        |  FROM parts),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.sent AS sent,
+        |    row_number() OVER (PARTITION BY u.sent
+        |      ORDER BY doc_id, u.pos) AS rn
+        |  FROM e)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, '. '
+        |    ORDER BY pos), '') AS dedup_text
+        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.corpusSentenceDedup(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // ── PII scrub: count + redact emails, phones, IPv4 — RE2-subset
+    // patterns shared verbatim with the oracle (TextAnalysis.EmailRe
+    // etc.), per-row map work, zero shuffles.
+    Q("q63_pii_scrub", "pipeline:pii-scrub",
+      Some(piiOracle),
+      (s, dir) => TextAnalysis.piiScrub(t(s, dir, "documents"))
+        .orderBy("doc_id")))
+
+  /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
+    * literals (RE2-compatible subset, no lookarounds/backreferences)
+    * with DuckDB's explicit 'g' flag for global replacement. */
+  private def piiOracle: String = {
+    val (em, ph, ip) = (TextAnalysis.EmailRe, TextAnalysis.PhoneRe,
+      TextAnalysis.IpRe)
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(
+      |    regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph')) AS BIGINT)
+      |    AS n_phones,
+      |  CAST(len(regexp_extract_all(
+      |    regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+      |      '$ph', '<PHONE>', 'g'), '$ip')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
+      |    '$ip', '<IP>', 'g') AS scrubbed_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB SQL replaying [[Dedup.minhashDupPairsCapped]] exactly —
     * parameterized by the SAME [[Hashing.minhashCoeffs]] constants as

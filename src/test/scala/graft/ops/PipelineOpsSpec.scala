@@ -84,6 +84,38 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 0L, 5L, 1L, 3L)), s"got $out")
   }
 
+  test("corpusSentenceDedup: first (doc_id, pos) occurrence wins " +
+    "corpus-wide; reassembly keeps original order") {
+    val docs = Seq(
+      (0L, "shared one. unique a. shared two"),
+      (1L, "unique b. shared one. unique c"),      // loses "shared one"
+      (2L, "shared two. shared one"))              // loses both -> empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.corpusSentenceDedup(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 3L, "shared one. unique a. shared two"),
+      (1L, 3L, 2L, "unique b. unique c"),
+      (2L, 2L, 0L, "")), s"got $out")
+  }
+
+  test("piiScrub: counts and redactions for each pattern; clean text " +
+    "passes through byte-identical") {
+    val docs = Seq(
+      (0L, "mail me at jo.doe+x@example.co.uk or call 555-123-4567"),
+      (1L, "server at 10.0.255.7 and backup 192.168.1.1"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, 1L, 0L, "mail me at <EMAIL> or call <PHONE>"),
+      (1L, 0L, 0L, 2L, "server at <IP> and backup <IP>"),
+      (2L, 0L, 0L, 0L, "no pii here at all")), s"got $out")
+  }
+
   test("vocabQuality: integer-exact scores from hand-computed dfs") {
     // dfs: "a" in docs 0,1,2 -> 3; "b" in 0,1 -> 2; "c" only 0 -> 1;
     // "d" only 2 -> 1 (twice in-doc, still df=1)
