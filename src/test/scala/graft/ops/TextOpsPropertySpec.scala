@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based cross-checks of the exact-substring operators against
+  * straight-line in-memory reference implementations over random
+  * corpora: the distributed plans (window-hash df + islands merge,
+  * corpus-global first-occurrence window) must agree with the obvious
+  * sequential algorithm on every generated input. */
+class TextOpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling in place of the scalatest-scalacheck bridge
+    * (not in the offline dependency cache). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(1042L + i)).get)
+
+  // tiny vocabulary so repeated windows and sentences actually occur
+  private val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd")
+  private val sentence: Gen[String] =
+    Gen.chooseNum(0, 4).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, sentence)).map(_.mkString(". "))
+  private val corpus: Gen[Seq[(Long, String)]] =
+    Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  /** Reference repeatedSpans: windows by hand, df across docs, islands
+    * by scanning sorted positions. */
+  private def refSpans(docs: Seq[(Long, String)], L: Int, minDf: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val wins = docs.flatMap { case (id, t) =>
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      if (w.size < L) Seq.empty
+      else (0 to w.size - L).map(p => (id, p.toLong, w.slice(p, p + L).mkString(" ")))
+    }
+    val df = wins.groupBy(_._3).map { case (s, g) => s -> g.map(_._1).distinct.size }
+    val rep = wins.filter { case (_, _, s) => df(s) >= minDf }
+    rep.groupBy(_._1).flatMap { case (id, g) =>
+      val ps = g.map(_._2).sorted
+      // islands: consecutive positions merge
+      val runs = ps.foldLeft(List.empty[List[Long]]) {
+        case (run :: rest, p) if run.head == p - 1 => (p :: run) :: rest
+        case (acc, p) => List(p) :: acc
+      }.map(_.reverse).reverse
+      runs.map { r =>
+        val maxDf = g.filter(x => r.contains(x._2)).map(x => df(x._3)).max
+        (id, r.head, r.size.toLong + L - 1, r.size.toLong, maxDf.toLong)
+      }
+    }.toSet
+  }
+
+  /** Reference corpus-global sentence dedup. */
+  private def refSentenceDedup(docs: Seq[(Long, String)])
+      : Set[(Long, Long, Long, String)] = {
+    val all = docs.flatMap { case (id, t) =>
+      t.split("\\. ", -1).zipWithIndex.map { case (s, p) => (id, p.toLong, s) }
+    }
+    val firstAt = all.groupBy(_._3)
+      .map { case (s, g) => s -> g.map(x => (x._1, x._2)).min }
+    docs.map { case (id, t) =>
+      val sents = t.split("\\. ", -1).zipWithIndex
+      val kept = sents.filter { case (s, p) => firstAt(s) == ((id, p.toLong)) }
+      (id, sents.size.toLong, kept.size.toLong, kept.map(_._1).mkString(". "))
+    }.toSet
+  }
+
+  test("repeatedSpans agrees with the sequential reference on random corpora") {
+    samples(corpus, 12).foreach { docs =>
+      val got = TextAnalysis.repeatedSpans(docs.toDF("doc_id", "text"), 3, 2)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = refSpans(docs, 3, 2)
+      assert(got == want, s"corpus=$docs\ngot=$got\nwant=$want")
+    }
+  }
+
+  test("corpusSentenceDedup agrees with the sequential reference on " +
+    "random corpora") {
+    samples(corpus, 12).foreach { docs =>
+      val got = TextAnalysis.corpusSentenceDedup(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      val want = refSentenceDedup(docs)
+      assert(got == want, s"corpus=$docs\ngot=$got\nwant=$want")
+    }
+  }
+}
