@@ -62,6 +62,24 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
+    // events: replica k shifts event_id and user_id into disjoint
+    // ranges with ts/type/value/props untouched — every replica
+    // carries an identical per-user temporal structure (sessions,
+    // as-of pairings, running totals), so keyed-window results scale
+    // exactly linearly while no key ever gains extra rows.
+    val ev = Tables(spark, src, "events")
+    val nEvents = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val nUsers = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      ev.select(
+        (col("event_id") + lit(k.toLong * nEvents)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * nUsers)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
     val emb = Tables(spark, src, "embeddings")
     val nVecs = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     (0 until factor).map { k =>
@@ -75,7 +93,7 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    println(s"wrote $dst: documents=${nDocs * factor} embeddings=${nVecs * factor}")
+    println(s"wrote $dst: documents=${nDocs * factor} events=${nEvents * factor} embeddings=${nVecs * factor}")
     spark.stop()
   }
 }
