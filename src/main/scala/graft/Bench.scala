@@ -157,14 +157,21 @@ object Bench {
     final case class Probe(t1: Double, t2: Double,
                            reprobe: Option[Double]) {
       def runs: Seq[Double] = Seq(t1, t2) ++ reprobe
-      def best: Double =
-        if (runs.exists(_ < 0)) -1.0 else runs.min
+      // a query is failed only if NO run succeeded: a transient
+      // third-run (reprobe) failure must not discard two good
+      // measurements — reprobes fire exactly under the flaky
+      // conditions where a one-off failure is most likely
+      private def ok: Seq[Double] = runs.filter(_ >= 0)
+      def best: Double = if (ok.isEmpty) -1.0 else ok.min
       def stable: Boolean =
-        runs.forall(_ >= 0) && runs.max <= runs.min * 1.5
+        ok.size == runs.size && ok.max <= ok.min * 1.5
     }
 
     def jsonLine(results: Seq[(String, Probe)]): String = {
-      def num(v: Double) = f"$v%.4f"
+      // Locale.ROOT: the f-interpolator honors the JVM default locale,
+      // and a comma decimal separator (de_DE, tr_TR, ...) would
+      // corrupt the machine-parseable JSON
+      def num(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
       val qs = results.map { case (k, p) => "\"" + k + "\":" + num(p.best) }
         .mkString("{", ",", "}")
       val probes = results.map { case (k, p) =>

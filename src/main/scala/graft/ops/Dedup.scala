@@ -178,6 +178,12 @@ object Dedup {
 
   private def minhashVerifiedPairs(docs: DataFrame, minJ: Double,
                                    bucketCap: Option[Int]): DataFrame = {
+    // minJ = 0 would mean "every band-colliding pair, even with zero
+    // shingle overlap" — the streaming-intersection verify drops
+    // zero-overlap pairs in its inner join, so that boundary is
+    // excluded explicitly rather than silently returning fewer rows
+    // than the old array_intersect formulation did
+    require(minJ > 0.0 && minJ <= 1.0, s"minJ must be in (0, 1], got $minJ")
     val sh = shingleIndex(docs).cache()
     // signatures are one small row per doc — cached too, because the
     // band self-join scans them twice

@@ -140,15 +140,23 @@ object Similarity {
   val MinBlocks = 16
 
   /** Cap for the derived block count. 65535 keeps
-    * nTiles = nB(nB+1)/2 <= ~2.1e9 inside Int for HashPartitioner, and
-    * 65535 blocks x 256 MiB is a 16 PiB corpus — far past the design
-    * point, so the cap never binds on a real size estimate. */
+    * nTiles = nB(nB+1)/2 <= ~2.1e9 inside Int for HashPartitioner
+    * (and inside any practical partition count). 65535 blocks x
+    * 256 MiB covers a 16 TiB input at the default budget; past that
+    * the cap binds and the EFFECTIVE block size grows
+    * (total/65535 — e.g. ~1.5 GiB blocks at 100 TB), so executors
+    * must be sized for two such blocks per tile task. That is not the
+    * kernel's real ceiling, though: exact all-pairs is Θ(n²d) compute,
+    * and at 100 TB the tile count (~2.1e9) and FLOPs are the binding
+    * constraint long before memory — the documented role of this
+    * kernel is the exactness fallback BELOW the LSH crossover
+    * ([[nearDupPairsLsh]] is the corpus-scale path). */
   val MaxBlocks = 65535
 
   /** Catalyst's sizeInBytes for plans with no stats (createDataFrame,
     * JDBC, some views) is a defaultSizeInBytes sentinel at or near
     * Long.MaxValue. Anything above this threshold (~1/1024 of
-    * Long.MaxValue, still ~8 EiB — no real estimate gets here) is
+    * Long.MaxValue, still ~8 PiB — no real estimate gets here) is
     * treated as "unknown", not as a real size. */
   val UnknownSizeThreshold: Long = Long.MaxValue >> 10
 

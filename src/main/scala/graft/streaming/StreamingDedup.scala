@@ -63,9 +63,13 @@ object StreamingDedup {
                    table: String, expectedItems: Long = 1000000L,
                    fpp: Double = 0.03): Unit = {
     val spark = batch.sparkSession
+    // partition-column inference is disabled in TableStore, so a
+    // read-back batch_id is STRING — cast before comparing instead of
+    // relying on implicit string-vs-bigint coercion
     val history = TableStore
       .readOrEmpty(spark, warehouse, table, historySchema(batch.schema))
-      .filter(col("batch_id").isNull || col("batch_id") =!= batchId)
+      .filter(col("batch_id").isNull ||
+        col("batch_id").cast("long") =!= batchId)
       .drop("batch_id")
     // within-batch keep-first (min doc_id per text); null-text rows
     // group with nobody and all pass through
@@ -86,6 +90,9 @@ object StreamingDedup {
         fresh.withColumn("batch_id", lit(batchId)),
         warehouse, table, Seq("batch_id"))
     }
+    // the pin is batch-internal: release it or a long-running session
+    // accrues a block-store entry per micro-batch
+    fresh.unpersist(blocking = false)
   }
 
   /** Drain everything currently in the source (Trigger.AvailableNow),

@@ -49,10 +49,15 @@ object StreamingSentenceDedup {
   def processBatch(batch: Dataset[Row], batchId: Long,
                    warehouse: String): Unit = {
     val spark = batch.sparkSession
+    // partition-column type inference is disabled in TableStore, so a
+    // read-back batch_id arrives as STRING — cast before comparing
+    // (and re-cast h to the declared long) rather than relying on
+    // implicit string-vs-bigint coercion
     val seen = TableStore
       .readOrEmpty(spark, warehouse, SeenTable, seenSchema)
-      .filter(col("batch_id").isNull || col("batch_id") =!= batchId)
-      .select(col("h"))
+      .filter(col("batch_id").isNull ||
+        col("batch_id").cast("long") =!= batchId)
+      .select(col("h").cast("long").as("h"))
     val sent = batch
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ", -1)))
       .toDF("doc_id", "pos", "sent")
@@ -89,6 +94,11 @@ object StreamingSentenceDedup {
         freshHashes.withColumn("batch_id", lit(batchId)),
         warehouse, SeenTable, Seq("batch_id"))
     }
+    // the pins are batch-internal: release them or a long-running
+    // session accrues two block-store entries per micro-batch (the
+    // same lifecycle discipline as minhashDupPairs's internal caches)
+    outDocs.unpersist(blocking = false)
+    freshHashes.unpersist(blocking = false)
   }
 
   /** Drain everything currently in the source (Trigger.AvailableNow).

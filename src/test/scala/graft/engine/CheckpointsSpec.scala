@@ -42,6 +42,17 @@ class CheckpointsSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+}
+
+/** The restart leg of the pin contract lives in its OWN suite that
+  * never touches the shared `SparkSpec.spark` lazy val: the test must
+  * stop and rebuild the process-global SparkContext, and a suite-level
+  * session reference evaluated before the stop would dangle for every
+  * test after it (it only "worked" while this was the last test of
+  * CheckpointsSpec). This suite builds its sessions explicitly, so no
+  * stale reference can exist. */
+class CheckpointsRestartSpec extends graft.SparkSpec {
+
   test("pin with graft.checkpoint.dir survives a SparkContext restart") {
     val dir = new java.io.File(tmpDir("restart-ckpt")).getAbsolutePath
     def freshSession(): org.apache.spark.sql.SparkSession = {
@@ -59,8 +70,6 @@ class CheckpointsSpec extends SparkSpec {
       import s.implicits._
       Checkpoints.pin((1L to 10L).toDF("id")).count()
     }
-    // make sure the suite's shared session isn't holding the conf
-    spark.conf.unset(Checkpoints.DirKey)
     val s1 = freshSession()
     assert(pinnedCount(s1) == 10)
     s1.stop()
