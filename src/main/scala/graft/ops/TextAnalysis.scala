@@ -291,12 +291,17 @@ object TextAnalysis {
     *
     * Output: (doc_id, n_sentences, n_kept, dedup_text).
     *
-    * Scale shape: one explode (Σ sentences rows), one global shuffle
-    * keyed on the sentence for the first-occurrence window (the only
-    * place corpus-global state is needed — skew from a mega-repeated
-    * sentence is bounded because only rank-1 survives the window and
-    * partial sort spills), one doc-keyed re-aggregate for reassembly.
-    * No pair term, no driver state.
+    * Scale shape: one explode (Σ sentences rows), then the
+    * first-occurrence decision as an AGGREGATE — `min(struct(doc_id,
+    * pos))` per sentence — joined back, then one doc-keyed re-aggregate
+    * for reassembly. The aggregate formulation is deliberate: a
+    * `row_number() over (partition by sentence)` window puts every
+    * occurrence of a mega-repeated sentence (empty string, boilerplate
+    * line shared by half the corpus) into ONE window partition that
+    * AQE cannot split, while the aggregate gets map-side partial
+    * combine (skewed keys collapse to one row per map task before the
+    * shuffle) and the join-back is AQE-skew-splittable. No pair term,
+    * no driver state.
     *
     * Split convention matches [[intraDocDedup]]: literal ". " with
     * trailing empties KEPT (`split(_, _, -1)`) so reassembly is
@@ -305,10 +310,14 @@ object TextAnalysis {
     val sent = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ", -1)))
       .toDF("doc_id", "pos", "sent")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("sent").orderBy("doc_id", "pos")
-    sent.withColumn("rn", row_number().over(w))
-      .withColumn("first", col("rn") === 1)
+    // struct min is lexicographic (doc_id, then pos) — identical to
+    // the first row of an (doc_id, pos)-ordered window, without the
+    // unsplittable per-sentence sort partition
+    val firstAt = sent.groupBy("sent")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    sent.join(firstAt, Seq("sent"))
+      .withColumn("first",
+        col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_sentences"),
         sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),

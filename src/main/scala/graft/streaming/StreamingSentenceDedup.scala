@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 import graft.engine.TableStore
@@ -62,11 +61,17 @@ object StreamingSentenceDedup {
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ", -1)))
       .toDF("doc_id", "pos", "sent")
       .withColumn("h", Hashing.h60(col("sent")))
-    // within-batch first occurrence, then the cross-batch anti-probe
-    val wb = Window.partitionBy("h").orderBy("doc_id", "pos")
-    val firstInBatch = sent
-      .withColumn("rn", row_number().over(wb))
-      .withColumn("firstHere", col("rn") === 1).drop("rn")
+    // within-batch first occurrence as an aggregate + join-back (not a
+    // per-hash row_number window): map-side partial combine absorbs a
+    // mega-repeated sentence before the shuffle, and the join is
+    // AQE-skew-splittable where a window partition is not — same
+    // reasoning as TextAnalysis.corpusSentenceDedup
+    val firstAt = sent.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val firstInBatch = sent.join(firstAt, Seq("h"))
+      .withColumn("firstHere",
+        col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos"))
+      .drop("f")
     val keptFlags = firstInBatch
       .join(seen.withColumn("inHist", lit(true)), Seq("h"), "left")
       .withColumn("keep", col("firstHere") && col("inHist").isNull)
