@@ -281,6 +281,74 @@ object TextAnalysis {
     out
   }
 
+  /** Repeated-span REMOVAL — the editing counterpart of
+    * [[repeatedSpans]] (which only reports): every token covered by a
+    * repeated `spanTokens`-window occurrence that is NOT the span's
+    * first corpus occurrence (min (doc_id, pos) per window hash) is
+    * excised, and each document's surviving tokens are reassembled in
+    * order. The canonical "deduplicating training data" transform:
+    * one copy of every duplicated passage survives, later copies are
+    * cut, unique text is untouched.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape, all skew-safe: window df AND first-occurrence come
+    * from ONE hash-keyed aggregate (countDistinct + min(struct) —
+    * map-side partial combine, no per-hash window partition); the
+    * join-back is AQE-skew-splittable; covered token positions come
+    * from an explode of at most spanTokens per bad window, deduped by
+    * (doc_id, pos); the final anti-join and doc-keyed reassembly are
+    * linear. No pair term anywhere. */
+  def repeatedSpanRemoval(docs: DataFrame, spanTokens: Int = 5,
+                          minDf: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val L = spanTokens
+    // cached: scanned by the anti-join AND the per-doc total (same
+    // tokenize-once discipline as the window index below)
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("pos", col("pos").cast("long"))
+      .cache()
+    val wins = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("w")) >= L,
+          transform(sequence(lit(0), size(col("w")) - lit(L)),
+            i => concat_ws(" ", slice(col("w"), i + lit(1), lit(L)))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        h60(col("s")).as("h"))
+      .cache()
+    val stats = wins.groupBy("h").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .filter(col("n_docs") >= minDf)
+    val bad = wins.join(stats, Seq("h"))
+      .filter(!(col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos")))
+    val covered = bad
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val total = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val out = total
+      .join(kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          array_sort(collect_list(struct(col("pos"), col("tok"))))
+            .as("ks")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(array_join(
+          transform(col("ks"), k => k.getField("tok")), " "), lit(""))
+          .as("clean_text"))
+      .transform(graft.engine.Checkpoints.pin)
+    wins.unpersist(blocking = false)
+    toks.unpersist(blocking = false)
+    out
+  }
+
   /** Corpus-global sentence dedup — the sub-document twin of
     * [[intraDocDedup]] and the RefinedWeb/Falcon-style exact layer:
     * every sentence is kept only at its FIRST occurrence in the whole

@@ -890,6 +890,54 @@ object Pipeline {
     Q("q63_pii_scrub", "pipeline:pii-scrub",
       Some(piiOracle),
       (s, dir) => TextAnalysis.piiScrub(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // ── repeated-span REMOVAL: the editing counterpart of q59 — every
+    // token covered by a repeated 5-window occurrence that is not the
+    // span's first corpus occurrence is excised; one copy of every
+    // duplicated passage survives.
+    Q("q64_span_removal", "pipeline:span-removal",
+      Some(s"""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tok
+        |  FROM w),
+        |wins AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(w) - 4, 0))) AS pos,
+        |    unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+        |      i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM w),
+        |hh AS (SELECT doc_id, pos, ${h60Sql("s")} AS h FROM wins),
+        |stats AS (
+        |  SELECT h, count(DISTINCT doc_id) AS n_docs
+        |  FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |firsts AS (
+        |  SELECT doc_id, pos, h, row_number() OVER (
+        |    PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM hh),
+        |bad AS (
+        |  SELECT f.doc_id, f.pos FROM firsts f
+        |  JOIN stats s ON s.h = f.h WHERE f.rn > 1),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos + d AS pos
+        |  FROM bad CROSS JOIN (SELECT unnest(range(0, 5)) AS d) offs),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |tot AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+        |ka AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(tot.n_tokens - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM tot LEFT JOIN ka ON ka.doc_id = tot.doc_id
+        |ORDER BY tot.doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.repeatedSpanRemoval(t(s, dir, "documents"), 5, 2)
         .orderBy("doc_id")))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern

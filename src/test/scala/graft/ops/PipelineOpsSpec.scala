@@ -116,6 +116,28 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 0L, 0L, 0L, "no pii here at all")), s"got $out")
   }
 
+  test("repeatedSpanRemoval: later copies of a shared span are excised, " +
+    "first occurrence and unique text survive; intra-doc repeats do not " +
+    "qualify") {
+    // L=3: docs 0/1 share "a b c d e" (first occurrence = doc 0);
+    // doc 2 is entirely a copy of a doc-0 window; doc 3 repeats ITSELF
+    // only (window df counts distinct docs -> untouched)
+    val docs = Seq(
+      (0L, "a b c d e x1"),
+      (1L, "z a b c d e"),
+      (2L, "a b c"),
+      (3L, "p q r p q r p q r"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpanRemoval(docs, spanTokens = 3, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 6L, 0L, "a b c d e x1"),
+      (1L, 6L, 5L, "z"),
+      (2L, 3L, 3L, ""),
+      (3L, 9L, 0L, "p q r p q r p q r")), s"got $out")
+  }
+
   test("vocabQuality: integer-exact scores from hand-computed dfs") {
     // dfs: "a" in docs 0,1,2 -> 3; "b" in 0,1 -> 2; "c" only 0 -> 1;
     // "d" only 2 -> 1 (twice in-doc, still df=1)
