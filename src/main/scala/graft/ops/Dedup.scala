@@ -50,29 +50,83 @@ object Dedup {
     docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(shinglesFromWords(col("w"))).as("s"))
 
-  /** Exact n-gram Jaccard >= minJ over all pairs sharing a shingle.
+  /** Exact n-gram Jaccard >= minJ over all pairs — PPJoin-style
+    * prefix-filtered, results identical to the naive
+    * every-shared-shingle formulation (same oracle, hash-equal).
     * Output: (doc_a, doc_b, common, n_a, n_b, jacc_x1000).
     *
-    * Scale note: cost is sum over shingles of df^2; stop-shingle capping
-    * belongs in the LSH variant — this operator is the exact oracle-able
-    * formulation. */
+    * The prefix-filter theorem (Chaudhuri et al. SSJoin / Xiao et al.
+    * PPJoin): under any global total order on shingles, two sets with
+    * Jaccard >= t must share their SMALLEST common shingle within each
+    * set's first |x| - ceil(t*|x|) + 1 elements. Ordering rare-first
+    * (ascending document frequency, shingle string as tie-break) makes
+    * the indexed prefix shingles precisely the LOW-df ones, so the
+    * pairing cost collapses from sum over ALL shingles of df² (the
+    * formulation every prior round documented as the scale-killer:
+    * boilerplate shingles contribute quadratic buckets) to sum over
+    * prefix postings of df_prefix² — near-linear on real corpora, with
+    * NO approximation. Verification of the surviving candidates is the
+    * shared streaming intersection (exact, slim rows, map-side
+    * partial).
+    *
+    * minJ = 0 is rejected: the prefix shrinks to nothing meaningful at
+    * t = 0 (every pair of docs is a result — that query is a cross
+    * join, not a similarity join). */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    // the inverted index feeds a self-join plus the per-doc counts —
-    // cache it or the whole tokenize/explode pipeline runs three times
-    // (exchange reuse does not cover self-joined aliases reliably)
+    require(minJ > 0.0 && minJ <= 1.0, s"minJ must be in (0, 1], got $minJ")
+    // the inverted index feeds df stats, the prefix ranking, and the
+    // verification — cache it or tokenize/shingle runs four times
     val sh = shingleIndex(docs).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // required-overlap a = ceil(t*n) with a 1e-9 guard: binary-double
+    // error on t*n must never round a up (a smaller a only ENLARGES
+    // the prefix — still exact; a larger a could miss pairs)
+    val ranked = sh.join(dfs, Seq("s")).join(cnt, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "s")))
+      .filter(col("rk") <=
+        col("n") - ceil(col("n") * lit(minJ) - lit(1e-9)) + 1)
+      .select("doc_id", "s")
+    val cand = ranked.as("a").join(ranked.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val out = verifyPairsExact(sh, cand, minJ)
+      .transform(graft.engine.Checkpoints.pin)
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the
+    * inverted index via the streaming intersection (see the shape
+    * discussion at [[minhashDupPairs]]): replicate each pair by
+    * doc_a's shingles, equi-join (doc_b, shingle), count. The index
+    * branches are re-projected with FRESH column names — `cand`
+    * typically derives from `sh`, making this a triple self-join where
+    * qualified refs can collapse into tautologies (see scaladoc in
+    * the MinHash path). Returns the standard 6-column shape; callers
+    * own cache/pin lifecycle. */
+  private def verifyPairsExact(sh: DataFrame, cand: DataFrame,
+                               minJ: Double): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("va_doc"), col("s").as("va_s"))
+    val shB = sh.select(col("doc_id").as("vb_doc"), col("s").as("vb_s"))
+    val common = cand
+      .join(shA, col("doc_a") === col("va_doc"))
+      .select(col("doc_a"), col("doc_b"), col("va_s"))
+      .join(shB, col("doc_b") === col("vb_doc") && col("va_s") === col("vb_s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    // pairs with an empty intersection drop out of the inner join —
+    // correct for minJ > 0 (their Jaccard is 0 < minJ)
+    common
       .join(cnt.as("x"), col("doc_a") === col("x.doc_id"))
       .join(cnt.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("common"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"),
-        (col("common").cast("double") /
-          (col("x.n") + col("y.n") - col("common"))).as("jacc"))
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .withColumn("jacc", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
       .filter(col("jacc") >= minJ)
       .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
         floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
@@ -215,45 +269,15 @@ object Dedup {
     // skewed corpus the candidate set inflates (docs sharing common
     // tokens collide in bands at r=2; measured 601 candidates/doc on a
     // 50k-doc corpus with one shared token interleaved — ~6 GiB of
-    // array copies, superlinear GC). Streaming the intersection
-    // through the inverted index keeps every operator pipelined:
-    // replicate each candidate pair by doc_a's shingles, equi-join on
-    // (doc_b, s) to count the overlap — cost is sum over pairs of
-    // |sh(doc_a)|, linear in the candidate set, and nothing wider than
-    // one (pair, shingle) row ever sits in memory or shuffle.
+    // array copies, superlinear GC). The streaming intersection in
+    // verifyPairsExact keeps every operator pipelined — cost is sum
+    // over pairs of |sh(doc_a)|, linear in the candidate set.
     //
-    // The index branches are re-projected with FRESH column names (not
-    // `.as(alias)` qualifiers): cand's lineage already contains sh
-    // (via sigs), so this is a triple self-join — qualified refs like
-    // `cx.s === cy.s` can silently resolve both sides to one attribute
-    // after plan deduplication, collapsing the shingle equality into a
-    // tautology and exploding the join to pairs x |sh_a| x |sh_b|.
-    // Renamed projections mint new attribute ids, which makes that
-    // mis-resolution structurally impossible.
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("va_doc"), col("s").as("va_s"))
-    val shB = sh.select(col("doc_id").as("vb_doc"), col("s").as("vb_s"))
-    val common = cand
-      .join(shA, col("doc_a") === col("va_doc"))
-      .select(col("doc_a"), col("doc_b"), col("va_s"))
-      .join(shB, col("doc_b") === col("vb_doc") && col("va_s") === col("vb_s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    // pairs with an empty intersection drop out of the inner join —
-    // correct, their Jaccard is 0 < minJ
-    val out = common
-      .join(cnt.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(cnt.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("common"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"))
-      .withColumn("jacc", col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jacc") >= minJ)
-      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
-        floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
-      // pin the verified pair set (tiny next to the shingle index) and
-      // release the operator-internal caches: repeated library calls
-      // must not leak block-store entries (same discipline as
-      // nearDupPairsLsh / componentLabels)
+    // The pin keeps the verified pair set (tiny next to the shingle
+    // index); the operator-internal caches are released below so
+    // repeated library calls do not leak block-store entries (same
+    // discipline as nearDupPairsLsh / componentLabels).
+    val out = verifyPairsExact(sh, cand, minJ)
       .transform(graft.engine.Checkpoints.pin)
     if (bucketCap.isDefined) bands.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
