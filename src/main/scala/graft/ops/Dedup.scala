@@ -243,17 +243,26 @@ object Dedup {
     // band self-join scans them twice
     val sigs = minhashSignaturesFromIndex(sh).cache()
     val allBands = lshBands(sigs)
-    // bucket-size cap via ONE window pass over the band-partitioned
-    // sort (no join). The filtered band stream is cached because the
-    // candidate self-join scans it twice — uncapped bands are a cheap
-    // projection of the cached sigs, but the capped stream carries a
-    // shuffle+sort that would otherwise run once per join branch
-    // (measured 10.5 s vs 3.7 s uncapped at the x10 scale corpus).
+    // bucket-size cap as an AGGREGATE + broadcast anti-join against
+    // the OVERSIZED buckets, not a count-over-window: the cap exists
+    // precisely for corpora with mega-buckets, and a window would put
+    // every row of such a bucket into ONE unsplittable partition. The
+    // aggregate gets map-side partial combine (a mega-bucket collapses
+    // to one row per map task before the shuffle), and the oversized
+    // set is small BY CONSTRUCTION — empty on organic corpora, a
+    // handful of boilerplate buckets otherwise — so the subtraction is
+    // a broadcast anti-join, never a shuffle (the q47 stop-shingle
+    // pattern). The filtered band stream is cached because the
+    // candidate self-join scans it twice (uncached, the cap pipeline
+    // ran once per join branch: measured 10.5 s vs 3.7 s uncapped at
+    // the x10 scale corpus).
     val bands = bucketCap.fold(allBands) { cap =>
-      val wb = org.apache.spark.sql.expressions.Window
-        .partitionBy("band_idx", "band_val")
-      allBands.withColumn("bsz", count(lit(1)).over(wb))
-        .filter(col("bsz") <= cap).drop("bsz")
+      val oversized = allBands.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > cap)
+        .select("band_idx", "band_val")
+      allBands.join(broadcast(oversized),
+          Seq("band_idx", "band_val"), "left_anti")
         .cache()
     }
     val cand = bands.as("a").join(bands.as("b"),
