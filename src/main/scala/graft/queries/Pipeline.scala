@@ -938,7 +938,56 @@ object Pipeline {
         |FROM tot LEFT JOIN ka ON ka.doc_id = tot.doc_id
         |ORDER BY tot.doc_id""".stripMargin),
       (s, dir) => TextAnalysis.repeatedSpanRemoval(t(s, dir, "documents"), 5, 2)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── dedup MATERIALIZATION: the end-to-end detect → cluster → keep
+    // pipeline as one query — the surviving (canonical) corpus after
+    // near-dup clustering, each keeper annotated with its cluster
+    // size. Composes dupClusters (q35's operator) with the corpus.
+    Q("q65_dedup_materialize", "pipeline:dedup-materialize",
+      Some(s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS root
+        |  FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
+        |  GROUP BY d.doc_id),
+        |siz AS (SELECT root, count(*) AS cluster_size FROM lab GROUP BY root)
+        |SELECT l.doc_id, CAST(l.root AS BIGINT) AS cluster_root,
+        |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM lab l JOIN siz s ON s.root = l.root
+        |JOIN documents d ON d.doc_id = l.doc_id
+        |WHERE l.doc_id = l.root
+        |ORDER BY l.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cl = Dedup.dupClusters(docs, 0.8)
+        val sizes = cl.groupBy("cluster_root")
+          .agg(count(lit(1)).as("cluster_size"))
+        cl.filter(col("keep"))
+          .join(sizes, Seq("cluster_root"))
+          .join(docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+          .select(col("doc_id"), col("cluster_root"), col("cluster_size"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      }))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
     * literals (RE2-compatible subset, no lookarounds/backreferences)
