@@ -67,6 +67,43 @@ class TextOpsPropertySpec extends SparkSpec {
     }.toSet
   }
 
+  /** Reference exact Jaccard: all pairs, in-memory shingle sets. */
+  private def refJaccard(docs: Seq[(Long, String)], minJ: Double)
+      : Set[(Long, Long, Long)] = {
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      if (w.size < 3) Set.empty
+      else (0 to w.size - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      c = (sa & sb).size
+      if c > 0 && c.toDouble / (sa.size + sb.size - c) >= minJ
+    } yield (a, b, c.toLong)).toSet
+  }
+
+  test("prefix-filtered exact Jaccard agrees with brute force across " +
+    "thresholds on random corpora") {
+    // longer docs so 3-gram shingles exist; duplicated docs guarantee
+    // high-Jaccard pairs, the tiny vocabulary guarantees mid ones
+    val longDoc: Gen[String] =
+      Gen.chooseNum(3, 14).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val dupCorpus: Gen[Seq[(Long, String)]] = for {
+      base <- Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, longDoc))
+      dup <- Gen.someOf(base)
+    } yield (base ++ dup).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      samples(dupCorpus, 8).foreach { docs =>
+        val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), t)
+          .select("doc_a", "doc_b", "common")
+          .as[(Long, Long, Long)].collect().toSet
+        val want = refJaccard(docs, t)
+        assert(got == want, s"t=$t corpus=$docs\ngot=$got\nwant=$want")
+      }
+    }
+  }
+
   test("repeatedSpans agrees with the sequential reference on random corpora") {
     samples(corpus, 12).foreach { docs =>
       val got = TextAnalysis.repeatedSpans(docs.toDF("doc_id", "text"), 3, 2)
