@@ -8,6 +8,30 @@ import Hashing.h60
 /** Corpus-balancing sampling for training-data pipelines. */
 object Sampling {
 
+  /** Deterministic train/val/test assignment by content-independent
+    * hash: bucket = h60("split:" + doc_id) mod 1000, train below
+    * `trainPerMille`, val below `trainPerMille + valPerMille`, test
+    * above. Properties a pretraining pipeline needs and a random()
+    * split lacks: stable under re-runs and corpus growth (a doc's
+    * split never changes when other docs arrive), engine-portable
+    * (md5-derived [[Hashing.h60]]), and per-row — ZERO shuffles, the
+    * assignment is a projection. The salt prefix decorrelates this
+    * hash from any other doc_id-keyed hashing in the pipeline. */
+  def hashSplit(docs: DataFrame, trainPerMille: Int = 980,
+                valPerMille: Int = 10): DataFrame = {
+    require(trainPerMille > 0 && valPerMille >= 0 &&
+      trainPerMille + valPerMille < 1000,
+      s"bad split: train=$trainPerMille val=$valPerMille")
+    val bucket = pmod(Hashing.h60(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(1000L))
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < trainPerMille + valPerMille, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+  }
+
   /** Per-language cap: keep at most `cap` documents per predicted
     * language, chosen in deterministic pseudo-random order (h60 of the
     * doc id, doc_id tie-break) so reruns and the oracle agree exactly.

@@ -987,7 +987,22 @@ object Pipeline {
           .select(col("doc_id"), col("cluster_root"), col("cluster_size"),
             col("n_chars"))
           .orderBy("doc_id")
-      }))
+      }),
+
+    // ── deterministic train/val/test hash split: stable under re-runs
+    // and corpus growth, engine-portable, zero shuffles (a projection).
+    Q("q66_hash_split", "pipeline:hash-split",
+      Some(s"""WITH b AS (
+        |  SELECT doc_id,
+        |    ${h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 980 THEN 'train'
+        |       WHEN bucket < 990 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
+      (s, dir) => Sampling.hashSplit(t(s, dir, "documents"), 980, 10)
+        .orderBy("doc_id")))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
     * literals (RE2-compatible subset, no lookarounds/backreferences)
