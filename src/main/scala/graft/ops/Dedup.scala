@@ -77,15 +77,19 @@ object Dedup {
     // the inverted index feeds df stats, the prefix ranking, and the
     // verification — cache it or tokenize/shingle runs four times
     val sh = shingleIndex(docs).cache()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // required-overlap a = ceil(t*n) with a 1e-9 guard: binary-double
     // error on t*n must never round a up (a smaller a only ENLARGES
-    // the prefix — still exact; a larger a could miss pairs)
-    val ranked = sh.join(dfs, Seq("s")).join(cnt, Seq("doc_id"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("df", "s")))
+    // the prefix — still exact; a larger a could miss pairs). The
+    // per-doc size comes from a count window over the SAME doc_id
+    // partitioning as the rank window — one exchange serves both,
+    // instead of a separate groupBy + join shuffle.
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "s")
+    val ranked = sh.join(dfs, Seq("s"))
+      .withColumn("n", count(lit(1)).over(wd))
+      .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <=
         col("n") - ceil(col("n") * lit(minJ) - lit(1e-9)) + 1)
       .select("doc_id", "s")
