@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":...,"queries":{name: sec}}.
+  * prints ONE compact JSON line {"metric":...,"queries":{name: sec}} as
+  * the LAST stdout line (the driver tail-captures ~2000 chars of stdout,
+  * so the line must stay small and last — BENCH_r07.json went
+  * `parsed: null` when the probes object rode on the same line and
+  * pushed it past the window).
   *
   * Results are forced through the "noop" sink so the full plan executes
   * (a bare count() lets Spark skip projections).
@@ -30,11 +34,12 @@ import org.apache.spark.sql.SparkSession
   *
   * == Self-diagnosis ==
   *
-  * The JSON gains a "probes" object alongside "queries": for each query
-  * the two raw run times, plus, when the two runs disagree by >1.5x, a
-  * third run in ANOTHER fresh session ("reprobe") and a "stable" flag.
-  * A regressed plan shows consistent times across all probes; harness
-  * noise shows one outlier run — the driver can tell them apart from
+  * A SEPARATE {"probes":{...}} JSON line (stderr + the
+  * SPARK_GRAFT_BENCH_OUT file, never stdout) carries, per query, the two
+  * raw run times, plus, when the two runs disagree by >1.5x, a third run
+  * in ANOTHER fresh session ("reprobe") and a "stable" flag. A regressed
+  * plan shows consistent times across all probes; harness noise shows
+  * one outlier run settled by two agreeing runs — tellable apart from
   * the JSON alone.
   *
   * == Diagnosis modes ==
@@ -163,28 +168,59 @@ object Bench {
       // conditions where a one-off failure is most likely
       private def ok: Seq[Double] = runs.filter(_ >= 0)
       def best: Double = if (ok.isEmpty) -1.0 else ok.min
-      def stable: Boolean =
-        ok.size == runs.size && ok.max <= ok.min * 1.5
+      // Without a reprobe: both runs must agree within 1.5x. With a
+      // reprobe (which only fires BECAUSE the first two disagreed), the
+      // question is whether the third run settled the dispute: if any
+      // two of the three runs agree within 1.5x, the odd one out is
+      // classified as harness noise and the query is stable. The raw
+      // runs are emitted alongside, so the driver can re-derive either
+      // reading.
+      def stable: Boolean = ok.size == runs.size && {
+        val s = ok.sorted
+        if (reprobe.isEmpty) s.last <= s.head * 1.5
+        else s.sliding(2).exists(p => p(1) <= p(0) * 1.5)
+      }
     }
 
-    def jsonLine(results: Seq[(String, Probe)]): String = {
-      // Locale.ROOT: the f-interpolator honors the JVM default locale,
-      // and a comma decimal separator (de_DE, tr_TR, ...) would
-      // corrupt the machine-parseable JSON
-      def num(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-      val qs = results.map { case (k, p) => "\"" + k + "\":" + num(p.best) }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma decimal separator (de_DE, tr_TR, ...) would
+    // corrupt the machine-parseable JSON
+    def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+    /** The compact driver-facing line: metric/value/queries/sf only.
+      * Round 7 taught us the driver tail-captures the last ~2000 stdout
+      * chars; a single line carrying the per-query probes object outgrew
+      * that window at 65 queries and the driver recorded `parsed: null`.
+      * This line stays well under the window (~27 bytes/query), and it is
+      * ALWAYS the last stdout line of a successful run. */
+    def compactLine(results: Seq[(String, Probe)]): String = {
+      // centisecond precision: at 67+ queries every byte counts against
+      // the tail window, and 0.01 s resolves everything the cross-round
+      // comparison cares about (the probes line keeps 3 decimals)
+      def num2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, p) => "\"" + k + "\":" + num2(p.best) }
         .mkString("{", ",", "}")
+      val total = results.map(_._2.best).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+
+    /** The self-diagnosis payload (raw runs, reprobes, stable flags) —
+      * too fat for the driver's tail capture, so it goes to stderr and
+      * the SPARK_GRAFT_BENCH_OUT file, never stdout. */
+    def probesLine(results: Seq[(String, Probe)]): String = {
       val probes = results.map { case (k, p) =>
         val re = p.reprobe.map(r => ",\"reprobe\":" + num(r)).getOrElse("")
         "\"" + k + "\":{\"runs\":[" + num(p.t1) + "," + num(p.t2) + "]" +
           re + ",\"stable\":" + p.stable + "}"
       }.mkString("{", ",", "}")
-      val total = results.map(_._2.best).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"probes":$probes,"sf":"$sfDir"}"""
+      s"""{"probes":$probes}"""
     }
-    def writeOut(line: String): Unit = outFile.foreach { p =>
+    // The out-file always carries BOTH lines (compact first, probes
+    // second) so a human or tool reading it gets the full picture.
+    def writeOut(results: Seq[(String, Probe)]): Unit = outFile.foreach { p =>
+      val body = compactLine(results) + "\n" + probesLine(results) + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
     var done = List.empty[(String, Probe)]
@@ -204,7 +240,7 @@ object Bench {
         val p = Probe(t1, t2, None)
         System.err.println(f"[bench] $n: ${p.best}%.2f s")
         done = done :+ (n -> p)
-        writeOut(jsonLine(done))
+        writeOut(done)
       }
       spark.stop()
     } else {
@@ -232,14 +268,15 @@ object Bench {
         // flush partial results after every query: if the harness kills
         // this process on a timeout, the file still names the culprit
         done = done :+ (n -> p)
-        writeOut(jsonLine(done))
+        writeOut(done)
       }
     }
-    val line = jsonLine(done)
-    // machine-parseable output: always stdout (sole non-log line), plus a
-    // clean file copy when SPARK_GRAFT_BENCH_OUT is set, so the harness
-    // never has to regex the JSON out of sbt/log4j noise
-    println(line)
-    writeOut(line)
+    // Machine-parseable output contract: the COMPACT line is the LAST
+    // stdout line (the driver tail-captures ~2000 chars and json-parses
+    // the final line); the probes diagnosis goes to stderr and the
+    // SPARK_GRAFT_BENCH_OUT file only, never stdout.
+    System.err.println(probesLine(done))
+    println(compactLine(done))
+    writeOut(done)
   }
 }
