@@ -23,6 +23,16 @@ object Hashing {
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** The OTHER 60 bits of the same digest: hex chars 16..30 of
+    * md5(string(x)). Pairing [[h60]] with this gives a 120-bit key from
+    * ONE md5 evaluation (whole-stage codegen subexpression-eliminates
+    * the shared digest) — for destructive operators where a 60-bit
+    * birthday collision is a real event at design scale (10^12 keys →
+    * ~4x10^5 expected 60-bit collisions, ~4x10^-13 expected 120-bit
+    * ones). */
+  def h60b(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 16, 15), 16, 10).cast("long")
+
   /** Hash reduced into [0, 2^31-1) — safe to multiply by a 31-bit
     * constant without overflowing a signed 64-bit long. */
   def h31(c: Column): Column = h60(c) % P31
@@ -77,6 +87,10 @@ object Hashing {
   /** DuckDB SQL fragment computing the same value as [[h60]]. */
   def h60Sql(x: String): String =
     s"(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15))::BIGINT)"
+
+  /** DuckDB SQL fragment computing the same value as [[h60b]]. */
+  def h60bSql(x: String): String =
+    s"(('0x' || substr(md5(CAST($x AS VARCHAR)), 16, 15))::BIGINT)"
 
   /** DuckDB SQL fragment computing the same value as [[h31]]. */
   def h31Sql(x: String): String = s"(${h60Sql(x)} % ${P31})"

@@ -244,7 +244,10 @@ object TextAnalysis {
     *     row_number()` constant within a run of consecutive positions.
     * h60 is the portable md5-derived hash ([[Hashing.h60]]), so window
     * identity is replayable in any engine with md5 — collisions need
-    * 2^30 distinct windows (birthday at 60 bits) before they matter. */
+    * 2^30 distinct windows (birthday at 60 bits) before they matter,
+    * and this operator only REPORTS spans, so a rare collision costs a
+    * spurious report row, never text. The destructive twin
+    * [[repeatedSpanRemoval]] widens to 120 bits. */
   def repeatedSpans(docs: DataFrame, spanTokens: Int = 5,
                     minDf: Int = 2): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
@@ -298,9 +301,34 @@ object TextAnalysis {
     * join-back is AQE-skew-splittable; covered token positions come
     * from an explode of at most spanTokens per bad window, deduped by
     * (doc_id, pos); the final anti-join and doc-keyed reassembly are
-    * linear. No pair term anywhere. */
+    * linear. No pair term anywhere.
+    *
+    * == Collision hardening (destructive operator!) ==
+    *
+    * Window identity is the 120-bit pair ([[Hashing.h60]],
+    * [[Hashing.h60b]]) — both halves of ONE md5 digest, so the cost
+    * over a single 60-bit key is 8 shuffled bytes, not a second hash.
+    * 60 bits alone is fine for REPORTING ([[repeatedSpans]] keeps it)
+    * but not for excision at design scale: a 100 TB corpus has ~10^12
+    * windows, where E[60-bit collisions] ≈ (10^12)^2 / 2^61 ≈ 4x10^5 —
+    * each deleting `spanTokens` innocent tokens from a random document.
+    * At 120 bits the same expectation is ~4x10^-13: no innocent token
+    * is ever removed in practice. Residual tolerance: a full-md5-prefix
+    * collision (~2^-120 per pair) would still excise wrongly; we accept
+    * that in exchange for never shuffling the window string itself. */
   def repeatedSpanRemoval(docs: DataFrame, spanTokens: Int = 5,
-                          minDf: Int = 2): DataFrame = {
+                          minDf: Int = 2): DataFrame =
+    repeatedSpanRemovalKeyed(docs, spanTokens, minDf, h60, h60b)
+
+  /** Test seam for [[repeatedSpanRemoval]]: the two window-key halves
+    * are injectable so a spec can PLANT a first-half collision (e.g.
+    * `key1 = _ => lit(0L)`, making every window collide on 60 bits) and
+    * prove the second half still prevents any innocent excision —
+    * engineering a real md5 60-bit collision would need ~2^30 digests.
+    * Production always uses (h60, h60b) via the public method. */
+  private[graft] def repeatedSpanRemovalKeyed(
+      docs: DataFrame, spanTokens: Int, minDf: Int,
+      key1: Column => Column, key2: Column => Column): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     val L = spanTokens
@@ -318,13 +346,13 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))))
       .toDF("doc_id", "pos", "s")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        h60(col("s")).as("h"))
+        key1(col("s")).as("h"), key2(col("s")).as("h2"))
       .cache()
-    val stats = wins.groupBy("h").agg(
+    val stats = wins.groupBy("h", "h2").agg(
         countDistinct(col("doc_id")).as("n_docs"),
         min(struct(col("doc_id"), col("pos"))).as("f"))
       .filter(col("n_docs") >= minDf)
-    val bad = wins.join(stats, Seq("h"))
+    val bad = wins.join(stats, Seq("h", "h2"))
       .filter(!(col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos")))
     val covered = bad
       .select(col("doc_id"),

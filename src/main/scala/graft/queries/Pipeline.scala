@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Tables, TableStore}
 import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import Hashing.{h60Sql, h31Sql, shingles3Sql}
+import Hashing.{h60Sql, h60bSql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
   * (BASELINE.json north star): dedup (exact / n-gram Jaccard /
@@ -909,17 +909,18 @@ object Pipeline {
         |    unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
         |      i -> array_to_string(w[i:i+4], ' '))) AS s
         |  FROM w),
-        |hh AS (SELECT doc_id, pos, ${h60Sql("s")} AS h FROM wins),
+        |hh AS (SELECT doc_id, pos, ${h60Sql("s")} AS h, ${h60bSql("s")} AS h2
+        |  FROM wins),
         |stats AS (
-        |  SELECT h, count(DISTINCT doc_id) AS n_docs
-        |  FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |  SELECT h, h2, count(DISTINCT doc_id) AS n_docs
+        |  FROM hh GROUP BY h, h2 HAVING count(DISTINCT doc_id) >= 2),
         |firsts AS (
-        |  SELECT doc_id, pos, h, row_number() OVER (
-        |    PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  SELECT doc_id, pos, h, h2, row_number() OVER (
+        |    PARTITION BY h, h2 ORDER BY doc_id, pos) AS rn
         |  FROM hh),
         |bad AS (
         |  SELECT f.doc_id, f.pos FROM firsts f
-        |  JOIN stats s ON s.h = f.h WHERE f.rn > 1),
+        |  JOIN stats s ON s.h = f.h AND s.h2 = f.h2 WHERE f.rn > 1),
         |covered AS (
         |  SELECT DISTINCT doc_id, pos + d AS pos
         |  FROM bad CROSS JOIN (SELECT unnest(range(0, 5)) AS d) offs),

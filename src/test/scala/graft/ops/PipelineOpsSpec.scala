@@ -138,6 +138,53 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 9L, 0L, "p q r p q r p q r")), s"got $out")
   }
 
+  test("repeatedSpanRemoval: a planted 60-bit window-key collision does " +
+    "not excise innocent text — the second md5 half guards excision") {
+    // Two docs sharing NO text. Plant a collision by forcing one key
+    // half to a constant: every window in the corpus now collides on
+    // that half (engineering a real md5 60-bit collision would need
+    // ~2^30 digests, so the seam injects it instead). A single-60-bit
+    // design would excise nearly everything; the 120-bit pair must
+    // leave both docs byte-identical.
+    val docs = Seq(
+      (0L, "one two three four five six"),
+      (1L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val intact = Seq(
+      (0L, 6L, 0L, "one two three four five six"),
+      (1L, 6L, 0L, "seven eight nine ten eleven twelve"))
+    val firstHalfCollides = TextAnalysis.repeatedSpanRemovalKeyed(
+      docs, 3, 2, _ => lit(0L), Hashing.h60b)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(firstHalfCollides == intact, s"got $firstHalfCollides")
+    val secondHalfCollides = TextAnalysis.repeatedSpanRemovalKeyed(
+      docs, 3, 2, Hashing.h60, _ => lit(0L))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(secondHalfCollides == intact, s"got $secondHalfCollides")
+    // sanity that the plant is live: with BOTH halves collided the
+    // operator does excise (first window of doc 0 survives, rest cut)
+    val bothCollide = TextAnalysis.repeatedSpanRemovalKeyed(
+      docs, 3, 2, _ => lit(0L), _ => lit(0L))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(bothCollide.exists(_._3 > 0), s"collision plant inert: $bothCollide")
+  }
+
+  test("h60b is the second md5 half: independent of h60, portable, and " +
+    "disjoint hex ranges") {
+    // chars 1..15 vs 16..30 of the same digest; verify on a literal
+    // against java's MessageDigest so the oracle fragment h60bSql is
+    // provably replaying the same bytes
+    val s = "collision probe"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectedA = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val expectedB = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    val row = Seq(s).toDF("x")
+      .select(Hashing.h60(col("x")).as("a"), Hashing.h60b(col("x")).as("b"))
+      .as[(Long, Long)].head()
+    assert(row == ((expectedA, expectedB)), s"got $row, hex=$hex")
+  }
+
   test("vocabQuality: integer-exact scores from hand-computed dfs") {
     // dfs: "a" in docs 0,1,2 -> 3; "b" in 0,1 -> 2; "c" only 0 -> 1;
     // "d" only 2 -> 1 (twice in-doc, still df=1)
