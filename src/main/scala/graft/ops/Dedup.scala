@@ -247,25 +247,27 @@ object Dedup {
     // band self-join scans them twice
     val sigs = minhashSignaturesFromIndex(sh).cache()
     val allBands = lshBands(sigs)
-    // bucket-size cap as an AGGREGATE + broadcast anti-join against
-    // the OVERSIZED buckets, not a count-over-window: the cap exists
+    // bucket-size cap as an AGGREGATE + anti-join against the
+    // OVERSIZED buckets, not a count-over-window: the cap exists
     // precisely for corpora with mega-buckets, and a window would put
     // every row of such a bucket into ONE unsplittable partition. The
     // aggregate gets map-side partial combine (a mega-bucket collapses
-    // to one row per map task before the shuffle), and the oversized
-    // set is small BY CONSTRUCTION — empty on organic corpora, a
-    // handful of boilerplate buckets otherwise — so the subtraction is
-    // a broadcast anti-join, never a shuffle (the q47 stop-shingle
-    // pattern). The filtered band stream is cached because the
-    // candidate self-join scans it twice (uncached, the cap pipeline
-    // ran once per join branch: measured 10.5 s vs 3.7 s uncapped at
-    // the x10 scale corpus).
+    // to one row per map task before the shuffle). The oversized set is
+    // TYPICALLY tiny — empty on organic corpora, a handful of
+    // boilerplate buckets otherwise — but it is O(#buckets) in the
+    // worst case (a small cap against a dense corpus), so the hint is
+    // left to AQE: at runtime it broadcasts the anti-join when the set
+    // is small (the q47 stop-shingle pattern) and falls back to a
+    // shuffle join instead of blowing the driver when it is not. The
+    // filtered band stream is cached because the candidate self-join
+    // scans it twice (uncached, the cap pipeline ran once per join
+    // branch: measured 10.5 s vs 3.7 s uncapped at the x10 corpus).
     val bands = bucketCap.fold(allBands) { cap =>
       val oversized = allBands.groupBy("band_idx", "band_val")
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > cap)
         .select("band_idx", "band_val")
-      allBands.join(broadcast(oversized),
+      allBands.join(oversized,
           Seq("band_idx", "band_val"), "left_anti")
         .cache()
     }
@@ -429,14 +431,25 @@ object Dedup {
 
   /** Near-dup clusters: connected components over the MinHash-LSH dup
     * pairs — the "keep one document per duplicate cluster" operator.
-    * Output: (doc_id, cluster_root, keep) for every document. */
-  def dupClusters(docs: DataFrame, minJ: Double, maxIters: Int = 50): DataFrame =
+    * Output: (doc_id, cluster_root, keep) for every document.
+    *
+    * `bucketCap` routes pair detection through
+    * [[minhashDupPairsCapped]]: the production setting for
+    * boilerplate-heavy corpora, where the uncapped band join inflates
+    * candidates ~2000x (PLANS.md measurement) and the end-to-end
+    * materialization would otherwise pay O(cluster²) exactly where
+    * clusters are biggest. None = uncapped (exact LSH recall). */
+  def dupClusters(docs: DataFrame, minJ: Double, maxIters: Int = 50,
+                  bucketCap: Option[Int] = None): DataFrame = {
+    bucketCap.foreach(c =>
+      require(c >= 2, s"bucketCap must be >= 2, got $c"))
     componentLabels(
       docs.select(col("doc_id").as("id")),
-      minhashDupPairs(docs, minJ)
+      minhashVerifiedPairs(docs, minJ, bucketCap)
         .select(col("doc_a").as("a"), col("doc_b").as("b")),
       maxIters)
       .select(col("id").as("doc_id"), col("cluster_root"), col("keep"))
+  }
 
   /** Signature width: 60 bits (all of [[Hashing.h60]]'s entropy). */
   val SimhashBits = 60

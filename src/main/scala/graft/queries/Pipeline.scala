@@ -945,6 +945,14 @@ object Pipeline {
     // pipeline as one query — the surviving (canonical) corpus after
     // near-dup clustering, each keeper annotated with its cluster
     // size. Composes dupClusters (q35's operator) with the corpus.
+    //
+    // CAVEAT (per-dataset pin, same as q34): the Spark side derives
+    // pairs via MinHash-LSH (b=8, r=2 — P(miss | J=0.8) ≈ 2e-4 per
+    // pair) while the oracle computes the EXACT Jaccard pair graph.
+    // They agree on THIS dataset because no qualifying pair happens to
+    // be band-missed; regenerated testdata could legitimately diverge
+    // without a code bug. q67 is the pin-free twin: its oracle replays
+    // the banding itself, so equality there is by construction.
     Q("q65_dedup_materialize", "pipeline:dedup-materialize",
       Some(s"""WITH RECURSIVE sh AS (
         |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
@@ -979,6 +987,29 @@ object Pipeline {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val cl = Dedup.dupClusters(docs, 0.8)
+        val sizes = cl.groupBy("cluster_root")
+          .agg(count(lit(1)).as("cluster_size"))
+        cl.filter(col("keep"))
+          .join(sizes, Seq("cluster_root"))
+          .join(docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+          .select(col("doc_id"), col("cluster_root"), col("cluster_size"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      }),
+
+    // ── CAPPED dedup materialization: q65 through the boilerplate-
+    // robust pair path (band buckets > 16 dropped before expansion) —
+    // the variant a production pipeline runs on a real crawl, where one
+    // shared license block otherwise inflates candidates ~2000x. The
+    // whole pipeline is deterministic, so the oracle replays signatures
+    // → banding → cap → verify → connected components in SQL: exact
+    // equality on ANY dataset, no LSH-recall pin (contrast q65).
+    Q("q67_dedup_materialize_capped", "pipeline:dedup-materialize-capped",
+      Some(cappedMaterializeOracle(maxBucket = 16)),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cl = Dedup.dupClusters(docs, 0.8, bucketCap = Some(16))
         val sizes = cl.groupBy("cluster_root")
           .agg(count(lit(1)).as("cluster_size"))
         cl.filter(col("keep"))
@@ -1025,11 +1056,15 @@ object Pipeline {
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB SQL replaying [[Dedup.minhashDupPairsCapped]] exactly —
-    * parameterized by the SAME [[Hashing.minhashCoeffs]] constants as
-    * the Spark side (the simhashOracle lockstep pattern), so widening
-    * the signature regenerates the oracle. */
-  private def cappedLshOracle(maxBucket: Int): String = {
+  /** Shared CTE chain replaying the capped-LSH candidate pipeline
+    * exactly — shingle h31s, the 16 universal-hash minima, band
+    * assembly, bucket sizing, the cap, candidate expansion, and the
+    * shingle-overlap counts. Parameterized by the SAME
+    * [[Hashing.minhashCoeffs]] constants as the Spark side (the
+    * simhashOracle lockstep pattern), so widening the signature
+    * regenerates every oracle built on it. Ends with CTEs `pairs`
+    * (doc_a, doc_b, common) and `cnt` (doc_id, n). */
+  private def cappedLshCtes(maxBucket: Int): String = {
     val P = Hashing.P31
     val mins = Hashing.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $P) AS mh_$i"
@@ -1037,7 +1072,7 @@ object Pipeline {
     val bandRows = (0 until 8).map { j =>
       s"SELECT doc_id, $j AS bi, mh_${2 * j} * $P + mh_${2 * j + 1} AS bv FROM mh"
     }.mkString("\n      |  UNION ALL ")
-    s"""WITH sh AS (
+    s"""sh AS (
       |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
       |hh AS (SELECT doc_id, ${h31Sql("s")} AS h FROM sh),
       |mh AS (
@@ -1062,12 +1097,49 @@ object Pipeline {
       |  FROM cand c
       |  JOIN sh a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB SQL replaying [[Dedup.minhashDupPairsCapped]] exactly. */
+  private def cappedLshOracle(maxBucket: Int): String =
+    s"""WITH ${cappedLshCtes(maxBucket)}
       |SELECT doc_a, doc_b, common,
       |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
       |  CAST(floor(CAST(common AS DOUBLE) / (x.n + y.n - common) * 1000) AS BIGINT) AS jacc_x1000
       |FROM pairs JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
       |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** DuckDB SQL replaying the CAPPED end-to-end materialization
+    * (q67): the [[cappedLshCtes]] pair pipeline, then connected
+    * components as a recursive reachability closure, then the q65
+    * keeper/size projection. Unlike q65's oracle (exact Jaccard pair
+    * graph — a per-dataset pin against LSH recall), every stage here
+    * replays the Spark plan's own deterministic decisions, so the
+    * equality is exact BY CONSTRUCTION on any dataset. */
+  private def cappedMaterializeOracle(maxBucket: Int): String =
+    s"""WITH RECURSIVE ${cappedLshCtes(maxBucket)},
+      |jp AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |          UNION SELECT doc_b, doc_a FROM jp),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+      |lab AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS root
+      |  FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
+      |  GROUP BY d.doc_id),
+      |siz AS (SELECT root, count(*) AS cluster_size FROM lab GROUP BY root)
+      |SELECT l.doc_id, CAST(l.root AS BIGINT) AS cluster_root,
+      |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+      |  CAST(length(d.text) AS BIGINT) AS n_chars
+      |FROM lab l JOIN siz s ON s.root = l.root
+      |JOIN documents d ON d.doc_id = l.doc_id
+      |WHERE l.doc_id = l.root
+      |ORDER BY l.doc_id""".stripMargin
 }

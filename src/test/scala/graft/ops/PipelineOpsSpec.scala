@@ -46,6 +46,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)), s"got $capped")
   }
 
+  test("dupClusters with bucketCap: the boilerplate mega-cluster stays " +
+    "singletons, the organic pair still merges") {
+    val boiler = (0L until 30L).map(i =>
+      (i, "the same license header repeated across every file in the corpus verbatim"))
+    val organic = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val docs = (boiler ++ organic).toDF("doc_id", "text")
+    val cl = Dedup.dupClusters(docs, 0.5, bucketCap = Some(8))
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // every band bucket of the 30 identical docs exceeds the cap, so
+    // they emit no pairs: each is its own cluster root and keeper
+    assert(cl.filter(_._1 < 100L).forall(r => r._2 == r._1 && r._3),
+      s"boilerplate docs not singletons: ${cl.filter(_._1 < 100L)}")
+    // the organic pair's buckets are size 2: they merge, min id roots
+    assert(cl.filter(_._1 >= 100L) ==
+      Seq((100L, 100L, true), (101L, 100L, false)), s"got $cl")
+  }
+
   test("repeatedSpans: maximal cross-doc spans with exact boundaries; " +
     "intra-doc repetition alone does not qualify") {
     // docs 0 and 1 share the 6-token run "q w e r t y" (two 5-windows,
