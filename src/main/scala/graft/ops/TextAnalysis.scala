@@ -315,10 +315,25 @@ object TextAnalysis {
     * At 120 bits the same expectation is ~4x10^-13: no innocent token
     * is ever removed in practice. Residual tolerance: a full-md5-prefix
     * collision (~2^-120 per pair) would still excise wrongly; we accept
-    * that in exchange for never shuffling the window string itself. */
+    * that in exchange for never shuffling the window string itself.
+    *
+    * == Memory bound ==
+    *
+    * Reassembling `clean_text` collects each doc's surviving (pos, tok)
+    * structs into ONE in-task array before `array_join` — inherent to
+    * emitting a text column, so task memory is bounded by the LARGEST
+    * document, not the partition. `maxTokens = Some(n)` caps that
+    * array by ORIGINAL token position (a filter before the collect, so
+    * the bound holds inside the aggregation buffer, not after): a
+    * pathological multi-GB document degrades to a truncated clean_text
+    * plus `truncated = true` instead of OOMing the task. The flag
+    * column is only added when the clamp is on, so the default output
+    * schema (and the q64 oracle) is unchanged. n_tokens/n_removed
+    * always count the FULL document either way. */
   def repeatedSpanRemoval(docs: DataFrame, spanTokens: Int = 5,
-                          minDf: Int = 2): DataFrame =
-    repeatedSpanRemovalKeyed(docs, spanTokens, minDf, h60, h60b)
+                          minDf: Int = 2,
+                          maxTokens: Option[Int] = None): DataFrame =
+    repeatedSpanRemovalKeyed(docs, spanTokens, minDf, h60, h60b, maxTokens)
 
   /** Test seam for [[repeatedSpanRemoval]]: the two window-key halves
     * are injectable so a spec can PLANT a first-half collision (e.g.
@@ -328,9 +343,12 @@ object TextAnalysis {
     * Production always uses (h60, h60b) via the public method. */
   private[graft] def repeatedSpanRemovalKeyed(
       docs: DataFrame, spanTokens: Int, minDf: Int,
-      key1: Column => Column, key2: Column => Column): DataFrame = {
+      key1: Column => Column, key2: Column => Column,
+      maxTokens: Option[Int] = None): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    maxTokens.foreach(n =>
+      require(n >= 1, s"maxTokens must be >= 1, got $n"))
     val L = spanTokens
     // cached: scanned by the anti-join AND the per-doc total (same
     // tokenize-once discipline as the window index below)
@@ -360,17 +378,31 @@ object TextAnalysis {
       .distinct()
     val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
     val total = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    // the clamp filters INSIDE collect_list's input (collect_list skips
+    // nulls), so the per-doc aggregation buffer itself never exceeds
+    // maxTokens entries — the memory bound, not a post-hoc truncation
+    val collectible = maxTokens.fold(struct(col("pos"), col("tok"))) { n =>
+      when(col("pos") < n, struct(col("pos"), col("tok")))
+    }
+    val keptAgg = maxTokens.fold(
+      kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_sort(collect_list(collectible)).as("ks"))) { n =>
+      kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_sort(collect_list(collectible)).as("ks"),
+        max(col("pos") >= n).as("trunc"))
+    }
+    val outCols = Seq(
+      col("doc_id"), col("n_tokens"),
+      (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+      coalesce(array_join(
+        transform(col("ks"), k => k.getField("tok")), " "), lit(""))
+        .as("clean_text")) ++
+      maxTokens.map(_ => coalesce(col("trunc"), lit(false)).as("truncated"))
     val out = total
-      .join(kept.groupBy("doc_id").agg(
-          count(lit(1)).as("n_kept"),
-          array_sort(collect_list(struct(col("pos"), col("tok"))))
-            .as("ks")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(array_join(
-          transform(col("ks"), k => k.getField("tok")), " "), lit(""))
-          .as("clean_text"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(outCols: _*)
       .transform(graft.engine.Checkpoints.pin)
     wins.unpersist(blocking = false)
     toks.unpersist(blocking = false)
@@ -401,8 +433,19 @@ object TextAnalysis {
     *
     * Split convention matches [[intraDocDedup]]: literal ". " with
     * trailing empties KEPT (`split(_, _, -1)`) so reassembly is
-    * byte-faithful and the oracle can compare texts exactly. */
-  def corpusSentenceDedup(docs: DataFrame): DataFrame = {
+    * byte-faithful and the oracle can compare texts exactly.
+    *
+    * Memory bound: like [[repeatedSpanRemoval]], reassembly collects
+    * each doc's surviving (pos, sent) structs into one in-task array —
+    * bounded by the largest document. `maxSentences = Some(n)` caps
+    * the aggregation buffer by original sentence position and appends
+    * a `truncated` flag column; the default schema (and the q62
+    * oracle) is unchanged, and n_sentences/n_kept always count the
+    * full document. */
+  def corpusSentenceDedup(docs: DataFrame,
+                          maxSentences: Option[Int] = None): DataFrame = {
+    maxSentences.foreach(n =>
+      require(n >= 1, s"maxSentences must be >= 1, got $n"))
     val sent = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ", -1)))
       .toDF("doc_id", "pos", "sent")
@@ -411,18 +454,29 @@ object TextAnalysis {
     // unsplittable per-sentence sort partition
     val firstAt = sent.groupBy("sent")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    // the clamp filters INSIDE collect_list's input (nulls skipped),
+    // so the per-doc buffer never exceeds maxSentences entries
+    val collectible = maxSentences.fold(
+      when(col("first"), struct(col("pos"), col("sent")))) { n =>
+      when(col("first") && col("pos") < n, struct(col("pos"), col("sent")))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_sentences"),
+      sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
+      array_sort(collect_list(collectible)).as("kept")) ++
+      maxSentences.map(n =>
+        coalesce(max(col("first") && col("pos") >= n), lit(false))
+          .as("truncated"))
+    val outCols = Seq(
+      col("doc_id"), col("n_sentences"), col("n_kept"),
+      array_join(transform(col("kept"), k => k.getField("sent")), ". ")
+        .as("dedup_text")) ++
+      maxSentences.map(_ => col("truncated"))
     sent.join(firstAt, Seq("sent"))
       .withColumn("first",
         col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos"))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_sentences"),
-        sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
-        array_sort(collect_list(
-          when(col("first"), struct(col("pos"), col("sent")))))
-          .as("kept"))
-      .select(col("doc_id"), col("n_sentences"), col("n_kept"),
-        array_join(transform(col("kept"), k => k.getField("sent")), ". ")
-          .as("dedup_text"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(outCols: _*)
   }
 
   /** PII scrubbing: count and redact emails, dash/dot-delimited phone

@@ -188,6 +188,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bothCollide.exists(_._3 > 0), s"collision plant inert: $bothCollide")
   }
 
+  test("repeatedSpanRemoval maxTokens clamp: a pathological mega-doc " +
+    "degrades to truncated output with the flag set; counts stay full") {
+    // 50k distinct tokens in one doc (the largest-document task-memory
+    // hazard), clamp at 100; a small doc rides along untouched
+    val mega = (0 until 50000).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, mega), (1L, "tiny doc here")).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpanRemoval(
+        docs, spanTokens = 3, minDf = 2, maxTokens = Some(100))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+    val (megaRow, tinyRow) = (out(0), out(1))
+    assert(megaRow._2 == 50000L && megaRow._3 == 0L && megaRow._5,
+      s"got $megaRow")
+    assert(megaRow._4 == (0 until 100).map(i => s"t$i").mkString(" "))
+    assert(tinyRow == ((1L, 3L, 0L, "tiny doc here", false)), s"got $tinyRow")
+    // default (no clamp): schema unchanged — exactly 4 columns
+    assert(TextAnalysis.repeatedSpanRemoval(docs, 3, 2).columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_removed", "clean_text"))
+  }
+
+  test("corpusSentenceDedup maxSentences clamp: buffer capped by original " +
+    "position, flag set only for docs that lost text to the clamp") {
+    val docs = Seq(
+      (0L, (0 until 500).map(i => s"sentence $i").mkString(". ")),
+      (1L, "alpha. beta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.corpusSentenceDedup(docs, Some(10))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+    assert(out(0)._2 == 500L && out(0)._3 == 500L && out(0)._5, s"got ${out(0)}")
+    assert(out(0)._4 == (0 until 10).map(i => s"sentence $i").mkString(". "))
+    assert(out(1) == ((1L, 2L, 2L, "alpha. beta", false)), s"got ${out(1)}")
+    assert(TextAnalysis.corpusSentenceDedup(docs).columns.toSeq ==
+      Seq("doc_id", "n_sentences", "n_kept", "dedup_text"))
+  }
+
   test("h60b is the second md5 half: independent of h60, portable, and " +
     "disjoint hex ranges") {
     // chars 1..15 vs 16..30 of the same digest; verify on a literal
