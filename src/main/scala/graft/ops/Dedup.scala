@@ -489,25 +489,38 @@ object Dedup {
     * the 60-bit signature splits into 4 blocks of 15 bits; by pigeonhole
     * any pair within distance 3 shares a block, so the block equi-join
     * loses nothing while avoiding the n^2 cross join. */
-  def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    hammingBlockPairs(simhash(docs), "simhash", maxHamming)
+
+  /** Pigeonhole hamming-neighbor join over ANY 60-bit signature column
+    * — the kernel shared by [[simhashDupPairs]] (text) and
+    * [[Multimodal.phashDupPairs]] (decoded payloads). `sigs0` is one
+    * (doc_id, signature) row per doc; output (doc_a, doc_b, hamming)
+    * with doc_a < doc_b and hamming <= maxHamming. The signature
+    * splits into 4 blocks of 15 bits; by pigeonhole any pair within
+    * distance 3 agrees on some block, so the block equi-join is
+    * lossless while never forming the n² cross join. */
+  private[graft] def hammingBlockPairs(sigs0: DataFrame, sigCol: String,
+                                       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "block scheme is only lossless for hamming <= 3")
-    val sigs = simhash(docs).cache() // one long per doc; self-joined below
+    // one long per doc; cached because the block self-join scans twice
+    val sigs = sigs0.select(col("doc_id"), col(sigCol).as("sig")).cache()
     val blockMask = (1L << SimhashBlockBits) - 1
     val blocks = (0 until 4).map { k =>
       struct(lit(k).as("blk_idx"),
-        shiftright(col("simhash"), SimhashBlockBits * k)
+        shiftright(col("sig"), SimhashBlockBits * k)
           .bitwiseAND(lit(blockMask)).as("blk_val"))
     }
-    val exploded = sigs.select(col("doc_id"), col("simhash"),
+    val exploded = sigs.select(col("doc_id"), col("sig"),
         explode(array(blocks: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sig"),
         col("b.blk_idx").as("blk_idx"), col("b.blk_val").as("blk_val"))
     exploded.as("a").join(exploded.as("b"),
         col("a.blk_idx") === col("b.blk_idx") &&
           col("a.blk_val") === col("b.blk_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+        expr("bit_count(a.sig ^ b.sig)").cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

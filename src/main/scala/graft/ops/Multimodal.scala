@@ -132,6 +132,75 @@ object Multimodal {
       needs.as("resized"))
   }
 
+  /** Perceptual block-hash over the decoded payload — content-level
+    * near-dup for media, the multimodal twin of [[Dedup.simhash]]
+    * (which works on word shingles and misses payloads whose DECODED
+    * content is near-identical but whose text tokenization differs).
+    *
+    * This is the classic blockhash pHash structure: split the decoded
+    * sample stream into `nBits` contiguous blocks, set bit b iff block
+    * b's mean sample is >= the stream's global mean. Near-identical
+    * payloads (a few localized edits) perturb few block means, so they
+    * land within small hamming distance; [[phashDupPairs]] then reuses
+    * the lossless 4x15-bit pigeonhole join.
+    *
+    * The decode step itself sits behind the same stub boundary as
+    * [[decodeMeta]]: with no codec in this environment the "sample
+    * stream" is the payload's utf-8 code points (deterministic, so the
+    * oracle replays it exactly); a real decoder would substitute pixel
+    * luma / PCM samples — the signature math and join are unchanged.
+    *
+    * All comparisons are integer-exact: mean_b >= mean_global iff
+    * sum_b * n >= total * count_b (no division, engine-portable).
+    * Overflow bound: sum_b * n < 2^21 * n² — safe in a signed 64-bit
+    * long for payloads up to ~50M samples; pair with the reassembly
+    * clamp upstream for corpora with pathological documents.
+    *
+    * Scale shape: one explode (Σ samples rows), one (doc_id, blk)
+    * aggregate with map-side combine, a ≤nBits-rows-per-doc window,
+    * one doc-keyed aggregate. Linear, no pair term; empty payloads get
+    * signature 0 via the left join. */
+  def blockHash(payloads: DataFrame, nBits: Int = 60): DataFrame = {
+    require(nBits >= 1 && nBits <= 60, s"nBits must be in [1, 60], got $nBits")
+    val px = payloads
+      .select(col("doc_id"), col("payload").cast("string").as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("doc_id"), length(col("t")).cast("long").as("n"),
+        posexplode(split(col("t"), "")))
+      .toDF("doc_id", "n", "pos", "c")
+      // Java's split("") keeps a trailing zero-width match under
+      // Spark's limit=-1; the filter drops it portably (no real
+      // per-char element is ever the empty string)
+      .filter(col("c") =!= "")
+      .select(col("doc_id"), col("n"), col("pos").cast("long").as("pos"),
+        ascii(col("c")).cast("long").as("p"))
+    val blocks = px
+      .groupBy(col("doc_id"),
+        floor(col("pos") * nBits / col("n")).cast("int").as("blk"))
+      .agg(sum(col("p")).as("sb"), count(lit(1)).as("cb"),
+        max(col("n")).as("n"))
+    // per-doc global total via a window: safe here because a doc has
+    // at most nBits block rows — never a skewed partition
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sigs = blocks
+      .withColumn("total", sum(col("sb")).over(wnd))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sb") * col("n") >= col("total") * col("cb"),
+        expr("shiftleft(CAST(1 AS BIGINT), blk)")).otherwise(0L))
+        .as("phash"))
+    payloads.select(col("doc_id"))
+      .join(sigs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("phash"), lit(0L)).as("phash"))
+  }
+
+  /** Content-level near-dup pairs over decoded payloads: [[blockHash]]
+    * signatures through the pigeonhole hamming join
+    * ([[Dedup.hammingBlockPairs]] — the same lossless 4x15-bit block
+    * scheme as text SimHash). Output (doc_a, doc_b, hamming),
+    * hamming <= maxHamming <= 3. */
+  def phashDupPairs(payloads: DataFrame, maxHamming: Int): DataFrame =
+    Dedup.hammingBlockPairs(blockHash(payloads), "phash", maxHamming)
+
   /** Frame sampling: one output row per kept frame, every `stride`-th
     * frame from 0, capped at `maxFrames` per doc (uniform head-sample
     * of the decoded metadata — the actual pixel fetch would be the

@@ -1021,6 +1021,24 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    // ── multimodal CONTENT-level near-dup: perceptual block-hash over
+    // the decoded payload stream (q32/q53/q54 stop at metadata). The
+    // stub decode is deterministic, so the oracle replays the whole
+    // signature pipeline: per-sample explode, block means vs global
+    // mean (integer-exact cross-multiplication), signature assembly —
+    // all 500 signatures hash-checked. The pair join on top
+    // (Multimodal.phashDupPairs) is the SAME hammingBlockPairs kernel
+    // q24 hash-checks with real pair rows, and is spec-covered with
+    // engineered payload near-dups (this corpus's text near-dups are
+    // length-shifting token edits, which alignment-sensitive blockhash
+    // correctly does NOT pair — an empty pair set would be weaker
+    // oracle evidence than the signatures themselves).
+    Q("q68_multimodal_phash", "pipeline:multimodal-phash",
+      Some(phashOracle),
+      (s, dir) => Multimodal.blockHash(
+          Multimodal.withPayload(t(s, dir, "documents")))
+        .orderBy("doc_id")),
+
     // ── deterministic train/val/test hash split: stable under re-runs
     // and corpus growth, engine-portable, zero shuffles (a projection).
     Q("q66_hash_split", "pipeline:hash-split",
@@ -1099,6 +1117,38 @@ object Pipeline {
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
       |  GROUP BY 1, 2)""".stripMargin
   }
+
+  /** DuckDB SQL replaying [[Multimodal.blockHash]] exactly: the stub
+    * decode is utf-8 code points (Spark `ascii` == DuckDB `unicode`
+    * per char), block index is integer `(pos * 60) // n`, and the bit
+    * test is the cross-multiplied integer mean comparison. */
+  private def phashOracle: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, '') AS a,
+      |    CAST(length(text) AS BIGINT) AS n
+      |  FROM documents WHERE length(text) > 0),
+      |px AS (
+      |  SELECT doc_id, n,
+      |    unnest(list_transform(range(1, n + 1),
+      |      i -> struct_pack(pos := i - 1,
+      |                       p := CAST(unicode(a[i]) AS BIGINT)))) AS u
+      |  FROM w),
+      |blocks AS (
+      |  SELECT doc_id, CAST((u.pos * 60) // n AS INT) AS blk,
+      |    sum(u.p) AS sb, count(*) AS cb, max(n) AS n
+      |  FROM px GROUP BY doc_id, 2),
+      |tot AS (SELECT doc_id, sum(sb) AS total FROM blocks GROUP BY doc_id),
+      |sig AS (
+      |  SELECT b.doc_id,
+      |    sum(CASE WHEN b.sb * b.n >= t.total * b.cb
+      |      THEN (CAST(1 AS BIGINT) << b.blk) ELSE 0 END) AS phash
+      |  FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+      |  GROUP BY b.doc_id),
+      |ph AS (
+      |  SELECT d.doc_id, coalesce(s.phash, 0) AS phash
+      |  FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(phash AS BIGINT) AS phash
+      |FROM ph ORDER BY doc_id""".stripMargin
 
   /** DuckDB SQL replaying [[Dedup.minhashDupPairsCapped]] exactly. */
   private def cappedLshOracle(maxBucket: Int): String =

@@ -50,6 +50,38 @@ class MultimodalSpec extends SparkSpec {
       Seq((320, 200), (640, 480), (6, 6))) // 5 % 640 + 1 = 6
   }
 
+  test("blockHash: hand-computed signature on a tiny payload; empty " +
+    "payload gets signature 0") {
+    // "ab" with nBits=2: pixels (97, 98), blocks {0:[97], 1:[98]},
+    // total=195, n=2. bit0: 97*2 >= 195*1 -> 194 >= 195 false;
+    // bit1: 98*2 >= 195*1 -> 196 >= 195 true -> phash = 2
+    val df = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.blockHash(Multimodal.withPayload(df), nBits = 2)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 0L)), s"got $out")
+  }
+
+  test("phashDupPairs: near-identical payloads pair within hamming 3, " +
+    "unrelated payloads do not; symmetric under the pigeonhole join") {
+    val base = (0 until 600).map(i => ('a' + i % 26).toChar).mkString
+    val nearDup = base.updated(7, 'z').updated(300, 'q') // two local edits
+    val other = (0 until 600).map(i =>
+      ('a' + (i * 17 + 5) % 26).toChar).mkString
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashDupPairs(
+        Multimodal.withPayload(docs), maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+    // identical payloads: hamming 0, always paired
+    val same = Multimodal.phashDupPairs(Multimodal.withPayload(
+        Seq((1L, base), (2L, base)).toDF("doc_id", "text")), 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(same == Seq((1L, 2L, 0)), s"got $same")
+  }
+
   test("resizeMeta: extreme aspect ratios clamp the short side to 1, " +
     "never a 0-dim plan") {
     val meta = Seq(
