@@ -20,7 +20,19 @@ import graft.ops.Hashing
   * the warehouse as a plain parquet hash table — 8 bytes per distinct
   * sentence ([[Hashing.h60]]) — re-read per batch; the probe is a
   * left-anti equi-join on the hash, which AQE broadcasts while the
-  * table is small and shuffle-joins beyond. At production scale the
+  * table is small and shuffle-joins beyond.
+  *
+  * SEMANTIC DIVERGENCE from the batch twin, deliberate: the batch
+  * operator keys first-occurrence on the RAW sentence string; this
+  * path keys on its 60-bit hash (the 8-byte history table is the
+  * point), so a 60-bit collision silently drops a distinct sentence
+  * corpus-wide. Same birthday bound as
+  * [[graft.ops.TextAnalysis.repeatedSpans]]: collisions need ~2^30
+  * distinct sentences before they matter — fine for the streaming
+  * ingest tier (sentence counts sit orders below the 10^12-window
+  * scale that forced [[graft.ops.Hashing.h60b]] widening for span
+  * REMOVAL, and widening here is the same two-column change if a
+  * deployment ever approaches it). At production scale the
   * probe upgrades to the [[graft.ops.IncrementalDedup]] bloom +
   * exact-rescue pattern unchanged, because the history layout
   * (append-only batch_id partitions of longs) is already what the
