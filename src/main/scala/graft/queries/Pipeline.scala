@@ -1021,6 +1021,23 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    // ── the LSH PAIR path under the hash-check regime: q27's 0.4
+    // threshold dispatches to the exact blocked kernel (below the 0.7
+    // crossover), so the production LSH pair path — THE scale path for
+    // embedding dedup at high thresholds — had no oracle-checked pair
+    // query of its own (q45 checks annTopK, a different function).
+    // This calls nearDupPairsLsh directly; the oracle replays the FULL
+    // path in SQL (64 plane-literal dots, per-plane sign bits, band
+    // values assembled bit-pair-wise — algebraically identical to
+    // Spark's shift+mask, which SQL can't express at bit 63 — distinct
+    // candidates, sequential-fold rerank), so equality is exact on any
+    // dataset, no recall pin. 0.45 because this corpus's near-dup
+    // pairs top out at cos ~0.6 (no rows above the crossover).
+    Q("q69_lsh_neardup_pairs", "pipeline:dedup-embedding-lsh",
+      Some(lshPairsOracle(0.45)),
+      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), 0.45)
+        .orderBy("vec_a", "vec_b")),
+
     // ── multimodal CONTENT-level near-dup: perceptual block-hash over
     // the decoded payload stream (q32/q53/q54 stop at metadata). The
     // stub decode is deterministic, so the oracle replays the whole
@@ -1116,6 +1133,52 @@ object Pipeline {
       |  JOIN sh a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB SQL replaying [[Similarity.nearDupPairsLsh]] exactly —
+    * the q45 pattern widened to the pair join: the 64 seed-fixed
+    * hyperplanes embed as literals (shortest-decimal repr round-trips
+    * to the identical double), each vector gets 64 sign bits, band j's
+    * value is `b_{2j} + 2*b_{2j+1}` (what Spark's
+    * `shiftright(sig, 2j) & 3` computes, expressed without the packed
+    * long — DuckDB raises on `1 << 63` and its shift semantics differ),
+    * candidates are the distinct band-sharing pairs, and the rerank is
+    * the same sequential-fold dot. Every stage deterministic, so the
+    * equality holds on any dataset — no LSH-recall pin. */
+  private def lshPairsOracle(minSim: Double): String = {
+    val planes = Similarity.hyperplanes(64, 64)
+    def dotLit(p: Array[Double]): String = {
+      val lst = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
+    }
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLit(p)} >= 0 THEN 1 ELSE 0 END) AS b$i"
+    }.mkString(",\n      |    ")
+    val bandRows = (0 until 32).map { j =>
+      s"SELECT vec_id, $j AS bi, b${2 * j} + 2 * b${2 * j + 1} AS bv FROM sb"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |nz AS (SELECT * FROM n WHERE nrm > 0),
+      |sb AS (
+      |  SELECT vec_id,
+      |    $bitCols
+      |  FROM nz),
+      |bands AS (
+      |  $bandRows),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id),
+      |sims AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+      |  FROM cand c
+      |  JOIN nz x ON x.vec_id = c.vec_a
+      |  JOIN nz y ON y.vec_id = c.vec_b)
+      |SELECT vec_a, vec_b, CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1e6
+      |FROM sims WHERE sim >= $minSim
+      |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** DuckDB SQL replaying [[Multimodal.blockHash]] exactly: the stub
