@@ -479,6 +479,66 @@ object TextAnalysis {
       .select(outCols: _*)
   }
 
+  /** Corpus length-outlier gate (the C4/Gopher-style "trim the tails"
+    * stage): every document is flagged keep iff its token count lies
+    * within the corpus's [pLo, pHi] exact interpolated percentiles.
+    *
+    * Output: (doc_id, n_tokens, keep, lo_x100, hi_x100) — the bounds
+    * floor-scaled so the oracle compares integers.
+    *
+    * The percentile is computed from the (length, count) HISTOGRAM,
+    * not Spark's `percentile()` aggregate: `percentile()` buffers
+    * every input value in one aggregation buffer (10^10 doc lengths at
+    * design scale = driver-sized OOM in a single agg state), while the
+    * histogram is bounded by the number of DISTINCT lengths —
+    * thousands — whatever the corpus size. Rank arithmetic is the same
+    * type-7 linear interpolation `percentile()`/`quantile_cont`
+    * evaluate (r = p(N-1); v = v0 + (r - floor r)(v1 - v0)), so the
+    * result is identical, and LengthGateSpec asserts that equality
+    * against Spark's own `percentile()` on randomized corpora.
+    *
+    * Plan shape: one token-count projection (reused for the gate), a
+    * histogram aggregate (map-side combine), ONE unpartitioned window
+    * over the tiny histogram (bounded rows — intentional and safe, the
+    * Packing.bases pattern), and a single-row broadcast back onto the
+    * doc stream. No sort of the corpus, no per-doc state. */
+  def lengthGate(docs: DataFrame, pLo: Double = 0.01,
+                 pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val toks = docs.select(col("doc_id"),
+      coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tokens"))
+    val hist = toks.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("n_tokens")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val cumN = cum.crossJoin(hist.agg(sum(col("cnt")).as("N")))
+    def rank(p: Double): Column = lit(p) * (col("N") - 1).cast("double")
+    def k0(p: Double): Column = floor(rank(p)).cast("long")
+    def k1(p: Double): Column = least(k0(p) + 1, col("N") - 1)
+    // value at 0-indexed rank k = the smallest length whose cumulative
+    // count exceeds k
+    def vAt(k: Column): Column = min(when(col("cum") > k, col("n_tokens")))
+    val agg = cumN.agg(
+      vAt(k0(pLo)).as("lo0"), vAt(k1(pLo)).as("lo1"),
+      vAt(k0(pHi)).as("hi0"), vAt(k1(pHi)).as("hi1"),
+      max(col("N")).as("N"))
+    def interp(p: Double, v0: Column, v1: Column): Column =
+      v0.cast("double") +
+        (rank(p) - floor(rank(p))) * (v1 - v0).cast("double")
+    val bounds = agg.select(
+      interp(pLo, col("lo0"), col("lo1")).as("lo"),
+      interp(pHi, col("hi0"), col("hi1")).as("hi"))
+    toks.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+          .as("keep"),
+        floor(col("lo") * 100).cast("long").as("lo_x100"),
+        floor(col("hi") * 100).cast("long").as("hi_x100"))
+  }
+
   /** PII scrubbing: count and redact emails, dash/dot-delimited phone
     * numbers, and IPv4 literals. Patterns are the RE2-compatible
     * subset (character classes, bounded repetition, \b) so the SAME

@@ -1056,6 +1056,27 @@ object Pipeline {
           Multimodal.withPayload(t(s, dir, "documents")))
         .orderBy("doc_id")),
 
+    // ── corpus length-outlier gate: keep iff token count within the
+    // corpus [p01, p99] exact interpolated percentiles — computed from
+    // the (length, count) histogram (bounded state at any corpus
+    // size), NOT the value-buffering percentile() aggregate. The
+    // histogram rank math reproduces quantile_cont's type-7
+    // interpolation exactly, which is what the oracle runs.
+    Q("q70_length_gate", "pipeline:length-gate",
+      Some("""WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(len(regexp_split_to_array(trim(lower(text)), '\s+')), 0) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(n_tokens, 0.01) AS lo,
+        |             quantile_cont(n_tokens, 0.99) AS hi FROM tok)
+        |SELECT doc_id, n_tokens,
+        |  (n_tokens >= lo AND n_tokens <= hi) AS keep,
+        |  CAST(floor(lo * 100) AS BIGINT) AS lo_x100,
+        |  CAST(floor(hi * 100) AS BIGINT) AS hi_x100
+        |FROM tok, b ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.lengthGate(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // ── deterministic train/val/test hash split: stable under re-runs
     // and corpus growth, engine-portable, zero shuffles (a projection).
     Q("q66_hash_split", "pipeline:hash-split",

@@ -240,6 +240,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row == ((expectedA, expectedB)), s"got $row, hex=$hex")
   }
 
+  test("lengthGate: histogram percentile equals Spark's percentile() " +
+    "on randomized corpora; gate keeps exactly the in-band docs") {
+    val rnd = new scala.util.Random(7)
+    // lengths with duplicates and gaps — the histogram path's edge food
+    val docs = (0L until 400L).map { i =>
+      val n = rnd.nextInt(50) + 1
+      (i, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.lengthGate(docs, 0.05, 0.95)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean, Long, Long)].collect().toSeq
+    val counts = docs.select(coalesce(size(split(trim(lower(col("text"))),
+      "\\s+")).cast("long"), lit(0L)).as("n"))
+    val expected = counts.agg(
+      floor(expr("percentile(n, 0.05)") * 100).cast("long"),
+      floor(expr("percentile(n, 0.95)") * 100).cast("long"))
+      .as[(Long, Long)].head()
+    assert(out.map(r => (r._4, r._5)).distinct == Seq(expected),
+      s"bounds ${out.head} vs percentile() $expected")
+    // gate semantics: keep iff n_tokens within the UNscaled double
+    // bounds, recomputed independently via percentile()
+    val loD = counts.agg(expr("percentile(n, 0.05)")).as[Double].head()
+    val hiD = counts.agg(expr("percentile(n, 0.95)")).as[Double].head()
+    out.foreach(r => assert(r._3 == (r._2 >= loD && r._2 <= hiD),
+      s"row $r vs band [$loD, $hiD]"))
+    val kept = out.count(_._3)
+    assert(kept > 0 && kept < out.size, s"degenerate gate: $kept/${out.size}")
+  }
+
   test("vocabQuality: integer-exact scores from hand-computed dfs") {
     // dfs: "a" in docs 0,1,2 -> 3; "b" in 0,1 -> 2; "c" only 0 -> 1;
     // "d" only 2 -> 1 (twice in-doc, still df=1)

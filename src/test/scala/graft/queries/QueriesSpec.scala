@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 68, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 69, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -53,9 +53,11 @@ class QueriesSpec extends SparkSpec {
     // the brute-force top-k family broadcasts the ~20-row query set and
     // scans the corpus once with a non-equi (vec_id != query_id)
     // condition — a BNLJ whose build side is bounded by nQueries, which
-    // is the intended one-pass shape, not an n^2 join
+    // is the intended one-pass shape, not an n^2 join; q70 broadcasts
+    // its ONE-row percentile-bounds frame onto the doc stream (a scalar
+    // join, the cheapest possible BNLJ)
     val bnljAllowed = Set("q25_similarity_topk", "q45_ann_recall",
-      "q56_quantized_topk", "q58_ivf_recall")
+      "q56_quantized_topk", "q58_ivf_recall", "q70_length_gate")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
