@@ -122,4 +122,61 @@ class TextOpsPropertySpec extends SparkSpec {
       assert(got == want, s"corpus=$docs\ngot=$got\nwant=$want")
     }
   }
+
+  /** Sequential blockhash reference: same integer-exact block-mean
+    * comparison as [[Multimodal.blockHash]]'s scaladoc defines it. */
+  private def refBlockHash(s: String, nBits: Int): Long = {
+    if (s.isEmpty) return 0L
+    val px = s.map(_.toLong)
+    val n = px.length.toLong
+    val total = px.sum
+    val byBlock = px.zipWithIndex
+      .groupBy { case (_, i) => (i.toLong * nBits / n).toInt }
+    byBlock.foldLeft(0L) { case (acc, (blk, ps)) =>
+      val sb = ps.map(_._1).sum
+      val cb = ps.size.toLong
+      if (sb * n >= total * cb) acc | (1L << blk) else acc
+    }
+  }
+
+  test("blockHash agrees with the sequential reference on random ASCII " +
+    "payloads, including shorter-than-nBits and empty ones") {
+    val payload: Gen[String] = Gen.chooseNum(0, 200)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)))
+      .map(_.mkString)
+    samples(Gen.listOfN(12, payload), 8).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Multimodal.blockHash(
+          Multimodal.withPayload(docs.toDF("doc_id", "text")))
+        .as[(Long, Long)].collect().toMap
+      val want = docs.map { case (id, t) => id -> refBlockHash(t, 60) }.toMap
+      assert(got == want, s"texts=$texts\ngot=$got\nwant=$want")
+    }
+  }
+
+  test("hammingBlockPairs finds exactly the brute-force hamming<=3 pairs " +
+    "on random 60-bit signatures (pigeonhole losslessness)") {
+    // mix of near-identical signatures (small perturbations of a base)
+    // and independent ones, so pairs exist at every distance 0..4
+    val sig: Gen[Long] = Gen.choose(0L, (1L << 60) - 1)
+    val corpus: Gen[Seq[Long]] = for {
+      bases <- Gen.listOfN(4, sig)
+      perturbed <- Gen.listOfN(12, for {
+        b <- Gen.oneOf(bases)
+        nFlips <- Gen.chooseNum(0, 4)
+        bits <- Gen.listOfN(nFlips, Gen.chooseNum(0, 59))
+      } yield bits.foldLeft(b)((v, i) => v ^ (1L << i)))
+    } yield bases ++ perturbed
+    samples(corpus, 8).foreach { sigs =>
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "sig")
+      val got = Dedup.hammingBlockPairs(df, "sig", 3)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        i <- sigs.indices; j <- sigs.indices if i < j
+        h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+      } yield (i.toLong, j.toLong, h)).toSet
+      assert(got == want, s"sigs=$sigs\ngot=$got\nwant=$want")
+    }
+  }
 }
