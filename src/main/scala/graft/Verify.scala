@@ -40,7 +40,14 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        // a `private val` oracle declared AFTER the registration list
+        // is null at object init (Scala initialization order) — fail
+        // with the query name instead of an opaque NPE in flatMap
+        require(v != null, s"oracle SQL for $k is null — declare the " +
+          "oracle as a def (or before the registration list)")
+        s"${q(k)}: ${q(v)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
