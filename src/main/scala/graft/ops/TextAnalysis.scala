@@ -479,6 +479,43 @@ object TextAnalysis {
       .select(outCols: _*)
   }
 
+  /** Boilerplate mining: the `k` most document-frequent word-3-gram
+    * shingles with their document frequencies — the diagnostics query
+    * that PRODUCES the stop-shingle lists the df-capped Jaccard join
+    * consumes (its cap exists precisely because these shingles blow up
+    * Σdf²; mining them first lets a pipeline cap or strip them
+    * deliberately).
+    *
+    * Output: (shingle, df, rank), rank 1..k by df descending with the
+    * shingle string as the deterministic tie-break.
+    *
+    * Scale shape: one explode (Σ shingles rows), one (shingle) df
+    * aggregate with map-side partial combine (a corpus-wide
+    * boilerplate shingle collapses to one row per map task before the
+    * shuffle), then a global top-k — Spark plans TakeOrdered over the
+    * vocabulary-sized aggregate, a bounded per-partition heap + one
+    * k-row merge on the driver, never a full sort. */
+  def topShingles(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // (doc_id, s) rows are unique by construction (shinglesFromWords
+    // is per-doc distinct), so plain count IS the document frequency —
+    // no countDistinct state needed
+    val df = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("w"))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .select(col("s").as("shingle"), col("df"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("shingle"))
+    // row_number over an unpartitioned window WOULD be a single-task
+    // sort of the whole vocabulary; orderBy+limit instead keeps the
+    // top-k selection distributed (TakeOrdered), and the rank column
+    // is re-derived on the k-row result only (bounded window, the
+    // Packing.bases pattern)
+    df.orderBy(col("df").desc, col("shingle")).limit(k)
+      .withColumn("rank", row_number().over(wnd).cast("long"))
+  }
+
   /** Corpus length-outlier gate (the C4/Gopher-style "trim the tails"
     * stage): every document is flagged keep iff its token count lies
     * within the corpus's [pLo, pHi] exact interpolated percentiles.

@@ -1056,6 +1056,22 @@ object Pipeline {
           Multimodal.withPayload(t(s, dir, "documents")))
         .orderBy("doc_id")),
 
+    // ── boilerplate mining: top-100 most document-frequent shingles —
+    // produces the stop-shingle lists q47's df-capped Jaccard consumes;
+    // df agg with map-side combine, distributed TakeOrdered top-k.
+    Q("q71_top_shingles", "pipeline:boilerplate-mining",
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+        |d AS (SELECT s AS shingle, CAST(count(*) AS BIGINT) AS df
+        |      FROM sh GROUP BY s),
+        |r AS (SELECT shingle, df,
+        |        row_number() OVER (ORDER BY df DESC, shingle) AS rank
+        |      FROM d)
+        |SELECT shingle, df, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin),
+      (s, dir) => TextAnalysis.topShingles(t(s, dir, "documents"), 100)
+        .orderBy("rank")),
+
     // ── corpus length-outlier gate: keep iff token count within the
     // corpus [p01, p99] exact interpolated percentiles — computed from
     // the (length, count) histogram (bounded state at any corpus

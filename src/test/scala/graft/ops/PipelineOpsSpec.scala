@@ -269,6 +269,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept > 0 && kept < out.size, s"degenerate gate: $kept/${out.size}")
   }
 
+  test("topShingles: df counts distinct docs, rank breaks ties by " +
+    "shingle string, k truncates") {
+    val docs = Seq(
+      (0L, "a b c d"),          // shingles: "a b c", "b c d"
+      (1L, "a b c x"),          // "a b c", "b c x"
+      (2L, "a b c a b c"))      // distinct within doc: "a b c", plus others
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topShingles(docs, 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.head == (("a b c", 3L, 1L)), s"got $out")
+    // ranks are 1..k and df non-increasing with shingle tie-break
+    assert(out.map(_._3) == Seq(1L, 2L, 3L), s"got $out")
+    assert(out.sliding(2).forall { case Seq(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }, s"got $out")
+  }
+
   test("vocabQuality: integer-exact scores from hand-computed dfs") {
     // dfs: "a" in docs 0,1,2 -> 3; "b" in 0,1 -> 2; "c" only 0 -> 1;
     // "d" only 2 -> 1 (twice in-doc, still df=1)
