@@ -515,7 +515,10 @@ object Dedup {
         explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.blk_idx").as("blk_idx"), col("b.blk_val").as("blk_val"))
-    exploded.as("a").join(exploded.as("b"),
+    // pin the (tiny) surviving pair set and release the signature
+    // cache — repeated library calls must not leak block-store entries
+    // (the minhashDupPairs discipline)
+    val out = exploded.as("a").join(exploded.as("b"),
         col("a.blk_idx") === col("b.blk_idx") &&
           col("a.blk_val") === col("b.blk_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -523,5 +526,8 @@ object Dedup {
         expr("bit_count(a.sig ^ b.sig)").cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .transform(graft.engine.Checkpoints.pin)
+    sigs.unpersist(blocking = false)
+    out
   }
 }

@@ -25,6 +25,18 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist(blocking = true)
   }
 
+  test("simhashDupPairs releases its signature cache: only the pinned " +
+    "pair set survives the call") {
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.simhashDupPairs(docs, 3)
+    out.count()
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(survivors.size <= 1,
+      s"operator-internal caches leaked: $survivors")
+    out.unpersist(blocking = true)
+  }
+
   test("minhashDupPairsCapped: a boilerplate mega-cluster is pruned to " +
     "O(bucket) while organic near-dup pairs survive the cap") {
     // 30 identical docs (every band bucket has 30 members) plus one
