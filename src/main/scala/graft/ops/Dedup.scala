@@ -157,7 +157,10 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
+    // pin the (tiny) surviving pair set and release both operator-
+    // internal caches — repeated library calls must not leak
+    // block-store entries (the minhashDupPairs discipline)
+    val out = pairs
       .join(cnt.as("x"), col("doc_a") === col("x.doc_id"))
       .join(cnt.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("common"),
@@ -167,6 +170,10 @@ object Dedup {
       .filter(col("jacc") >= minJ)
       .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
         floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
+      .transform(graft.engine.Checkpoints.pin)
+    kept.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** MinHash signatures: 16 universal hashes over shingle h31 values.

@@ -454,8 +454,14 @@ object Similarity {
           .cast("long").as("sim_x1e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_x1e6").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
+    // pin the (nQueries x k)-row result and release the signature
+    // cache — repeated library calls must not leak block-store entries
+    // (the minhashDupPairs discipline)
+    val out = scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
+      .transform(graft.engine.Checkpoints.pin)
+    sigs.unpersist(blocking = false)
+    out
   }
 }
