@@ -157,9 +157,10 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    // pin the (tiny) surviving pair set and release both operator-
-    // internal caches — repeated library calls must not leak
-    // block-store entries (the minhashDupPairs discipline)
+    // materialize the (tiny) surviving pair set through the caches,
+    // then release both: repeated library calls keep at most the small
+    // result block (cache+count, not Checkpoints.pin — the eager
+    // checkpoint bypassed the plan cache and cost 1.8x on q47)
     val out = pairs
       .join(cnt.as("x"), col("doc_a") === col("x.doc_id"))
       .join(cnt.as("y"), col("doc_b") === col("y.doc_id"))
@@ -170,7 +171,8 @@ object Dedup {
       .filter(col("jacc") >= minJ)
       .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
         floor(col("jacc") * 1000).cast("long").as("jacc_x1000"))
-      .transform(graft.engine.Checkpoints.pin)
+      .cache()
+    out.count()
     kept.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     out
@@ -511,6 +513,9 @@ object Dedup {
                                        maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "block scheme is only lossless for hamming <= 3")
     // one long per doc; cached because the block self-join scans twice
+    // (no ReusedExchange without it — the two sides' exchanges are not
+    // deduplicated, so uncached the signature pipeline runs twice:
+    // measured 2.7 s vs 0.4 s on q24)
     val sigs = sigs0.select(col("doc_id"), col(sigCol).as("sig")).cache()
     val blockMask = (1L << SimhashBlockBits) - 1
     val blocks = (0 until 4).map { k =>
@@ -522,9 +527,12 @@ object Dedup {
         explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.blk_idx").as("blk_idx"), col("b.blk_val").as("blk_val"))
-    // pin the (tiny) surviving pair set and release the signature
-    // cache — repeated library calls must not leak block-store entries
-    // (the minhashDupPairs discipline)
+    // materialize the (tiny) pair set through the cached signatures,
+    // then release the signature cache: repeated library calls keep at
+    // most the small result block (the minhash release discipline).
+    // cache+count, NOT Checkpoints.pin — localCheckpoint's eager
+    // materialization bypassed the plan cache here (measured 2.5 s vs
+    // 0.4 s on q24's 12-row result)
     val out = exploded.as("a").join(exploded.as("b"),
         col("a.blk_idx") === col("b.blk_idx") &&
           col("a.blk_val") === col("b.blk_val") &&
@@ -533,7 +541,8 @@ object Dedup {
         expr("bit_count(a.sig ^ b.sig)").cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .transform(graft.engine.Checkpoints.pin)
+      .cache()
+    out.count()
     sigs.unpersist(blocking = false)
     out
   }

@@ -454,13 +454,15 @@ object Similarity {
           .cast("long").as("sim_x1e6"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_x1e6").desc, col("vec_id"))
-    // pin the (nQueries x k)-row result and release the signature
-    // cache — repeated library calls must not leak block-store entries
-    // (the minhashDupPairs discipline)
+    // materialize the (nQueries x k)-row result through the signature
+    // cache, then release it: repeated library calls keep at most the
+    // small result block (cache+count, not Checkpoints.pin — the eager
+    // checkpoint bypassed the plan cache, costing 2x on q26)
     val out = scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
-      .transform(graft.engine.Checkpoints.pin)
+      .cache()
+    out.count()
     sigs.unpersist(blocking = false)
     out
   }

@@ -25,8 +25,8 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist(blocking = true)
   }
 
-  test("simhashDupPairs releases its signature cache: only the pinned " +
-    "pair set survives the call") {
+  test("simhashDupPairs releases its signature cache: only the " +
+    "materialized pair-set block survives the call") {
     val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001", "documents")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Dedup.simhashDupPairs(docs, 3)
