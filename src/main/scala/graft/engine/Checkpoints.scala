@@ -46,6 +46,23 @@ object Checkpoints {
   private val appliedDir =
     new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
 
+  /** Materialize `df` eagerly into the block cache WITHOUT truncating
+    * lineage: cache + count. The count executes through any
+    * still-cached upstream frames (the plan cache), so an operator can
+    * materialize its small result and then release its internal caches
+    * at the cost of one cached-path execution. Prefer this over [[pin]]
+    * for "materialize before unpersist" — measured on q24/q26/q47,
+    * pin's eager localCheckpoint re-ran the full upstream instead of
+    * reading the populated plan cache (0.4 s -> 2.5 s on q24); reserve
+    * [[pin]] for where lineage truncation is the point (the RDD
+    * boundary in componentLabels, reliable checkpoints on clusters).
+    * Lineage survives, so executor loss recomputes correctly. */
+  def materialize(df: DataFrame): DataFrame = {
+    val out = df.cache()
+    out.count()
+    out
+  }
+
   /** Materialize `df` eagerly and truncate its lineage. Local blocks
     * by default; a reliable checkpoint when [[DirKey]] is set. */
   def pin(df: DataFrame): DataFrame = {

@@ -98,7 +98,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val out = verifyPairsExact(sh, cand, minJ)
-      .transform(graft.engine.Checkpoints.pin)
+      .transform(graft.engine.Checkpoints.materialize)
     sh.unpersist(blocking = false)
     out
   }
@@ -297,12 +297,12 @@ object Dedup {
     // verifyPairsExact keeps every operator pipelined — cost is sum
     // over pairs of |sh(doc_a)|, linear in the candidate set.
     //
-    // The pin keeps the verified pair set (tiny next to the shingle
-    // index); the operator-internal caches are released below so
-    // repeated library calls do not leak block-store entries (same
-    // discipline as nearDupPairsLsh / componentLabels).
+    // Materialize the verified pair set (tiny next to the shingle
+    // index) through the caches, then release them so repeated library
+    // calls do not leak block-store entries (same discipline as
+    // nearDupPairsLsh / componentLabels).
     val out = verifyPairsExact(sh, cand, minJ)
-      .transform(graft.engine.Checkpoints.pin)
+      .transform(graft.engine.Checkpoints.materialize)
     if (bucketCap.isDefined) bands.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
     sh.unpersist(blocking = false)

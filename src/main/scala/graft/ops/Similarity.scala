@@ -346,13 +346,11 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("vec_a"), col("vec_b"),
         floor(col("sim") * 1e6).cast("long").as("sim_x1e6"))
-      // pin the surviving edge set (tiny next to the signature cache)
-      // and release sigs: repeated library calls must not leak
-      // block-store entries (same discipline as componentLabels).
-      // Checkpoints.pin = localCheckpoint locally, reliable under
-      // graft.checkpoint.dir on clusters (executor loss otherwise
-      // kills the truncated lineage)
-      .transform(graft.engine.Checkpoints.pin)
+      // materialize the surviving edge set (tiny next to the
+      // signature cache) through the caches, then release sigs:
+      // repeated library calls must not leak block-store entries
+      // (same discipline as componentLabels)
+      .transform(graft.engine.Checkpoints.materialize)
     sigs.unpersist(blocking = false)
     out
   }

@@ -209,7 +209,7 @@ object TextAnalysis {
       // index: a long-lived library session must not accrue a block-store
       // entry per contamination() call (same discipline as
       // componentLabels); reliable under graft.checkpoint.dir
-      .transform(graft.engine.Checkpoints.pin)
+      .transform(graft.engine.Checkpoints.materialize)
     sh.unpersist(blocking = false)
     out
   }
@@ -279,7 +279,7 @@ object TextAnalysis {
         max(col("n_docs")).cast("long").as("max_df"))
       .select(col("doc_id"), col("span_start"), col("span_len_tokens"),
         col("n_windows"), col("max_df"))
-      .transform(graft.engine.Checkpoints.pin)
+      .transform(graft.engine.Checkpoints.materialize)
     wins.unpersist(blocking = false)
     out
   }
@@ -403,7 +403,7 @@ object TextAnalysis {
     val out = total
       .join(keptAgg, Seq("doc_id"), "left")
       .select(outCols: _*)
-      .transform(graft.engine.Checkpoints.pin)
+      .transform(graft.engine.Checkpoints.materialize)
     wins.unpersist(blocking = false)
     toks.unpersist(blocking = false)
     out
@@ -643,7 +643,7 @@ object TextAnalysis {
         floor(col("capped_df_sum") * lit(1000.0) /
           (col("n_tokens") * lit(dfCap.toLong)))
           .cast("long").as("common_score_x1000"))
-      .transform(graft.engine.Checkpoints.pin)
+      .transform(graft.engine.Checkpoints.materialize)
     tok.unpersist(blocking = false)
     out
   }

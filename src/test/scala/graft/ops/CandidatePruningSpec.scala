@@ -147,16 +147,17 @@ class CandidatePruningSpec extends SparkSpec {
   }
 
   test("nearDupPairs dispatches: low threshold takes the blocked kernel " +
-    "(no join anywhere), high threshold the LSH checkpoint path") {
+    "(no join anywhere), high threshold the LSH materialized path") {
     val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val lowPlan = Similarity.nearDupPairs(emb, 0.4)
       .queryExecution.optimizedPlan.toString
     assert(!lowPlan.contains("Join"), s"blocked path must not join:\n$lowPlan")
     // the blocked path is a lazy kernel over an ExternalRDD ...
     assert(lowPlan.contains("ExternalRDD"), lowPlan)
-    // ... while the LSH path returns its eagerly-checkpointed edge set
+    // ... while the LSH path returns its eagerly-materialized edge set
+    // (cache + count — Checkpoints.materialize, not a checkpoint)
     val highPlan = Similarity.nearDupPairs(emb, 0.9)
       .queryExecution.optimizedPlan.toString
-    assert(highPlan.contains("LogicalRDD"), highPlan)
+    assert(highPlan.contains("InMemoryRelation"), highPlan)
   }
 }
