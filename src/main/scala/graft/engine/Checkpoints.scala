@@ -51,12 +51,18 @@ object Checkpoints {
     * still-cached upstream frames (the plan cache), so an operator can
     * materialize its small result and then release its internal caches
     * at the cost of one cached-path execution. Prefer this over [[pin]]
-    * for "materialize before unpersist" — measured on q24/q26/q47,
-    * pin's eager localCheckpoint re-ran the full upstream instead of
-    * reading the populated plan cache (0.4 s -> 2.5 s on q24); reserve
-    * [[pin]] for where lineage truncation is the point (the RDD
-    * boundary in componentLabels, reliable checkpoints on clusters).
-    * Lineage survives, so executor loss recomputes correctly. */
+    * for "materialize before unpersist": cost-neutral at query time
+    * (honestly measured q23 2.2 -> 1.8 s, q22/q64 unchanged), and
+    * lineage SURVIVES, so an evicted or executor-lost block recomputes
+    * correctly where pin's truncated lineage fails the query. Reserve
+    * [[pin]] for where truncation is the point (the RDD boundary in
+    * componentLabels).
+    *
+    * Benchmark caveat (learned the hard way): the block cache dedupes
+    * by logical plan, so a SECOND run of the same query reads this
+    * call's blocks instead of recomputing — any harness timing
+    * steady-state plan cost must clearCache between runs
+    * (Bench.runOne does). */
   def materialize(df: DataFrame): DataFrame = {
     val out = df.cache()
     out.count()

@@ -159,8 +159,8 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
     // materialize the (tiny) surviving pair set through the caches,
     // then release both: repeated library calls keep at most the small
-    // result block (cache+count, not Checkpoints.pin — the eager
-    // checkpoint bypassed the plan cache and cost 1.8x on q47)
+    // result block (cache+count — the Checkpoints.materialize
+    // contract: leak-free release with lineage intact)
     val out = pairs
       .join(cnt.as("x"), col("doc_a") === col("x.doc_id"))
       .join(cnt.as("y"), col("doc_b") === col("y.doc_id"))
@@ -514,8 +514,7 @@ object Dedup {
     require(maxHamming <= 3, "block scheme is only lossless for hamming <= 3")
     // one long per doc; cached because the block self-join scans twice
     // (no ReusedExchange without it — the two sides' exchanges are not
-    // deduplicated, so uncached the signature pipeline runs twice:
-    // measured 2.7 s vs 0.4 s on q24)
+    // deduplicated, so uncached the signature pipeline runs twice)
     val sigs = sigs0.select(col("doc_id"), col(sigCol).as("sig")).cache()
     val blockMask = (1L << SimhashBlockBits) - 1
     val blocks = (0 until 4).map { k =>
@@ -529,10 +528,9 @@ object Dedup {
         col("b.blk_idx").as("blk_idx"), col("b.blk_val").as("blk_val"))
     // materialize the (tiny) pair set through the cached signatures,
     // then release the signature cache: repeated library calls keep at
-    // most the small result block (the minhash release discipline).
-    // cache+count, NOT Checkpoints.pin — localCheckpoint's eager
-    // materialization bypassed the plan cache here (measured 2.5 s vs
-    // 0.4 s on q24's 12-row result)
+    // most the small result block (the minhash release discipline,
+    // via cache+count so lineage survives — see
+    // Checkpoints.materialize)
     val out = exploded.as("a").join(exploded.as("b"),
         col("a.blk_idx") === col("b.blk_idx") &&
           col("a.blk_val") === col("b.blk_val") &&

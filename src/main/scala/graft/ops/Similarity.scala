@@ -454,8 +454,8 @@ object Similarity {
       .orderBy(col("sim_x1e6").desc, col("vec_id"))
     // materialize the (nQueries x k)-row result through the signature
     // cache, then release it: repeated library calls keep at most the
-    // small result block (cache+count, not Checkpoints.pin — the eager
-    // checkpoint bypassed the plan cache, costing 2x on q26)
+    // small result block (cache+count — Checkpoints.materialize's
+    // contract: leak-free release with lineage intact)
     val out = scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
