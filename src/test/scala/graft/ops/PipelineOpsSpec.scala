@@ -297,6 +297,40 @@ class PipelineOpsSpec extends SparkSpec {
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }, s"got $out")
   }
 
+  test("lengthGate edges: single-doc corpus keeps itself; all-equal " +
+    "lengths keep everything (degenerate band)") {
+    val one = TextAnalysis.lengthGate(Seq((0L, "a b c")).toDF("doc_id", "text"))
+      .as[(Long, Long, Boolean, Long, Long)].collect().toSeq
+    // N=1: r = p*(N-1) = 0 for both percentiles -> band [3, 3]
+    assert(one == Seq((0L, 3L, true, 300L, 300L)), s"got $one")
+    val equal = TextAnalysis.lengthGate(
+        (0L until 50L).map(i => (i, "w x y z")).toDF("doc_id", "text"))
+      .as[(Long, Long, Boolean, Long, Long)].collect().toSeq
+    assert(equal.forall(r => r._3 && r._4 == 400L && r._5 == 400L),
+      s"got ${equal.take(3)}")
+  }
+
+  test("hashSplit: deterministic, stable under corpus growth, buckets " +
+    "match the salted h60, proportions roughly honored") {
+    val small = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val big = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = Sampling.hashSplit(small).as[(Long, Long, String)]
+      .collect().map { case (id, b, s) => id -> ((b, s)) }.toMap
+    val s2 = Sampling.hashSplit(big).as[(Long, Long, String)]
+      .collect().map { case (id, b, s) => id -> ((b, s)) }.toMap
+    // growth stability: every doc of the smaller corpus keeps its
+    // exact bucket and split in the larger one
+    s1.foreach { case (id, bs) => assert(s2(id) == bs, s"doc $id moved") }
+    // split thresholds: bucket < 980 train, < 990 val, else test
+    s2.foreach { case (id, (b, s)) =>
+      val expect = if (b < 980) "train" else if (b < 990) "val" else "test"
+      assert(s == expect, s"doc $id bucket $b split $s")
+    }
+    // rough proportions at n=400 (binomial: train ~392 +- 3 sigma ~9)
+    val train = s2.values.count(_._2 == "train")
+    assert(train > 360 && train <= 400, s"train count $train")
+  }
+
   test("vocabQuality: integer-exact scores from hand-computed dfs") {
     // dfs: "a" in docs 0,1,2 -> 3; "b" in 0,1 -> 2; "c" only 0 -> 1;
     // "d" only 2 -> 1 (twice in-doc, still df=1)
