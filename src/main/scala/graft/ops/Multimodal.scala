@@ -149,6 +149,10 @@ object Multimodal {
     * stream" is the payload's utf-8 code points (deterministic, so the
     * oracle replays it exactly); a real decoder would substitute pixel
     * luma / PCM samples — the signature math and join are unchanged.
+    * Code-point caveat: Spark `ascii()` and DuckDB `unicode()` agree
+    * per character (property-tested on accented/CJK BMP text);
+    * astral-plane payloads would need a real decoder's byte stream
+    * anyway, which is exactly the swap-in point.
     *
     * All comparisons are integer-exact: mean_b >= mean_global iff
     * sum_b * n >= total * count_b (no division, engine-portable).

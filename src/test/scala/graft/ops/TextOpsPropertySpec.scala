@@ -154,6 +154,20 @@ class TextOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("blockHash multi-byte payloads: Spark's per-char codepoints match " +
+    "the sequential reference (BMP chars, the oracle's unicode())") {
+    // mixed ASCII / accented / CJK — all BMP, where a Scala Char IS the
+    // code point, Spark's ascii() returns it, and DuckDB's unicode()
+    // agrees; q68's oracle equality at three sfs rests on this
+    val texts = Seq("héllo wörld", "世界你好 abc", "ß∂ƒ©˙∆˚¬…æ", "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = Multimodal.blockHash(
+        Multimodal.withPayload(docs.toDF("doc_id", "text")))
+      .as[(Long, Long)].collect().toMap
+    val want = docs.map { case (id, t) => id -> refBlockHash(t, 60) }.toMap
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("hammingBlockPairs finds exactly the brute-force hamming<=3 pairs " +
     "on random 60-bit signatures (pigeonhole losslessness)") {
     // mix of near-identical signatures (small perturbations of a base)
