@@ -157,6 +157,73 @@ object Bench {
     System.gc()
   }
 
+  final case class Probe(t1: Double, t2: Double,
+                         reprobe: Option[Double]) {
+    def runs: Seq[Double] = Seq(t1, t2) ++ reprobe
+    // a query is failed only if NO run succeeded: a transient
+    // third-run (reprobe) failure must not discard two good
+    // measurements — reprobes fire exactly under the flaky
+    // conditions where a one-off failure is most likely
+    private def ok: Seq[Double] = runs.filter(_ >= 0)
+    def best: Double = if (ok.isEmpty) -1.0 else ok.min
+    // Without a reprobe: both runs must agree within 1.5x. With a
+    // reprobe (which only fires BECAUSE the first two disagreed), the
+    // question is whether the third run settled the dispute: if any
+    // two of the three runs agree within 1.5x, the odd one out is
+    // classified as harness noise and the query is stable. The raw
+    // runs are emitted alongside, so the driver can re-derive either
+    // reading.
+    def stable: Boolean = ok.size == runs.size && {
+      val s = ok.sorted
+      if (reprobe.isEmpty) s.last <= s.head * 1.5
+      else s.sliding(2).exists(p => p(1) <= p(0) * 1.5)
+    }
+  }
+
+  // Locale.ROOT: the f-interpolator honors the JVM default locale,
+  // and a comma decimal separator (de_DE, tr_TR, ...) would
+  // corrupt the machine-parseable JSON
+  private def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The compact driver-facing line: metric/value/queries/sf only.
+    * Round 7 taught us the driver tail-captures the last ~2000 stdout
+    * chars; a single line carrying the per-query probes object outgrew
+    * that window at 65 queries and the driver recorded `parsed: null`.
+    * This line is ALWAYS the last stdout line of a successful run, and
+    * it DEGRADES per-query precision (2 → 1 → 0 decimals) when the
+    * registry grows the line toward the window, so the driver keeps
+    * parsing a complete map instead of going blind — BenchLineSpec
+    * pins the budget against registry growth. The probes line keeps 3
+    * decimals regardless. */
+  def compactLine(results: Seq[(String, Probe)], sf: String): String = {
+    def build(dec: Int, slim: Boolean): String = {
+      def n(v: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, p) => "\"" + k + "\":" + n(p.best) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2.best).filter(_ >= 0).sum
+      // total keeps 2 decimals always — one value, cross-round headline
+      val t = "%.2f".formatLocal(java.util.Locale.ROOT, total)
+      val sfv = if (slim) sf.split('/').last else sf
+      val unit = if (slim) "" else """"unit":"sec","""
+      s"""{"metric":"total","value":$t,$unit"queries":$qs,"sf":"$sfv"}"""
+    }
+    val levels = Seq((2, false), (1, false), (0, false), (0, true))
+    levels.iterator.map((build _).tupled).find(_.length < 1900)
+      .getOrElse(build(0, slim = true))
+  }
+
+  /** The self-diagnosis payload (raw runs, reprobes, stable flags) —
+    * too fat for the driver's tail capture, so it goes to stderr and
+    * the SPARK_GRAFT_BENCH_OUT file, never stdout. */
+  def probesLine(results: Seq[(String, Probe)]): String = {
+    val probes = results.map { case (k, p) =>
+      val re = p.reprobe.map(r => ",\"reprobe\":" + num(r)).getOrElse("")
+      "\"" + k + "\":{\"runs\":[" + num(p.t1) + "," + num(p.t2) + "]" +
+        re + ",\"stable\":" + p.stable + "}"
+    }.mkString("{", ",", "}")
+    s"""{"probes":$probes}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val shared = sys.env.get("SPARK_GRAFT_BENCH_SHARED").contains("1")
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
@@ -167,66 +234,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
 
-    final case class Probe(t1: Double, t2: Double,
-                           reprobe: Option[Double]) {
-      def runs: Seq[Double] = Seq(t1, t2) ++ reprobe
-      // a query is failed only if NO run succeeded: a transient
-      // third-run (reprobe) failure must not discard two good
-      // measurements — reprobes fire exactly under the flaky
-      // conditions where a one-off failure is most likely
-      private def ok: Seq[Double] = runs.filter(_ >= 0)
-      def best: Double = if (ok.isEmpty) -1.0 else ok.min
-      // Without a reprobe: both runs must agree within 1.5x. With a
-      // reprobe (which only fires BECAUSE the first two disagreed), the
-      // question is whether the third run settled the dispute: if any
-      // two of the three runs agree within 1.5x, the odd one out is
-      // classified as harness noise and the query is stable. The raw
-      // runs are emitted alongside, so the driver can re-derive either
-      // reading.
-      def stable: Boolean = ok.size == runs.size && {
-        val s = ok.sorted
-        if (reprobe.isEmpty) s.last <= s.head * 1.5
-        else s.sliding(2).exists(p => p(1) <= p(0) * 1.5)
-      }
-    }
-
-    // Locale.ROOT: the f-interpolator honors the JVM default locale,
-    // and a comma decimal separator (de_DE, tr_TR, ...) would
-    // corrupt the machine-parseable JSON
-    def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-
-    /** The compact driver-facing line: metric/value/queries/sf only.
-      * Round 7 taught us the driver tail-captures the last ~2000 stdout
-      * chars; a single line carrying the per-query probes object outgrew
-      * that window at 65 queries and the driver recorded `parsed: null`.
-      * This line stays well under the window (~27 bytes/query), and it is
-      * ALWAYS the last stdout line of a successful run. */
-    def compactLine(results: Seq[(String, Probe)]): String = {
-      // centisecond precision: at 67+ queries every byte counts against
-      // the tail window, and 0.01 s resolves everything the cross-round
-      // comparison cares about (the probes line keeps 3 decimals)
-      def num2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      val qs = results.map { case (k, p) => "\"" + k + "\":" + num2(p.best) }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2.best).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
-
-    /** The self-diagnosis payload (raw runs, reprobes, stable flags) —
-      * too fat for the driver's tail capture, so it goes to stderr and
-      * the SPARK_GRAFT_BENCH_OUT file, never stdout. */
-    def probesLine(results: Seq[(String, Probe)]): String = {
-      val probes = results.map { case (k, p) =>
-        val re = p.reprobe.map(r => ",\"reprobe\":" + num(r)).getOrElse("")
-        "\"" + k + "\":{\"runs\":[" + num(p.t1) + "," + num(p.t2) + "]" +
-          re + ",\"stable\":" + p.stable + "}"
-      }.mkString("{", ",", "}")
-      s"""{"probes":$probes}"""
-    }
+    def compact(results: Seq[(String, Probe)]): String =
+      compactLine(results, sfDir)
     // The out-file always carries BOTH lines (compact first, probes
     // second) so a human or tool reading it gets the full picture.
     def writeOut(results: Seq[(String, Probe)]): Unit = outFile.foreach { p =>
-      val body = compactLine(results) + "\n" + probesLine(results) + "\n"
+      val body = compact(results) + "\n" + probesLine(results) + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -284,7 +297,7 @@ object Bench {
     // the final line); the probes diagnosis goes to stderr and the
     // SPARK_GRAFT_BENCH_OUT file only, never stdout.
     System.err.println(probesLine(done))
-    println(compactLine(done))
+    println(compact(done))
     writeOut(done)
   }
 }
