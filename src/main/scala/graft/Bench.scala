@@ -158,7 +158,8 @@ object Bench {
   }
 
   final case class Probe(t1: Double, t2: Double,
-                         reprobe: Option[Double]) {
+                         reprobe: Option[Double],
+                         hist: Option[Double] = None) {
     def runs: Seq[Double] = Seq(t1, t2) ++ reprobe
     // a query is failed only if NO run succeeded: a transient
     // third-run (reprobe) failure must not discard two good
@@ -167,17 +168,66 @@ object Bench {
     private def ok: Seq[Double] = runs.filter(_ >= 0)
     def best: Double = if (ok.isEmpty) -1.0 else ok.min
     // Without a reprobe: both runs must agree within 1.5x. With a
-    // reprobe (which only fires BECAUSE the first two disagreed), the
-    // question is whether the third run settled the dispute: if any
-    // two of the three runs agree within 1.5x, the odd one out is
-    // classified as harness noise and the query is stable. The raw
-    // runs are emitted alongside, so the driver can re-derive either
-    // reading.
+    // reprobe (fired because the first two disagreed, or because both
+    // exceeded the recorded history), the question is whether the
+    // third run settled the dispute: if any two of the three runs
+    // agree within 1.5x, the odd one out is classified as harness
+    // noise and the query is stable. The raw runs are emitted
+    // alongside, so the driver can re-derive either reading.
     def stable: Boolean = ok.size == runs.size && {
       val s = ok.sorted
       if (reprobe.isEmpty) s.last <= s.head * 1.5
       else s.sliding(2).exists(p => p(1) <= p(0) * 1.5)
     }
+    // Sustained-contention suspicion — the failure mode min-of-N
+    // cannot reject on its own: BENCH_r08 recorded q64 9.92 s and
+    // q65 17.04 s with BOTH runs slow (builder and judge measure
+    // 3.45/2.60 stable), so agreement between runs proved nothing.
+    // Against a recorded same-sf history, a best exceeding 2x is
+    // flagged even when the runs agree with each other.
+    def suspect: Boolean = hist.exists(h => h > 0 && best > 2 * h)
+    /** What the compact line surfaces to the driver: runs that
+      * disagree irreconcilably OR agree at 2x their own history. */
+    def flaky: Boolean = !stable || suspect
+  }
+
+  /** Optional per-query timing history: the FIRST line of an earlier
+    * run's SPARK_GRAFT_BENCH_OUT file (the compact JSON), from
+    * SPARK_GRAFT_BENCH_HISTORY or ./bench_history.json. Used to flag
+    * sustained harness contention (see [[Probe.suspect]]) and to
+    * trigger a reprobe session for queries whose both runs exceed 2x
+    * history. Applied only when the recorded "sf" matches this run's
+    * — cross-sf numbers would flag everything. Absent/unreadable file
+    * = no history, never an error: the bench must run anywhere. */
+  private[graft] def parseHistory(firstLine: String,
+                                  forSfDir: String): Map[String, Double] = {
+    val sfRe = """"sf":"([^"]*)"""".r
+    val sfOk = sfRe.findFirstMatchIn(firstLine).exists { m =>
+      val recorded = m.group(1)
+      forSfDir.endsWith(recorded) || recorded.endsWith(
+        forSfDir.split('/').last)
+    }
+    if (!sfOk) Map.empty
+    else {
+      val qs = firstLine.indexOf("\"queries\":")
+      val body = if (qs >= 0) firstLine.substring(qs) else firstLine
+      """"(q[0-9A-Za-z_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+        .findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  private def loadHistory(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.json")
+    val f = new java.io.File(path)
+    if (!f.exists) Map.empty
+    else try {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().find(_.nonEmpty)
+        .map(parseHistory(_, sfDir)).getOrElse(Map.empty)
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
   }
 
   // Locale.ROOT: the f-interpolator honors the JVM default locale,
@@ -185,31 +235,71 @@ object Bench {
   // corrupt the machine-parseable JSON
   private def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
-  /** The compact driver-facing line: metric/value/queries/sf only.
+  /** How many bytes the compact line may use. The driver tail-captures
+    * ~2000 stdout chars and json-parses the LAST line, but the capture
+    * window also carries trailing noise — an sbt `[success]` trailer
+    * was observed at ~75 bytes — so a line near 1900 can be
+    * FRONT-truncated inside the window and re-create round 7's
+    * `parsed: null`. 1850 budgets the observed trailer twice over
+    * while keeping 1-decimal per-query precision at today's 72-query
+    * registry (dec1 = 1841 bytes measured; dec2 = 1913 degrades).
+    * BenchLineSpec asserts against this same constant. */
+  val LineBudget = 1850
+
+  /** Last-resort per-query cap: the final ladder level keeps only the
+    * `TopKFallback` slowest queries (the ones a regression read needs)
+    * plus an `"omitted"` count, which BOUNDS the line for any registry
+    * size — the previous final level emitted every query and could
+    * outgrow the window again at ~77 registered queries. 32 entries
+    * of even 40-char names + digits is ~1500 bytes, inside budget. */
+  val TopKFallback = 32
+
+  /** The compact driver-facing line: metric/value/queries/sf (plus a
+    * `flaky` marker when any query's measurement is untrustworthy).
     * Round 7 taught us the driver tail-captures the last ~2000 stdout
     * chars; a single line carrying the per-query probes object outgrew
     * that window at 65 queries and the driver recorded `parsed: null`.
     * This line is ALWAYS the last stdout line of a successful run, and
-    * it DEGRADES per-query precision (2 → 1 → 0 decimals) when the
-    * registry grows the line toward the window, so the driver keeps
-    * parsing a complete map instead of going blind — BenchLineSpec
-    * pins the budget against registry growth. The probes line keeps 3
-    * decimals regardless. */
+    * it DEGRADES per-query precision (2 → 1 → 0 decimals), then drops
+    * to a slim form, then to the [[TopKFallback]] slowest queries,
+    * when the registry grows the line toward the window — so the
+    * driver keeps parsing instead of going blind, and the final level
+    * is bounded by construction. BenchLineSpec pins the budget against
+    * registry growth. The probes line keeps 3 decimals regardless.
+    *
+    * `flaky` (names, capped at 3, plus the full count) carries
+    * [[Probe.flaky]]: the in-band signal that a recorded number is
+    * disputed by the probes — BENCH_r08's q64/q65 carried 22 s of
+    * sustained harness contention that nothing in the compact line
+    * could reveal. */
   def compactLine(results: Seq[(String, Probe)], sf: String): String = {
-    def build(dec: Int, slim: Boolean): String = {
+    val flaky = results.filter(_._2.flaky).map(_._1)
+    def build(dec: Int, slim: Boolean, topK: Int): String = {
       def n(v: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-      val qs = results.map { case (k, p) => "\"" + k + "\":" + n(p.best) }
+      val shown =
+        if (topK <= 0 || results.size <= topK) results
+        else results.sortBy(-_._2.best).take(topK).sortBy(_._1)
+      val qs = shown.map { case (k, p) => "\"" + k + "\":" + n(p.best) }
         .mkString("{", ",", "}")
+      // total over ALL queries (not just shown) — the headline must
+      // not change across ladder levels
       val total = results.map(_._2.best).filter(_ >= 0).sum
       // total keeps 2 decimals always — one value, cross-round headline
       val t = "%.2f".formatLocal(java.util.Locale.ROOT, total)
       val sfv = if (slim) sf.split('/').last else sf
       val unit = if (slim) "" else """"unit":"sec","""
-      s"""{"metric":"total","value":$t,$unit"queries":$qs,"sf":"$sfv"}"""
+      val fl = if (flaky.isEmpty) "" else {
+        val names = flaky.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""""flaky":$names,"flaky_n":${flaky.size},"""
+      }
+      val om = if (shown.size < results.size)
+        s""""omitted":${results.size - shown.size},""" else ""
+      s"""{"metric":"total","value":$t,$unit$fl$om"queries":$qs,"sf":"$sfv"}"""
     }
-    val levels = Seq((2, false), (1, false), (0, false), (0, true))
-    levels.iterator.map((build _).tupled).find(_.length < 1900)
-      .getOrElse(build(0, slim = true))
+    val levels = Seq((2, false, 0), (1, false, 0), (0, false, 0),
+      (0, true, 0), (0, true, TopKFallback))
+    levels.iterator.map((build _).tupled).find(_.length < LineBudget)
+      .getOrElse(build(0, slim = true, TopKFallback))
   }
 
   /** The self-diagnosis payload (raw runs, reprobes, stable flags) —
@@ -218,8 +308,10 @@ object Bench {
   def probesLine(results: Seq[(String, Probe)]): String = {
     val probes = results.map { case (k, p) =>
       val re = p.reprobe.map(r => ",\"reprobe\":" + num(r)).getOrElse("")
+      val hi = p.hist.map(h => ",\"hist\":" + num(h)).getOrElse("")
       "\"" + k + "\":{\"runs\":[" + num(p.t1) + "," + num(p.t2) + "]" +
-        re + ",\"stable\":" + p.stable + "}"
+        re + hi + ",\"stable\":" + p.stable +
+        ",\"suspect\":" + p.suspect + "}"
     }.mkString("{", ",", "}")
     s"""{"probes":$probes}"""
   }
@@ -266,6 +358,9 @@ object Bench {
       spark.stop()
     } else {
       // default: fresh session per query == isolated-run methodology
+      val history = loadHistory()
+      if (history.nonEmpty)
+        System.err.println(s"[bench] history loaded: ${history.size} queries")
       names.foreach { n =>
         System.err.println(s"[bench] $n ...")
         val spark = newSession()
@@ -273,19 +368,28 @@ object Bench {
         val (t1, t2) = measure(spark, n)
         diagLine(spark, n, gc0)
         spark.stop()
-        // two runs disagreeing >1.5x = noise suspected; settle it with a
-        // third run in another fresh session
-        val needReprobe = t1 >= 0 && t2 >= 0 &&
-          math.max(t1, t2) > math.min(t1, t2) * 1.5
-        val reprobe = if (needReprobe) {
+        val h = history.get(n)
+        // reprobe in another fresh session when (a) the two runs
+        // disagree >1.5x — one-off noise suspected — or (b) BOTH runs
+        // exceed 2x this query's recorded history: sustained
+        // contention agreement alone cannot reject (the BENCH_r08
+        // q64/q65 failure). The later session gives a contention
+        // window time to clear; if the reprobe still lands high, the
+        // number is real-or-flagged (Probe.suspect survives).
+        val ok = Seq(t1, t2).filter(_ >= 0)
+        val disagree = ok.size == 2 && ok.max > ok.min * 1.5
+        val overHistory = ok.nonEmpty &&
+          h.exists(hv => hv > 0 && ok.min > 2 * hv)
+        val reprobe = if (disagree || overHistory) {
           val s2 = newSession()
           val r = { runOne(s2, n); runOne(s2, n) }
           s2.stop()
           Some(r)
         } else None
-        val p = Probe(t1, t2, reprobe)
+        val p = Probe(t1, t2, reprobe, h)
         System.err.println(
-          f"[bench] $n: ${p.best}%.2f s (stable=${p.stable})")
+          f"[bench] $n: ${p.best}%.2f s (stable=${p.stable} " +
+            f"suspect=${p.suspect})")
         // flush partial results after every query: if the harness kills
         // this process on a timeout, the file still names the culprit
         done = done :+ (n -> p)

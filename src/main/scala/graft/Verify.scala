@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY (comma list of name substrings) narrows
+    // the dump for local iteration — the driver never sets it, so the
+    // driver's run always covers every query.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       // isolate queries from each other's cached state, same as Bench:
       // several operators cache internal frames (shingle indexes, LSH
       // signatures) and never unpersist — without the clear, 55 queries

@@ -155,15 +155,33 @@ object Multimodal {
     * anyway, which is exactly the swap-in point.
     *
     * All comparisons are integer-exact: mean_b >= mean_global iff
-    * sum_b * n >= total * count_b (no division, engine-portable).
-    * Overflow bound: sum_b * n < 2^21 * n² — safe in a signed 64-bit
-    * long for payloads up to ~50M samples; pair with the reassembly
-    * clamp upstream for corpora with pathological documents.
+    * sum_b * n >= total * count_b (no division, engine-portable). The
+    * products run in Decimal(38,0) ([[meanBitTest]]): any product of
+    * two int64 values is < 8.6e37, so the comparison CANNOT overflow —
+    * a plain long product would have corrupted signatures silently
+    * from ~2M-char CJK payloads (2^14.3-ish mean · n² crosses 2^63
+    * near n ≈ 21M; worst-case 2^21 code points already at n ≈ 2M).
+    * The only residual bound is the int64 block SUM itself:
+    * Σ samples · 2^21 < 2^63 needs ~4e12 samples per doc — no real
+    * payload gets there (DuckDB's sum() widens to int128, so the
+    * oracle agrees everywhere the Spark side is defined).
     *
     * Scale shape: one explode (Σ samples rows), one (doc_id, blk)
     * aggregate with map-side combine, a ≤nBits-rows-per-doc window,
     * one doc-keyed aggregate. Linear, no pair term; empty payloads get
     * signature 0 via the left join. */
+  /** The block-mean-vs-global-mean bit test of [[blockHash]], exact
+    * for ANY int64 inputs: sum_b/count_b >= total/n cross-multiplied,
+    * with both products in Decimal(38,0). Two 20-digit operands yield
+    * a 38-digit product slot and |int64 · int64| < 8.6e37 < 1e38, so
+    * no value can overflow the slot — the long-product formulation
+    * silently wrapped (and corrupted signatures) once sum_b · n
+    * crossed 2^63, reachable at ~2M chars of CJK payload. */
+  private[graft] def meanBitTest(sb: Column, n: Column, total: Column,
+                                 cb: Column): Column =
+    sb.cast("decimal(20,0)") * n.cast("decimal(20,0)") >=
+      total.cast("decimal(20,0)") * cb.cast("decimal(20,0)")
+
   def blockHash(payloads: DataFrame, nBits: Int = 60): DataFrame = {
     require(nBits >= 1 && nBits <= 60, s"nBits must be in [1, 60], got $nBits")
     val px = payloads
@@ -189,7 +207,7 @@ object Multimodal {
     val sigs = blocks
       .withColumn("total", sum(col("sb")).over(wnd))
       .groupBy("doc_id")
-      .agg(sum(when(col("sb") * col("n") >= col("total") * col("cb"),
+      .agg(sum(when(meanBitTest(col("sb"), col("n"), col("total"), col("cb")),
         expr("shiftleft(CAST(1 AS BIGINT), blk)")).otherwise(0L))
         .as("phash"))
     payloads.select(col("doc_id"))

@@ -18,18 +18,28 @@ object Sampling {
     * assignment is a projection. The salt prefix decorrelates this
     * hash from any other doc_id-keyed hashing in the pipeline. */
   def hashSplit(docs: DataFrame, trainPerMille: Int = 980,
+                valPerMille: Int = 10): DataFrame =
+    withSplit(docs, trainPerMille, valPerMille)
+      .select(col("doc_id"), col("bucket"), col("split"))
+
+  /** [[hashSplit]]'s assignment appended to the input row (every
+    * input column retained) — the composition form: the end of a
+    * curation pipeline (q73) splits rows that already carry cluster
+    * and token columns, and a join-back by doc_id would shuffle for a
+    * value that is a pure projection. Input must not already carry
+    * `bucket`/`split`. */
+  def withSplit(docs: DataFrame, trainPerMille: Int = 980,
                 valPerMille: Int = 10): DataFrame = {
     require(trainPerMille > 0 && valPerMille >= 0 &&
       trainPerMille + valPerMille < 1000,
       s"bad split: train=$trainPerMille val=$valPerMille")
-    val bucket = pmod(Hashing.h60(
-      concat(lit("split:"), col("doc_id").cast("string"))), lit(1000L))
-    docs.select(col("doc_id"), bucket.as("bucket"))
+    docs
+      .withColumn("bucket", pmod(Hashing.h60(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(1000L)))
       .withColumn("split",
         when(col("bucket") < trainPerMille, "train")
           .when(col("bucket") < trainPerMille + valPerMille, "val")
           .otherwise("test"))
-      .select(col("doc_id"), col("bucket"), col("split"))
   }
 
   /** Per-language cap: keep at most `cap` documents per predicted

@@ -306,6 +306,37 @@ object Similarity {
     emitted.toDF("vec_a", "vec_b", "sim_x1e6")
   }
 
+  /** Deterministic high-similarity plants: for each vec_id < nPlanted,
+    * append a clone at vec_id + idOffset whose element at index
+    * (vec_id mod dim) is perturbed by +0.1 (double add, rounded back
+    * to float32). On unit-norm embeddings the clone sits at cosine
+    * ~0.995 to its source — above any production near-dup threshold —
+    * while clones of DISTINCT sources stay as far apart as the sources
+    * themselves.
+    *
+    * Purpose: the test corpus's organic near-dups top out near cos 0.6,
+    * below [[LshCrossoverSim]], so the LSH pair path had nothing to
+    * find at a threshold where its bands actually prune; deriving
+    * plants INSIDE the query (the ScaleGen bijection pattern — every
+    * step exact-replayable: float→double widening, one double add, an
+    * IEEE float round-trip) gives [[nearDupPairsLsh]] a deterministic
+    * ≥0.7 workload on any dataset, with no per-dataset pin. */
+  def plantNearDups(embeddings: DataFrame, nPlanted: Int,
+                    idOffset: Long = 100000L, dim: Int = 64): DataFrame = {
+    require(nPlanted >= 1 && idOffset > nPlanted,
+      s"need 1 <= nPlanted < idOffset, got ($nPlanted, $idOffset)")
+    val base = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val planted = base.filter(col("vec_id") < nPlanted)
+      .withColumn("p_idx", pmod(col("vec_id"), lit(dim.toLong)).cast("int"))
+      .select((col("vec_id") + idOffset).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === col("p_idx"),
+            (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x))
+          .as("embedding"),
+        col("label"))
+    base.unionByName(planted)
+  }
+
   /** LSH near-dup pairs: hyperplane-LSH candidate generation + exact
     * rerank — no all-pairs theta join anywhere in the plan. The
     * high-threshold path of [[nearDupPairs]].

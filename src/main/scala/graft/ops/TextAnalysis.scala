@@ -83,6 +83,32 @@ object TextAnalysis {
           col("high_punct") || col("weird_word_len")))
   }
 
+  /** The [[qualityGates]] keep-predicate as ONE per-row Column over a
+    * text column — the composition form: a pipeline that FILTERS by
+    * quality (q73) applies a predicate the optimizer can push against
+    * the scan, where joining the qualityGates report back by doc_id
+    * would re-shuffle the corpus. Same expressions, same integer-exact
+    * thresholds; QualityKeepSpec asserts row-for-row agreement with
+    * `qualityGates(docs).keep`. */
+  def qualityKeep(t: Column): Column = {
+    val nWords = size(tokens(t)).cast("long")
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val stop = Seq(" the ", " a ", " an ", " and ", " or ", " of ", " to ", " in ")
+      .map(s => occ(padded, s)).reduce(_ + _)
+    val nPunct = regexp_count(t, lit("[.,!?;:]")).cast("long")
+    val avgLen = floor(length(t).cast("double") * 1000 /
+      greatest(nWords, lit(1L))).cast("long")
+    !((nWords < 20) || (nWords > 1000) || (stop * 20 < nWords) ||
+      (nPunct * 5 > nWords) || (avgLen < 3000 || avgLen > 15000))
+  }
+
+  /** The [[piiScrub]] redaction chain as ONE Column (email → phone →
+    * IP, same order, same RE2-subset patterns) — the composition form
+    * for pipelines that scrub without the count columns. */
+  def scrubText(t: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(t,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single non-alphanumeric marks). */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -540,13 +566,32 @@ object TextAnalysis {
     * Packing.bases pattern), and a single-row broadcast back onto the
     * doc stream. No sort of the corpus, no per-doc state. */
   def lengthGate(docs: DataFrame, pLo: Double = 0.01,
-                 pHi: Double = 0.99): DataFrame = {
+                 pHi: Double = 0.99): DataFrame =
+    lengthGateRetained(docs, pLo, pHi)
+      .select("doc_id", "n_tokens", "keep", "lo_x100", "hi_x100")
+
+  /** The (n_tokens, cnt) histogram that bounds [[lengthGate]]'s state:
+    * the ONLY input the global percentile window ever sees. Exposed so
+    * LengthGateSpec can pin the invariant (window input rows =
+    * DISTINCT token counts, not corpus rows) against refactors that
+    * would silently put the corpus under an unpartitioned window. */
+  private[graft] def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tokens"))
+      .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+
+  /** [[lengthGate]] retaining EVERY input column (plus n_tokens, keep,
+    * lo_x100, hi_x100) — the composition form: downstream stages (PII
+    * scrub, dedup in q73) need the text, and re-attaching it by
+    * doc_id would shuffle the corpus for a value this stage already
+    * held. Input must not already carry the appended column names. */
+  def lengthGateRetained(docs: DataFrame, pLo: Double = 0.01,
+                         pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
-    val toks = docs.select(col("doc_id"),
-      coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
-        .as("n_tokens"))
-    val hist = toks.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val toks = docs.withColumn("n_tokens",
+      coalesce(size(tokens(col("text"))).cast("long"), lit(0L)))
+    val hist = lengthHistogram(docs)
     val w = org.apache.spark.sql.expressions.Window.orderBy("n_tokens")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -569,11 +614,11 @@ object TextAnalysis {
       interp(pLo, col("lo0"), col("lo1")).as("lo"),
       interp(pHi, col("hi0"), col("hi1")).as("hi"))
     toks.crossJoin(broadcast(bounds))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
-          .as("keep"),
-        floor(col("lo") * 100).cast("long").as("lo_x100"),
-        floor(col("hi") * 100).cast("long").as("hi_x100"))
+      .withColumn("keep",
+        col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .withColumn("lo_x100", floor(col("lo") * 100).cast("long"))
+      .withColumn("hi_x100", floor(col("hi") * 100).cast("long"))
+      .drop("lo", "hi")
   }
 
   /** PII scrubbing: count and redact emails, dash/dot-delimited phone

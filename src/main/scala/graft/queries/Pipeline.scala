@@ -945,45 +945,14 @@ object Pipeline {
     // pipeline as one query — the surviving (canonical) corpus after
     // near-dup clustering, each keeper annotated with its cluster
     // size. Composes dupClusters (q35's operator) with the corpus.
-    //
-    // CAVEAT (per-dataset pin, same as q34): the Spark side derives
-    // pairs via MinHash-LSH (b=8, r=2 — P(miss | J=0.8) ≈ 2e-4 per
-    // pair) while the oracle computes the EXACT Jaccard pair graph.
-    // They agree on THIS dataset because no qualifying pair happens to
-    // be band-missed; regenerated testdata could legitimately diverge
-    // without a code bug. q67 is the pin-free twin: its oracle replays
-    // the banding itself, so equality there is by construction.
+    // The oracle replays the Spark path's OWN banding decisions
+    // (cappedLshCtes with the cap dropped — signatures → bands →
+    // candidates → exact verify → components), so equality is exact
+    // by construction on ANY dataset; the former exact-Jaccard oracle
+    // agreed only because no qualifying pair on the shipped testdata
+    // happened to be band-missed (a per-dataset pin, now gone).
     Q("q65_dedup_materialize", "pipeline:dedup-materialize",
-      Some(s"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |p0 AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM p0
-        |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
-        |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(n, m) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
-        |lab AS (
-        |  SELECT d.doc_id,
-        |    least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS root
-        |  FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
-        |  GROUP BY d.doc_id),
-        |siz AS (SELECT root, count(*) AS cluster_size FROM lab GROUP BY root)
-        |SELECT l.doc_id, CAST(l.root AS BIGINT) AS cluster_root,
-        |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
-        |  CAST(length(d.text) AS BIGINT) AS n_chars
-        |FROM lab l JOIN siz s ON s.root = l.root
-        |JOIN documents d ON d.doc_id = l.doc_id
-        |WHERE l.doc_id = l.root
-        |ORDER BY l.doc_id""".stripMargin),
+      Some(lshMaterializeOracle(None)),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val cl = Dedup.dupClusters(docs, 0.8)
@@ -1006,7 +975,7 @@ object Pipeline {
     // → banding → cap → verify → connected components in SQL: exact
     // equality on ANY dataset, no LSH-recall pin (contrast q65).
     Q("q67_dedup_materialize_capped", "pipeline:dedup-materialize-capped",
-      Some(cappedMaterializeOracle(maxBucket = 16)),
+      Some(lshMaterializeOracle(Some(16))),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val cl = Dedup.dupClusters(docs, 0.8, bucketCap = Some(16))
@@ -1021,21 +990,28 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
-    // ── the LSH PAIR path under the hash-check regime: q27's 0.4
-    // threshold dispatches to the exact blocked kernel (below the 0.7
-    // crossover), so the production LSH pair path — THE scale path for
-    // embedding dedup at high thresholds — had no oracle-checked pair
-    // query of its own (q45 checks annTopK, a different function).
-    // This calls nearDupPairsLsh directly; the oracle replays the FULL
-    // path in SQL (64 plane-literal dots, per-plane sign bits, band
-    // values assembled bit-pair-wise — algebraically identical to
-    // Spark's shift+mask, which SQL can't express at bit 63 — distinct
-    // candidates, sequential-fold rerank), so equality is exact on any
-    // dataset, no recall pin. 0.45 because this corpus's near-dup
-    // pairs top out at cos ~0.6 (no rows above the crossover).
+    // ── the LSH PAIR path under the hash-check regime, AT A
+    // PRODUCTION THRESHOLD: q27's 0.4 threshold dispatches to the
+    // exact blocked kernel (below the 0.7 crossover), and this
+    // corpus's organic embedding near-dups top out near cos 0.6 — so
+    // checking nearDupPairsLsh on raw data meant either zero rows
+    // (≥0.7) or a threshold where bands cannot prune (round 8
+    // registered 0.45: 99.97% of all pairs became candidates,
+    // quadratic by measurement). Round 9 derives deterministic
+    // high-similarity plants INSIDE the query (plantNearDups: clone
+    // ids +100000, one element perturbed +0.1 through an IEEE float
+    // round-trip — cos ~0.995 to the source) and registers the path
+    // at 0.7 with 8-bit bands, the regime it exists for: a random
+    // pair collides on some band with p ≈ 3%, a planted pair with
+    // p ≈ 1 - 2e-8. The oracle replays EVERYTHING in SQL — the plant
+    // derivation, 64 plane-literal dots, sign bits, 8-bit band values
+    // assembled bit-wise, distinct candidates, sequential-fold rerank
+    // — so equality is exact on any dataset, no recall pin.
     Q("q69_lsh_neardup_pairs", "pipeline:dedup-embedding-lsh",
-      Some(lshPairsOracle(0.45)),
-      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), 0.45)
+      Some(lshPairsOracle(0.7, bitsPerBand = 8, planted = Some((50, 100000L)))),
+      (s, dir) => Similarity.nearDupPairsLsh(
+          Similarity.plantNearDups(t(s, dir, "embeddings"), 50), 0.7,
+          bitsPerBand = 8)
         .orderBy("vec_a", "vec_b")),
 
     // ── multimodal CONTENT-level near-dup: perceptual block-hash over
@@ -1043,13 +1019,9 @@ object Pipeline {
     // stub decode is deterministic, so the oracle replays the whole
     // signature pipeline: per-sample explode, block means vs global
     // mean (integer-exact cross-multiplication), signature assembly —
-    // all 500 signatures hash-checked. The pair join on top
-    // (Multimodal.phashDupPairs) is the SAME hammingBlockPairs kernel
-    // q24 hash-checks with real pair rows, and is spec-covered with
-    // engineered payload near-dups (this corpus's text near-dups are
-    // length-shifting token edits, which alignment-sensitive blockhash
-    // correctly does NOT pair — an empty pair set would be weaker
-    // oracle evidence than the signatures themselves).
+    // all signatures hash-checked. The pair join on top
+    // (Multimodal.phashDupPairs) gets its own oracle-checked pair
+    // rows in q72 via alignment-preserving planted payload edits.
     Q("q68_multimodal_phash", "pipeline:multimodal-phash",
       Some(phashOracle),
       (s, dir) => Multimodal.blockHash(
@@ -1106,7 +1078,71 @@ object Pipeline {
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin),
       (s, dir) => Sampling.hashSplit(t(s, dir, "documents"), 980, 10)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── multimodal content-level near-dup PAIRS (closing q68's
+    // evidence gap): this corpus's organic text near-dups are
+    // length-shifting token edits, which alignment-sensitive
+    // blockhash correctly does NOT pair — so the pair join had
+    // signatures hash-checked (q68) but no oracle-checked pair rows.
+    // Plant alignment-PRESERVING edits inside the query (clone ids
+    // +100000, first character substituted — same length, blocks stay
+    // aligned, clone lands within small hamming of its source) and
+    // the pigeonhole kernel emits real pairs the oracle replays by
+    // brute force (lossless for hamming <= 3, the q24 argument).
+    Q("q72_phash_dup_pairs", "pipeline:multimodal-phash-pairs",
+      Some(phashPairsOracle),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs
+          .filter(col("doc_id") < 50 && length(col("text")) >= 2)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("Q"), expr("substring(text, 2)")).as("text"))
+        Multimodal.phashDupPairs(
+            Multimodal.withPayload(docs.unionByName(planted)), 3)
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // ── the END-TO-END curation CAPSTONE: the pipeline a pretraining
+    // run actually executes, composed from individually hash-checked
+    // stages — quality gates (q52's predicate, pushed against the
+    // scan) → corpus length gate (q70's histogram percentiles,
+    // computed over the gate survivors) → PII scrub (q63's chain) →
+    // capped dedup materialization (q67, over the SCRUBBED text) →
+    // deterministic hash split (q66). Registered as ONE query so the
+    // cross-stage plan — predicate pushdown through the stage chain,
+    // the single corpus cache feeding dedup and the final join, no
+    // join-backs between per-row stages — is itself under the
+    // hash-check regime. Every stage is deterministic, so the oracle
+    // replays all five in sequence: exact on any dataset, no pins.
+    Q("q73_curation_pipeline", "pipeline:curation-e2e",
+      Some(curationOracle),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val gated = docs.filter(TextAnalysis.qualityKeep(col("text")))
+        val sized = TextAnalysis.lengthGateRetained(gated)
+          .filter(col("keep"))
+        // scrub + project: per-row map work, still no shuffle since
+        // the scan. Cached because BOTH the dedup pipeline (shingle
+        // index, universe) and the final n_tokens join re-scan it —
+        // uncached, the whole gate+scrub chain would run three times.
+        val clean = sized.select(col("doc_id"),
+          TextAnalysis.scrubText(col("text")).as("text"), col("n_tokens"))
+          .cache()
+        val cl = Dedup.dupClusters(clean, 0.8, bucketCap = Some(16))
+        val sizes = cl.groupBy("cluster_root")
+          .agg(count(lit(1)).as("cluster_size"))
+        val out = cl.filter(col("keep"))
+          .join(sizes, Seq("cluster_root"))
+          .join(clean.select("doc_id", "n_tokens"), Seq("doc_id"))
+          .transform(d => Sampling.withSplit(d))
+          .select(col("doc_id"), col("n_tokens"), col("cluster_root"),
+            col("cluster_size"), col("bucket"), col("split"))
+          .orderBy("doc_id")
+          .transform(graft.engine.Checkpoints.materialize)
+        clean.unpersist(blocking = false)
+        out
+      }))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
     * literals (RE2-compatible subset, no lookarounds/backreferences)
@@ -1128,15 +1164,21 @@ object Pipeline {
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Shared CTE chain replaying the capped-LSH candidate pipeline
+  /** Shared CTE chain replaying the MinHash-LSH candidate pipeline
     * exactly — shingle h31s, the 16 universal-hash minima, band
-    * assembly, bucket sizing, the cap, candidate expansion, and the
-    * shingle-overlap counts. Parameterized by the SAME
-    * [[Hashing.minhashCoeffs]] constants as the Spark side (the
-    * simhashOracle lockstep pattern), so widening the signature
-    * regenerates every oracle built on it. Ends with CTEs `pairs`
-    * (doc_a, doc_b, common) and `cnt` (doc_id, n). */
-  private def cappedLshCtes(maxBucket: Int): String = {
+    * assembly, and (when `maxBucket` is set) bucket sizing + the cap,
+    * then candidate expansion and the shingle-overlap counts.
+    * `maxBucket = None` replays the UNCAPPED band join — the same
+    * machinery minus the `sized`/cap CTEs — so q65's oracle replays
+    * the Spark path's own banding decisions exactly like q67's does
+    * (no LSH-recall pin on either). `src` is the relation providing
+    * (doc_id, text) — `documents`, or a curated upstream CTE (q73).
+    * Parameterized by the SAME [[Hashing.minhashCoeffs]] constants as
+    * the Spark side (the simhashOracle lockstep pattern), so widening
+    * the signature regenerates every oracle built on it. Ends with
+    * CTEs `pairs` (doc_a, doc_b, common) and `cnt` (doc_id, n). */
+  private def cappedLshCtes(maxBucket: Option[Int],
+                            src: String = "documents"): String = {
     val P = Hashing.P31
     val mins = Hashing.minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $P) AS mh_$i"
@@ -1144,8 +1186,19 @@ object Pipeline {
     val bandRows = (0 until 8).map { j =>
       s"SELECT doc_id, $j AS bi, mh_${2 * j} * $P + mh_${2 * j + 1} AS bv FROM mh"
     }.mkString("\n      |  UNION ALL ")
+    val keptCtes = maxBucket match {
+      case Some(cap) =>
+        s"""sized AS (
+      |  SELECT bi, bv, count(*) AS bsz FROM bands GROUP BY bi, bv),
+      |kept AS (
+      |  SELECT b.doc_id, b.bi, b.bv FROM bands b
+      |  JOIN sized z ON z.bi = b.bi AND z.bv = b.bv
+      |  WHERE z.bsz <= $cap)"""
+      case None =>
+        "kept AS (SELECT doc_id, bi, bv FROM bands)"
+    }
     s"""sh AS (
-      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM $src),
       |hh AS (SELECT doc_id, ${h31Sql("s")} AS h FROM sh),
       |mh AS (
       |  SELECT doc_id,
@@ -1153,12 +1206,7 @@ object Pipeline {
       |  FROM hh GROUP BY doc_id),
       |bands AS (
       |  $bandRows),
-      |sized AS (
-      |  SELECT bi, bv, count(*) AS bsz FROM bands GROUP BY bi, bv),
-      |kept AS (
-      |  SELECT b.doc_id, b.bi, b.bv FROM bands b
-      |  JOIN sized z ON z.bi = b.bi AND z.bv = b.bv
-      |  WHERE z.bsz <= $maxBucket),
+      |$keptCtes,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM kept a JOIN kept b
@@ -1172,17 +1220,43 @@ object Pipeline {
       |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Recursive-CTE connected components over a CTE `jp` (doc_a,
+    * doc_b): edges both ways, reachability closure, min-label roots
+    * over `universe` (the relation carrying every doc_id — singletons
+    * root themselves), cluster sizes. Shared by the materialization
+    * oracles (q65/q67) and the curation capstone (q73). Must be
+    * spliced under a `WITH RECURSIVE`. */
+  private def ccCtes(universe: String): String =
+    s"""edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |          UNION SELECT doc_b, doc_a FROM jp),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+      |lab AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS root
+      |  FROM $universe d LEFT JOIN reach r ON r.n = d.doc_id
+      |  GROUP BY d.doc_id),
+      |siz AS (SELECT root, count(*) AS cluster_size FROM lab GROUP BY root)""".stripMargin
+
   /** DuckDB SQL replaying [[Similarity.nearDupPairsLsh]] exactly —
     * the q45 pattern widened to the pair join: the 64 seed-fixed
     * hyperplanes embed as literals (shortest-decimal repr round-trips
     * to the identical double), each vector gets 64 sign bits, band j's
-    * value is `b_{2j} + 2*b_{2j+1}` (what Spark's
-    * `shiftright(sig, 2j) & 3` computes, expressed without the packed
-    * long — DuckDB raises on `1 << 63` and its shift semantics differ),
-    * candidates are the distinct band-sharing pairs, and the rerank is
-    * the same sequential-fold dot. Every stage deterministic, so the
-    * equality holds on any dataset — no LSH-recall pin. */
-  private def lshPairsOracle(minSim: Double): String = {
+    * value is `Σ_k 2^k · b_{bitsPerBand·j+k}` (what Spark's
+    * `shiftright(sig, bitsPerBand·j) & mask` computes, expressed
+    * without the packed long — DuckDB raises on `1 << 63` and its
+    * shift semantics differ), candidates are the distinct band-sharing
+    * pairs, and the rerank is the same sequential-fold dot. `planted`
+    * = (nPlanted, idOffset) prepends the [[Similarity.plantNearDups]]
+    * derivation — the +0.1 double add and the float32 round-trip are
+    * both exact IEEE operations, so the clone vectors are replayed
+    * bit-for-bit. Every stage deterministic, so the equality holds on
+    * any dataset — no LSH-recall pin. */
+  private def lshPairsOracle(minSim: Double, bitsPerBand: Int = 2,
+                             planted: Option[(Int, Long)] = None): String = {
+    require(64 % bitsPerBand == 0, "bitsPerBand must divide 64")
     val planes = Similarity.hyperplanes(64, 64)
     def dotLit(p: Array[Double]): String = {
       val lst = p.map(_.toString).mkString("[", ", ", "]")
@@ -1191,10 +1265,28 @@ object Pipeline {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotLit(p)} >= 0 THEN 1 ELSE 0 END) AS b$i"
     }.mkString(",\n      |    ")
-    val bandRows = (0 until 32).map { j =>
-      s"SELECT vec_id, $j AS bi, b${2 * j} + 2 * b${2 * j + 1} AS bv FROM sb"
+    val bandRows = (0 until 64 / bitsPerBand).map { j =>
+      val terms = (0 until bitsPerBand).map { k =>
+        val bit = s"b${bitsPerBand * j + k}"
+        if (k == 0) bit else s"${1L << k} * $bit"
+      }.mkString(" + ")
+      s"SELECT vec_id, $j AS bi, $terms AS bv FROM sb"
     }.mkString("\n      |  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    val eCtes = planted match {
+      case None =>
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+      case Some((nP, off)) =>
+        s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ep AS (
+      |  SELECT e0.vec_id + $off AS vec_id,
+      |    list_transform(range(1, 65),
+      |      i -> CASE WHEN i - 1 = e0.vec_id % 64
+      |             THEN CAST(CAST(v[i] + 0.1 AS FLOAT) AS DOUBLE)
+      |             ELSE v[i] END) AS v
+      |  FROM e0 WHERE e0.vec_id < $nP),
+      |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM ep)"""
+    }
+    s"""WITH $eCtes,
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
       |nz AS (SELECT * FROM n WHERE nrm > 0),
       |sb AS (
@@ -1218,15 +1310,19 @@ object Pipeline {
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** DuckDB SQL replaying [[Multimodal.blockHash]] exactly: the stub
-    * decode is utf-8 code points (Spark `ascii` == DuckDB `unicode`
-    * per char), block index is integer `(pos * 60) // n`, and the bit
-    * test is the cross-multiplied integer mean comparison. */
-  private def phashOracle: String =
-    s"""WITH w AS (
+  /** CTE chain replaying [[Multimodal.blockHash]] exactly over
+    * relation `src` (doc_id, text): the stub decode is utf-8 code
+    * points (Spark `ascii` == DuckDB `unicode` per char), block index
+    * is integer `(pos * 60) // n`, and the bit test is the
+    * cross-multiplied integer mean comparison (DuckDB's sum() widens
+    * to int128, matching the Spark side's Decimal(38,0) products —
+    * see [[graft.ops.Multimodal.meanBitTest]]). Ends with CTE `ph`
+    * (doc_id, phash), empty payloads included at signature 0. */
+  private def phashSigCtes(src: String): String =
+    s"""w AS (
       |  SELECT doc_id, string_split(text, '') AS a,
       |    CAST(length(text) AS BIGINT) AS n
-      |  FROM documents WHERE length(text) > 0),
+      |  FROM $src WHERE length(text) > 0),
       |px AS (
       |  SELECT doc_id, n,
       |    unnest(list_transform(range(1, n + 1),
@@ -1246,13 +1342,39 @@ object Pipeline {
       |  GROUP BY b.doc_id),
       |ph AS (
       |  SELECT d.doc_id, coalesce(s.phash, 0) AS phash
-      |  FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id)
+      |  FROM $src d LEFT JOIN sig s ON s.doc_id = d.doc_id)""".stripMargin
+
+  private def phashOracle: String =
+    s"""WITH ${phashSigCtes("documents")}
       |SELECT doc_id, CAST(phash AS BIGINT) AS phash
       |FROM ph ORDER BY doc_id""".stripMargin
 
+  /** DuckDB SQL replaying [[Multimodal.phashDupPairs]] over the
+    * payload corpus augmented with alignment-preserving plants (q72):
+    * clone ids +100000 with the FIRST CHARACTER substituted — a
+    * same-length edit, so blockhash's positional blocks stay aligned
+    * and the clone lands within small hamming distance of its source
+    * (contrast this corpus's organic near-dups, which are
+    * length-SHIFTING token edits that alignment-sensitive blockhash
+    * correctly does not pair). The pigeonhole block join is lossless
+    * for hamming <= 3 (the q24 argument), so the oracle pairs
+    * signatures by brute force. */
+  private def phashPairsOracle: String =
+    s"""WITH docs_aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 'Q' || substr(text, 2)
+      |  FROM documents WHERE doc_id < 50 AND length(text) >= 2),
+      |${phashSigCtes("docs_aug")}
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB SQL replaying [[Dedup.minhashDupPairsCapped]] exactly. */
   private def cappedLshOracle(maxBucket: Int): String =
-    s"""WITH ${cappedLshCtes(maxBucket)}
+    s"""WITH ${cappedLshCtes(Some(maxBucket))}
       |SELECT doc_a, doc_b, common,
       |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
       |  CAST(floor(CAST(common AS DOUBLE) / (x.n + y.n - common) * 1000) AS BIGINT) AS jacc_x1000
@@ -1260,31 +1382,78 @@ object Pipeline {
       |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** DuckDB SQL replaying the CAPPED end-to-end materialization
-    * (q67): the [[cappedLshCtes]] pair pipeline, then connected
-    * components as a recursive reachability closure, then the q65
-    * keeper/size projection. Unlike q65's oracle (exact Jaccard pair
-    * graph — a per-dataset pin against LSH recall), every stage here
-    * replays the Spark plan's own deterministic decisions, so the
-    * equality is exact BY CONSTRUCTION on any dataset. */
-  private def cappedMaterializeOracle(maxBucket: Int): String =
+  /** DuckDB SQL replaying the end-to-end dedup materialization (q65
+    * uncapped, q67 capped): the [[cappedLshCtes]] pair pipeline, then
+    * connected components as a recursive reachability closure, then
+    * the keeper/size projection. Every stage replays the Spark plan's
+    * own deterministic decisions — signatures, banding, (optional)
+    * cap, exact verify, min-label components — so the equality is
+    * exact BY CONSTRUCTION on any dataset; neither variant carries an
+    * LSH-recall pin. */
+  /** DuckDB SQL replaying the q73 curation capstone end-to-end:
+    * quality-gate keep (the q52 predicate), length gate (q70's
+    * quantile_cont percentiles over the GATE SURVIVORS), PII scrub
+    * (q63's replace chain), the capped dedup materialization
+    * ([[cappedLshCtes]] + [[ccCtes]] over the scrubbed relation
+    * `cur`), and the q66 hash split — every stage the same
+    * deterministic decisions the Spark plan makes, so equality is
+    * exact by construction on any dataset. */
+  private def curationOracle: String = {
+    val (em, ph, ip) = (TextAnalysis.EmailRe, TextAnalysis.PhoneRe,
+      TextAnalysis.IpRe)
+    s"""WITH RECURSIVE qb AS ($qualityBodySql),
+      |gkeep AS (
+      |  SELECT doc_id FROM qb
+      |  WHERE NOT ((n_words < 20) OR (n_words > 1000)
+      |    OR (n_stopwords * 20 < n_words) OR (n_punct * 5 > n_words)
+      |    OR (avg_word_len_x1000 < 3000 OR avg_word_len_x1000 > 15000))),
+      |gdocs AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN gkeep USING (doc_id)),
+      |gtok AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 0) AS BIGINT) AS n_tokens
+      |  FROM gdocs),
+      |lb AS (SELECT quantile_cont(n_tokens, 0.01) AS lo,
+      |              quantile_cont(n_tokens, 0.99) AS hi FROM gtok),
+      |cur AS (
+      |  SELECT g.doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(g.text,
+      |      '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
+      |      '$ip', '<IP>', 'g') AS text,
+      |    t.n_tokens
+      |  FROM gdocs g JOIN gtok t ON t.doc_id = g.doc_id CROSS JOIN lb
+      |  WHERE t.n_tokens >= lb.lo AND t.n_tokens <= lb.hi),
+      |${cappedLshCtes(Some(16), "cur")},
+      |jp AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+      |${ccCtes("cur")},
+      |sp AS (
+      |  SELECT doc_id,
+      |    ${h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+      |  FROM cur)
+      |SELECT l.doc_id, c.n_tokens,
+      |  CAST(l.root AS BIGINT) AS cluster_root,
+      |  CAST(z.cluster_size AS BIGINT) AS cluster_size,
+      |  CAST(sp.bucket AS BIGINT) AS bucket,
+      |  CASE WHEN sp.bucket < 980 THEN 'train'
+      |       WHEN sp.bucket < 990 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM lab l JOIN siz z ON z.root = l.root
+      |JOIN cur c ON c.doc_id = l.doc_id
+      |JOIN sp ON sp.doc_id = l.doc_id
+      |WHERE l.doc_id = l.root
+      |ORDER BY l.doc_id""".stripMargin
+  }
+
+  private def lshMaterializeOracle(maxBucket: Option[Int]): String =
     s"""WITH RECURSIVE ${cappedLshCtes(maxBucket)},
       |jp AS (
       |  SELECT doc_a, doc_b FROM pairs
       |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
       |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
-      |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
-      |          UNION SELECT doc_b, doc_a FROM jp),
-      |reach(n, m) AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
-      |lab AS (
-      |  SELECT d.doc_id,
-      |    least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS root
-      |  FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
-      |  GROUP BY d.doc_id),
-      |siz AS (SELECT root, count(*) AS cluster_size FROM lab GROUP BY root)
+      |${ccCtes("documents")}
       |SELECT l.doc_id, CAST(l.root AS BIGINT) AS cluster_root,
       |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
       |  CAST(length(d.text) AS BIGINT) AS n_chars

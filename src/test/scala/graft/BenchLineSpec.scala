@@ -4,9 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver tail-captures ~2000 chars of stdout and json-parses the
   * LAST line — round 7's bench went `parsed: null` when the probes
-  * object rode on the compact line past that window. These tests pin
-  * the output contract against registry growth, without a Spark
-  * session (pure string math). */
+  * object rode on the compact line past that window, and the observed
+  * capture also carries trailing noise (an sbt `[success]` trailer,
+  * ~75 bytes), so the line budget is [[Bench.LineBudget]] (1800), not
+  * 2000. These tests pin the output contract against registry growth,
+  * without a Spark session (pure string math). */
 class BenchLineSpec extends AnyFunSuite {
 
   private def fakeResults(n: Int): Seq[(String, Bench.Probe)] =
@@ -19,23 +21,38 @@ class BenchLineSpec extends AnyFunSuite {
     "inside the driver's tail window") {
     // every actual query name, worst realistic per-query time (two
     // digits of seconds), plus five future queries of the current
-    // maximum name width — if this assert starts failing, shrink the
-    // line (shorter names / drop 'unit') BEFORE the driver goes blind
-    // again like round 7
+    // maximum name width — the ladder's final level keeps only the
+    // TopKFallback slowest queries, so the line is bounded for ANY
+    // registry size (the previous final level still emitted every
+    // query and outgrew the window at ~77)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val widest = names.map(_.length).max
     val grown = names ++ (0 until 5).map(i => s"q9$i" + "_x" * ((widest - 3) / 2))
     val rs = grown.map((_, Bench.Probe(99.99, 99.99, None)))
     val line = Bench.compactLine(rs, "/root/testdata/sf0.1")
-    assert(line.length < 1940, s"compact line ${line.length} bytes at " +
-      s"${grown.size} queries — the driver window is ~2000 incl. trailing " +
-      "noise, and the degradation ladder has no more bytes to give")
+    assert(line.length < Bench.LineBudget, s"compact line ${line.length} " +
+      s"bytes at ${grown.size} queries — over the ${Bench.LineBudget} budget")
     assert(!line.contains("probes"), "probes must never ride the compact line")
-    // at today's registry size with realistic times, full precision holds
+    // the bounded fallback names what it dropped
+    if (grown.size > Bench.TopKFallback)
+      assert(line.contains(s""""omitted":${grown.size - Bench.TopKFallback}"""),
+        s"fallback must count omitted queries: $line")
+    // at today's registry size with realistic times, the per-query
+    // values keep at least ONE decimal (dec2 outgrew the budget at 72
+    // queries — measured 1913 vs 1841 — so full 2-decimal precision
+    // now lives only in the probes line / out-file)
     val today = SparkEntry.queries.keys.toSeq.sorted
       .map((_, Bench.Probe(2.34, 2.41, None)))
     assert(Bench.compactLine(today, "/root/testdata/sf0.1")
-      .contains("\":2.34"), "premature precision degradation")
+      .contains("\":2.3"), "premature precision degradation")
+  }
+
+  test("a double-the-registry pathological case is still bounded") {
+    val rs = (0 until 150).map(i =>
+      (f"q$i%03d_some_very_long_query_name_indeed_x", Bench.Probe(9.9, 9.9, None)))
+    val line = Bench.compactLine(rs, "/root/testdata/sf0.1")
+    assert(line.length < Bench.LineBudget, s"${line.length} bytes at 150 queries")
+    assert(line.contains(s""""omitted":${150 - Bench.TopKFallback}"""))
   }
 
   test("probe stability: reprobe settles an outlier; no-reprobe pairs " +
@@ -50,6 +67,45 @@ class BenchLineSpec extends AnyFunSuite {
     // best ignores failed runs; all-failed reports -1
     assert(Bench.Probe(-1.0, 1.5, Some(1.4)).best == 1.4)
     assert(Bench.Probe(-1.0, -1.0, None).best == -1.0)
+  }
+
+  test("history suspicion: agreeing runs at 2x history are flagged " +
+    "(the BENCH_r08 q64/q65 failure mode min-of-N cannot reject)") {
+    // runs agree with each other — stable — but both sit at ~3x the
+    // recorded history: suspect, therefore flaky in the compact line
+    val contended = Bench.Probe(9.9, 10.0, None, hist = Some(3.3))
+    assert(contended.stable && contended.suspect && contended.flaky)
+    // a genuine regression that REPROBES to the same number stays
+    // suspect (the flag says "disputed vs history", not "noise") —
+    // the probes line carries the evidence either way
+    assert(Bench.Probe(9.9, 10.0, Some(9.8), hist = Some(3.3)).suspect)
+    // within 2x of history: not suspect
+    assert(!Bench.Probe(5.0, 5.1, None, hist = Some(3.3)).suspect)
+    // no or nonsense history: never suspect
+    assert(!Bench.Probe(9.9, 10.0, None).suspect)
+    assert(!Bench.Probe(9.9, 10.0, None, hist = Some(0.0)).suspect)
+    // flaky names ride the compact line, capped at 3 with a full count
+    val rs = (0 until 5).map(i =>
+      (s"q0${i}_x", Bench.Probe(9.9, 10.0, None, hist = Some(3.3))))
+    val line = Bench.compactLine(rs, "/sf")
+    assert(line.contains(""""flaky":["q00_x","q01_x","q02_x"]"""), line)
+    assert(line.contains(""""flaky_n":5"""), line)
+    // and an all-stable run carries no marker at all
+    assert(!Bench.compactLine(fakeResults(3), "/sf").contains("flaky"))
+  }
+
+  test("history parsing: same-sf compact lines round-trip; cross-sf " +
+    "history is ignored") {
+    val line = """{"metric":"total","value":65.43,"unit":"sec",""" +
+      """"queries":{"q64_span_removal":3.45,"q65_dedup_materialize":2.60},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    val h = Bench.parseHistory(line, "/root/testdata/sf0.1")
+    assert(h == Map("q64_span_removal" -> 3.45, "q65_dedup_materialize" -> 2.6))
+    // slim-form sf (basename only) still matches the full dir
+    val slim = line.replace("\"sf\":\"/root/testdata/sf0.1\"", "\"sf\":\"sf0.1\"")
+    assert(Bench.parseHistory(slim, "/root/testdata/sf0.1").size == 2)
+    // a different sf must not poison the thresholds
+    assert(Bench.parseHistory(line, "/root/testdata/sf0.01").isEmpty)
   }
 
   test("both lines are valid JSON and locale-proof") {

@@ -32,6 +32,25 @@ class CandidatePruningSpec extends SparkSpec {
     assert(wide < allPairs / 10, s"wide=$wide of $allPairs")
   }
 
+  test("plantNearDups: every planted clone pairs with its source through " +
+    "the 8-bit-band LSH path at the 0.7 production threshold, at ~0.995 " +
+    "cosine; the organic corpus contributes no pair") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val pairs = Similarity
+      .nearDupPairsLsh(Similarity.plantNearDups(emb, 50), 0.7,
+        bitsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // exactly the 50 plants: source i pairs clone i+100000, nothing else
+    // (organic near-dups on this corpus top out near cos 0.6 < 0.7)
+    assert(pairs.map(p => (p._1, p._2)) ==
+      (0L until 50L).map(i => (i, i + 100000L)),
+      s"got ${pairs.size} pairs: ${pairs.take(5)}")
+    // a +0.1 single-element perturbation of a unit vector sits at
+    // cos ~0.995 — well above threshold, so banding has huge margin
+    assert(pairs.forall(_._3 >= 990000L), s"low sims: ${pairs.filter(_._3 < 990000L)}")
+  }
+
   test("blocked exact kernel returns the identical pair set as LSH+rerank " +
     "on real embeddings, for any block count") {
     val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")

@@ -61,6 +61,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 0L)), s"got $out")
   }
 
+  test("meanBitTest: exact at magnitudes where the int64 product wraps") {
+    // sb·n reaches ~2^83 here — a long product silently wraps negative
+    // and corrupts the signature; the Decimal(38,0) comparison must
+    // agree with BigInt ground truth at every magnitude
+    val cases = Seq(
+      (1L << 52, 1L << 31, (1L << 52) + 1, 1L << 31),        // just below
+      ((1L << 52) + 1, 1L << 31, 1L << 52, 1L << 31),        // just above
+      (1L << 52, 1L << 31, 1L << 52, 1L << 31),              // exactly equal
+      (Long.MaxValue / 3, Long.MaxValue / 5,
+        Long.MaxValue / 4, Long.MaxValue / 6),               // ~2^124 products
+      (97L, 2L, 195L, 1L), (98L, 2L, 195L, 1L))              // tiny sanity
+    val got = cases.toDF("sb", "n", "total", "cb")
+      .select(Multimodal.meanBitTest(col("sb"), col("n"), col("total"),
+        col("cb")).as("bit"))
+      .as[Boolean].collect().toSeq
+    val want = cases.map { case (sb, n, total, cb) =>
+      BigInt(sb) * BigInt(n) >= BigInt(total) * BigInt(cb) }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("phashDupPairs: near-identical payloads pair within hamming 3, " +
     "unrelated payloads do not; symmetric under the pigeonhole join") {
     val base = (0 until 600).map(i => ('a' + i % 26).toChar).mkString

@@ -297,6 +297,50 @@ class PipelineOpsSpec extends SparkSpec {
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }, s"got $out")
   }
 
+  test("lengthGate invariant: the global window's input is the length " +
+    "HISTOGRAM (rows = distinct token counts), never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // 300 docs, only 7 distinct lengths — the separation the invariant
+    // is about
+    val docs = (0L until 300L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.lengthHistogram(docs).count() == 7)
+    // plan-level pin: every Window in the gate's plan sits ABOVE an
+    // Aggregate — its input is the bounded histogram, so the
+    // unpartitioned single-partition stage is safe at ANY corpus size.
+    // A refactor that windows over raw token counts would have a
+    // window with no aggregate below it and fail here.
+    val plan = TextAnalysis.lengthGate(docs).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the percentile cum-sum window")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window input must be the aggregated histogram, got:\n${w.child}")
+    }
+    // and the retained variant keeps every input column + the gate
+    val ret = TextAnalysis.lengthGateRetained(docs)
+    assert(ret.columns.toSeq ==
+      Seq("doc_id", "text", "n_tokens", "keep", "lo_x100", "hi_x100"))
+    assert(ret.select("doc_id", "n_tokens", "keep", "lo_x100", "hi_x100")
+      .orderBy("doc_id").collect().toSeq ==
+      TextAnalysis.lengthGate(docs).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("qualityKeep predicate equals qualityGates.keep row-for-row on " +
+    "the real corpus") {
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val viaGates = TextAnalysis.qualityGates(docs).select("doc_id", "keep")
+    val viaPred = docs.select(col("doc_id"),
+      TextAnalysis.qualityKeep(col("text")).as("keep_pred"))
+    val mismatches = viaGates.join(viaPred, "doc_id")
+      .filter(col("keep") =!= col("keep_pred")).count()
+    assert(mismatches == 0, s"$mismatches rows disagree")
+    // and both keep something and drop something (non-degenerate)
+    val kept = viaPred.filter(col("keep_pred")).count()
+    assert(kept > 0 && kept < docs.count(), s"degenerate: $kept")
+  }
+
   test("lengthGate edges: single-doc corpus keeps itself; all-equal " +
     "lengths keep everything (degenerate band)") {
     val one = TextAnalysis.lengthGate(Seq((0L, "a b c")).toDF("doc_id", "text"))

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 70, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 72, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -55,9 +55,11 @@ class QueriesSpec extends SparkSpec {
     // condition — a BNLJ whose build side is bounded by nQueries, which
     // is the intended one-pass shape, not an n^2 join; q70 broadcasts
     // its ONE-row percentile-bounds frame onto the doc stream (a scalar
-    // join, the cheapest possible BNLJ)
+    // join, the cheapest possible BNLJ), and q73 composes that same
+    // length-gate stage, inheriting the one-row bounds broadcast
     val bnljAllowed = Set("q25_similarity_topk", "q45_ann_recall",
-      "q56_quantized_topk", "q58_ivf_recall", "q70_length_gate")
+      "q56_quantized_topk", "q58_ivf_recall", "q70_length_gate",
+      "q73_curation_pipeline")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
