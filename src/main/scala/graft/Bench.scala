@@ -274,7 +274,7 @@ object Bench {
     * could reveal. */
   def compactLine(results: Seq[(String, Probe)], sf: String): String = {
     val flaky = results.filter(_._2.flaky).map(_._1)
-    def build(dec: Int, slim: Boolean, topK: Int): String = {
+    def build(dec: Int, slim: Boolean, topK: Int, names: Boolean): String = {
       def n(v: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
       val shown =
         if (topK <= 0 || results.size <= topK) results
@@ -288,18 +288,29 @@ object Bench {
       val t = "%.2f".formatLocal(java.util.Locale.ROOT, total)
       val sfv = if (slim) sf.split('/').last else sf
       val unit = if (slim) "" else """"unit":"sec","""
-      val fl = if (flaky.isEmpty) "" else {
-        val names = flaky.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""""flaky":$names,"flaky_n":${flaky.size},"""
-      }
+      val fl = if (flaky.isEmpty) "" else if (names) {
+        val ns = flaky.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""""flaky":$ns,"flaky_n":${flaky.size},"""
+      } else s""""flaky_n":${flaky.size},"""
       val om = if (shown.size < results.size)
         s""""omitted":${results.size - shown.size},""" else ""
       s"""{"metric":"total","value":$t,$unit$fl$om"queries":$qs,"sf":"$sfv"}"""
     }
-    val levels = Seq((2, false, 0), (1, false, 0), (0, false, 0),
-      (0, true, 0), (0, true, TopKFallback))
+    // Ladder order = information preservation: flaky NAMES are the
+    // first thing sacrificed (flaky_n + the probes line still carry
+    // the signal), because at today's 72-query dec1 line (~1841 B)
+    // even a single flaky entry overflows the budget and would
+    // otherwise flatten every per-query number to integers — round-9
+    // run: one 0.1 s query tripping its 2x-history check cost the
+    // whole line its decimals. The names-dropped level also goes slim
+    // (no unit, basename sf): the ~30 reclaimed bytes keep flaky_n
+    // inside the budget at 1-decimal precision.
+    val levels = Seq(
+      (2, false, 0, true), (1, false, 0, true), (1, true, 0, false),
+      (0, false, 0, true), (0, true, 0, false),
+      (0, true, TopKFallback, false))
     levels.iterator.map((build _).tupled).find(_.length < LineBudget)
-      .getOrElse(build(0, slim = true, TopKFallback))
+      .getOrElse(build(0, slim = true, TopKFallback, names = false))
   }
 
   /** The self-diagnosis payload (raw runs, reprobes, stable flags) —

@@ -18,6 +18,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Read a table with a parallelism floor: when the planned scan has
+    * fewer input splits than the session has cores, repartition by
+    * `key` up to the core count before returning it.
+    *
+    * The driver's test files are single-file single-row-group parquet,
+    * so their scan plans exactly ONE split — and every narrow stage
+    * above it (shingling, minhash signatures, vector math) runs on one
+    * thread while 31 cores idle; measured 2x on the LSH dedup kernel
+    * at sf0.1. On a cluster a large scan already plans >= cores splits,
+    * the condition is false, and no shuffle is ever inserted — this is
+    * strictly a floor, never a cap. The explicit partition count keeps
+    * AQE from coalescing the floor back down (REPARTITION_BY_NUM is
+    * exempt from coalescing; a bare `repartition(col)` is not).
+    */
+  def floored(spark: SparkSession, sfDir: String, name: String, key: String): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key)) else df
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects
     // outright; read nanos as raw long and truncate to micros (exactly

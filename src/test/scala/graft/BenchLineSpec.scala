@@ -94,6 +94,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.compactLine(fakeResults(3), "/sf").contains("flaky"))
   }
 
+  test("a flaky marker at today's registry size must not cost per-query " +
+    "decimals: the ladder drops the NAMES (keeping flaky_n) first") {
+    // round-9 failure mode: ONE 0.1 s query tripping its 2x-history
+    // check pushed the dec1 line (~1841 B) past budget and flattened
+    // all 72 per-query numbers to integers — precision the cross-round
+    // regression read needs more than three names the probes line
+    // already carries
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rs = names.zipWithIndex.map { case (n, i) =>
+      val h = if (i == 0) Some(0.5) else None // one suspect query
+      (n, Bench.Probe(2.34, 2.41, None, hist = h))
+    }
+    val line = Bench.compactLine(rs, "/root/testdata/sf0.1")
+    assert(line.length < Bench.LineBudget, s"${line.length} over budget")
+    assert(line.contains("\":2.3"), s"flaky marker cost precision: $line")
+    assert(line.contains(""""flaky_n":1"""), line)
+    assert(!line.contains(""""flaky":["""), s"names should be dropped: $line")
+  }
+
   test("history parsing: same-sf compact lines round-trip; cross-sf " +
     "history is ignored") {
     val line = """{"metric":"total","value":65.43,"unit":"sec",""" +
