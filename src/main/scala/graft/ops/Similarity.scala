@@ -322,13 +322,19 @@ object Similarity {
     * IEEE float round-trip) gives [[nearDupPairsLsh]] a deterministic
     * ≥0.7 workload on any dataset, with no per-dataset pin. */
   def plantNearDups(embeddings: DataFrame, nPlanted: Int,
-                    idOffset: Long = 100000L, dim: Int = 64): DataFrame = {
-    require(nPlanted >= 1 && idOffset > nPlanted,
-      s"need 1 <= nPlanted < idOffset, got ($nPlanted, $idOffset)")
+                    dim: Int = 64): DataFrame = {
+    require(nPlanted >= 1, s"need nPlanted >= 1, got $nPlanted")
     val base = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    // Clone ids are offset by max(vec_id)+1, DERIVED from the data (a
+    // column-pruned pass + a 1-row broadcast): off > every organic id,
+    // so clone ids are disjoint from the corpus at ANY scale — a fixed
+    // literal offset collided with organic ids once the corpus
+    // outgrew it (the x30 ScaleGen caveat this replaces).
+    val off = base.agg((max(col("vec_id")) + 1L).as("off"))
     val planted = base.filter(col("vec_id") < nPlanted)
+      .crossJoin(broadcast(off))
       .withColumn("p_idx", pmod(col("vec_id"), lit(dim.toLong)).cast("int"))
-      .select((col("vec_id") + idOffset).as("vec_id"),
+      .select((col("vec_id") + col("off")).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === col("p_idx"),
             (x.cast("double") + lit(0.1d)).cast("float")).otherwise(x))

@@ -1015,7 +1015,7 @@ object Pipeline {
     // registered 0.45: 99.97% of all pairs became candidates,
     // quadratic by measurement). Round 9 derives deterministic
     // high-similarity plants INSIDE the query (plantNearDups: clone
-    // ids +100000, one element perturbed +0.1 through an IEEE float
+    // ids offset by max(vec_id)+1, one element perturbed +0.1 through an IEEE float
     // round-trip — cos ~0.995 to the source) and registers the path
     // at 0.7 with 8-bit bands, the regime it exists for: a random
     // pair collides on some band with p ≈ 3%, a planted pair with
@@ -1024,7 +1024,7 @@ object Pipeline {
     // assembled bit-wise, distinct candidates, sequential-fold rerank
     // — so equality is exact on any dataset, no recall pin.
     Q("q69_lsh_neardup_pairs", "pipeline:dedup-embedding-lsh",
-      Some(lshPairsOracle(0.7, bitsPerBand = 8, planted = Some((50, 100000L)))),
+      Some(lshPairsOracle(0.7, bitsPerBand = 8, planted = Some(50))),
       (s, dir) => Similarity.nearDupPairsLsh(
           Similarity.plantNearDups(t(s, dir, "embeddings"), 50), 0.7,
           bitsPerBand = 8)
@@ -1102,7 +1102,7 @@ object Pipeline {
     // blockhash correctly does NOT pair — so the pair join had
     // signatures hash-checked (q68) but no oracle-checked pair rows.
     // Plant alignment-PRESERVING edits inside the query (clone ids
-    // +100000, first character substituted — same length, blocks stay
+    // offset by max(doc_id)+1, first char substituted — same length, blocks stay
     // aligned, clone lands within small hamming of its source) and
     // the pigeonhole kernel emits real pairs the oracle replays by
     // brute force (lossless for hamming <= 3, the q24 argument).
@@ -1110,9 +1110,13 @@ object Pipeline {
       Some(phashPairsOracle),
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "text")
+        // clone-id offset = max(doc_id)+1, derived — disjoint at any
+        // corpus size (a fixed literal collided at ScaleGen x30)
+        val off = docs.agg((max(col("doc_id")) + 1L).as("off"))
         val planted = docs
           .filter(col("doc_id") < 50 && length(col("text")) >= 2)
-          .select((col("doc_id") + 100000L).as("doc_id"),
+          .crossJoin(broadcast(off))
+          .select((col("doc_id") + col("off")).as("doc_id"),
             concat(lit("Q"), expr("substring(text, 2)")).as("text"))
         Multimodal.phashDupPairs(
             Multimodal.withPayload(docs.unionByName(planted)), 3)
@@ -1265,13 +1269,13 @@ object Pipeline {
     * without the packed long — DuckDB raises on `1 << 63` and its
     * shift semantics differ), candidates are the distinct band-sharing
     * pairs, and the rerank is the same sequential-fold dot. `planted`
-    * = (nPlanted, idOffset) prepends the [[Similarity.plantNearDups]]
+    * = nPlanted prepends the [[Similarity.plantNearDups]]
     * derivation — the +0.1 double add and the float32 round-trip are
     * both exact IEEE operations, so the clone vectors are replayed
     * bit-for-bit. Every stage deterministic, so the equality holds on
     * any dataset — no LSH-recall pin. */
   private def lshPairsOracle(minSim: Double, bitsPerBand: Int = 2,
-                             planted: Option[(Int, Long)] = None): String = {
+                             planted: Option[Int] = None): String = {
     require(64 % bitsPerBand == 0, "bitsPerBand must divide 64")
     val planes = Similarity.hyperplanes(64, 64)
     def dotLit(p: Array[Double]): String = {
@@ -1291,10 +1295,12 @@ object Pipeline {
     val eCtes = planted match {
       case None =>
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
-      case Some((nP, off)) =>
+      case Some(nP) =>
+        // the clone-id offset is max(vec_id)+1 DERIVED from the data,
+        // replayed here as a scalar subquery — disjoint at any scale
         s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |ep AS (
-      |  SELECT e0.vec_id + $off AS vec_id,
+      |  SELECT e0.vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
       |    list_transform(range(1, 65),
       |      i -> CASE WHEN i - 1 = e0.vec_id % 64
       |             THEN CAST(CAST(v[i] + 0.1 AS FLOAT) AS DOUBLE)
@@ -1367,7 +1373,7 @@ object Pipeline {
 
   /** DuckDB SQL replaying [[Multimodal.phashDupPairs]] over the
     * payload corpus augmented with alignment-preserving plants (q72):
-    * clone ids +100000 with the FIRST CHARACTER substituted — a
+    * clone ids offset by max(doc_id)+1 with the FIRST CHARACTER substituted — a
     * same-length edit, so blockhash's positional blocks stay aligned
     * and the clone lands within small hamming distance of its source
     * (contrast this corpus's organic near-dups, which are
@@ -1379,7 +1385,8 @@ object Pipeline {
     s"""WITH docs_aug AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, 'Q' || substr(text, 2)
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+      |    'Q' || substr(text, 2)
       |  FROM documents WHERE doc_id < 50 AND length(text) >= 2),
       |${phashSigCtes("docs_aug")}
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

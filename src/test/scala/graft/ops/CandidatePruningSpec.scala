@@ -41,10 +41,13 @@ class CandidatePruningSpec extends SparkSpec {
         bitsPerBand = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq.sortBy(_._1)
-    // exactly the 50 plants: source i pairs clone i+100000, nothing else
-    // (organic near-dups on this corpus top out near cos 0.6 < 0.7)
+    // exactly the 50 plants: source i pairs clone i+off where off is
+    // the data-derived max(vec_id)+1 (disjoint at any corpus size);
+    // nothing else (organic near-dups top out near cos 0.6 < 0.7)
+    val off = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head.getLong(0) + 1
     assert(pairs.map(p => (p._1, p._2)) ==
-      (0L until 50L).map(i => (i, i + 100000L)),
+      (0L until 50L).map(i => (i, i + off)),
       s"got ${pairs.size} pairs: ${pairs.take(5)}")
     // a +0.1 single-element perturbation of a unit vector sits at
     // cos ~0.995 — well above threshold, so banding has huge margin

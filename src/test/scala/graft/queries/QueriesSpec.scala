@@ -56,10 +56,13 @@ class QueriesSpec extends SparkSpec {
     // is the intended one-pass shape, not an n^2 join; q70 broadcasts
     // its ONE-row percentile-bounds frame onto the doc stream (a scalar
     // join, the cheapest possible BNLJ), and q73 composes that same
-    // length-gate stage, inheriting the one-row bounds broadcast
+    // length-gate stage, inheriting the one-row bounds broadcast;
+    // q69/q72 cross-join their plant rows with the ONE-row derived
+    // clone-id offset (max(id)+1) — the same scalar-broadcast shape
     val bnljAllowed = Set("q25_similarity_topk", "q45_ann_recall",
       "q56_quantized_topk", "q58_ivf_recall", "q70_length_gate",
-      "q73_curation_pipeline")
+      "q73_curation_pipeline", "q69_lsh_neardup_pairs",
+      "q72_phash_dup_pairs")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
