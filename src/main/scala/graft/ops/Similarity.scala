@@ -361,6 +361,24 @@ object Similarity {
     * (e.g. 8 bands of 8 bits) prune candidates by orders of magnitude;
     * pass bitsPerBand accordingly.
     *
+    * SIZING LAW (the 100-TB knob): the band-bucket space has
+    * nBands * 2^bitsPerBand cells, so RANDOM collisions contribute
+    * ~n^2 * nBands / 2^bitsPerBand candidate pairs regardless of how
+    * well true pairs concentrate — with bitsPerBand fixed, every
+    * config saturates quadratically once n outgrows the bucket space
+    * (measured: 64 planes / 8-bit bands is sublinear at x10 but walls
+    * at x30, where the 8 * 256-cell space holds ~235 vectors/cell).
+    * Keeping random mass linear in n needs bitsPerBand ~ log2(n),
+    * and holding per-pair recall at the same similarity then needs
+    * more bands (P(miss) = (1 - p^bits)^nBands), i.e. nPlanes grows
+    * with corpus size — which is why signatures are multi-word
+    * ([[lshSignatureWords]]): the plane budget is NOT capped at 64.
+    * At 100-TB corpus sizes (~1e9 vectors) the near-exact-dup regime
+    * (sim >= 0.99, p >= 0.97) sizes to ~30-bit bands * ~16 bands
+    * (~480 planes, miss < 1e-6); at moderate similarity the exponent
+    * blows up — that regime belongs to the blocked kernel / IVF
+    * clustering below [[LshCrossoverSim]], not to banding.
+    *
     * Zero-norm vectors are filtered before banding (no defined cosine —
     * see [[nearDupPairs]]); without the filter, SQL's NaN-high `>=`
     * would KEEP 0/0 = NaN pairs here while the blocked kernel's Scala
@@ -368,12 +386,12 @@ object Similarity {
   def nearDupPairsLsh(embeddings: DataFrame, minSim: Double,
                       nPlanes: Int = 64, bitsPerBand: Int = 2,
                       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    // one small row per vector (id, sig, norm never larger than ~24 B);
+    // one small row per vector (id, sig words, norm — a few dozen B);
     // cached because bands + both payload sides re-derive from it
-    val sigs = lshSignatures(embeddings, hyperplanes(nPlanes, dim, seed))
+    val sigs = lshSignatureWords(embeddings, hyperplanes(nPlanes, dim, seed))
       .withColumn("nrm", l2norm(col("v")))
       .filter(col("nrm") > 0d).cache()
-    val cand = bandCandidates(sigs, nPlanes, bitsPerBand)
+    val cand = bandCandidatesWords(sigs, nPlanes, bitsPerBand)
     val payload = sigs.select(col("vec_id"), col("v"), col("nrm"))
     val out = cand
       .join(payload.as("x"), col("vec_a") === col("x.vec_id"))
@@ -415,13 +433,45 @@ object Similarity {
         explode(array(bandStructs: _*)).as("b"))
       .select(col("vec_id"), col("b.band_idx").as("band_idx"),
         col("b.band_val").as("band_val"))
+    bandPairJoin(bands)
+  }
+
+  /** [[bandCandidates]] over multi-word signatures (`sigw` from
+    * [[lshSignatureWords]]): band j lives in word (bitsPerBand*j)/64
+    * at in-word offset (bitsPerBand*j)%64 — bitsPerBand must divide
+    * 64, so a band never straddles a word boundary and extraction
+    * stays one shift + one mask either way. */
+  def bandCandidatesWords(sigs: DataFrame, nPlanes: Int,
+                          bitsPerBand: Int): DataFrame = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 32 &&
+      64 % bitsPerBand == 0 && nPlanes % bitsPerBand == 0,
+      "bitsPerBand must divide 64 and nPlanes, and fit a long mask")
+    val nBands = nPlanes / bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    val bandStructs = (0 until nBands).map { j =>
+      val w = (bitsPerBand * j) / 64
+      val off = (bitsPerBand * j) % 64
+      struct(lit(j).as("band_idx"),
+        shiftright(element_at(col("sigw"), w + 1), off)
+          .bitwiseAND(lit(mask)).as("band_val"))
+    }
+    val bands = sigs.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band_idx").as("band_idx"),
+        col("b.band_val").as("band_val"))
+    bandPairJoin(bands)
+  }
+
+  /** Distinct id pairs sharing a (band_idx, band_val) bucket — the
+    * equi-self-join both band extractors feed; ids only, payloads
+    * never ride through the candidate join. */
+  private def bandPairJoin(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-  }
 
   /** Deterministic random hyperplanes: nPlanes x dim, components in
     * [-1, 1), seeded LCG (java.util.Random is algorithmically specified,
@@ -434,15 +484,32 @@ object Similarity {
   private def signBit(v: Column, plane: Array[Double]): Column =
     when(dot(v, typedlit(plane.toSeq)) >= 0, lit(1L)).otherwise(lit(0L))
 
-  /** Random-hyperplane LSH signature (nPlanes bits) per vector: one
-    * codegen'd dot against each literal plane vector. */
+  /** Random-hyperplane LSH signature (nPlanes bits) per vector, as one
+    * packed long — word 0 of the fused [[graft.functions.LshSignatureWordsExpr]]
+    * kernel (bit i = sign of the plane-i dot, identical to summing
+    * sign bits times 2^i). Caps nPlanes at 64; [[lshSignatureWords]]
+    * lifts the cap. */
   def lshSignatures(embeddings: DataFrame, planes: Array[Array[Double]]): DataFrame = {
+    require(planes.length <= 64, "use lshSignatureWords beyond 64 planes")
+    lshSignatureWords(embeddings, planes)
+      .withColumn("sig", element_at(col("sigw"), 1))
+      .drop("sigw")
+  }
+
+  /** Multi-word LSH signature: column `sigw` = array of longs, word w
+    * carrying planes [64w, 64(w+1)) as raw bits. The plane budget IS
+    * the corpus-size knob (see the sizing law on [[nearDupPairsLsh]]),
+    * so it must not be capped by the width of one long: 512 planes =
+    * an 8-word array, still a few dozen bytes per vector next to the
+    * 64-float payload. One fused codegen kernel per row — composing
+    * per-plane dot expressions costs ~100x more (see
+    * [[graft.functions.LshSignatureWordsExpr]]). */
+  def lshSignatureWords(embeddings: DataFrame,
+                        planes: Array[Array[Double]]): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"),
       col("label"))
-    val sig = planes.zipWithIndex.map { case (p, i) =>
-      signBit(col("v"), p) * lit(1L << i)
-    }.reduce(_ + _)
-    e.withColumn("sig", sig)
+    e.withColumn("sigw",
+      graft.functions.VectorFunctions.lshSigWords(col("v"), planes))
   }
 
   /** Approximate top-k: candidates = corpus vectors sharing at least one

@@ -1017,17 +1017,26 @@ object Pipeline {
     // high-similarity plants INSIDE the query (plantNearDups: clone
     // ids offset by max(vec_id)+1, one element perturbed +0.1 through an IEEE float
     // round-trip — cos ~0.995 to the source) and registers the path
-    // at 0.7 with 8-bit bands, the regime it exists for: a random
-    // pair collides on some band with p ≈ 3%, a planted pair with
-    // p ≈ 1 - 2e-8. The oracle replays EVERYTHING in SQL — the plant
-    // derivation, 64 plane-literal dots, sign bits, 8-bit band values
-    // assembled bit-wise, distinct candidates, sequential-fold rerank
-    // — so equality is exact on any dataset, no recall pin.
+    // at 0.7 in the regime it exists for. The config is sized by the
+    // law on nearDupPairsLsh: the first registration used 64 planes /
+    // 8-bit bands, whose 8*256-cell bucket space saturates right at
+    // this corpus's size (measured: candidates 76k at x1 -> 7.2M at
+    // x10 -> 65M at x30 — quadratic once n outgrows the cells, 91 s
+    // of rerank at x30). 128 planes / 16-bit bands (8 bands * 65536
+    // cells, 2-word signatures via the fused lsh_sig_words kernel)
+    // holds the random mass linear through x30 (52k candidates at
+    // x10, 460k at x30) at the same planted recall margin (a 0.995
+    // pair collides per band with p ≈ 0.59, misses all 8 with
+    // p ≈ 8e-4). The oracle replays EVERYTHING in SQL — the plant
+    // derivation, 128 plane-literal dots, sign bits, 16-bit band
+    // values assembled bit-wise, distinct candidates, sequential-fold
+    // rerank — so equality is exact on any dataset, no recall pin.
     Q("q69_lsh_neardup_pairs", "pipeline:dedup-embedding-lsh",
-      Some(lshPairsOracle(0.7, bitsPerBand = 8, planted = Some(50))),
+      Some(lshPairsOracle(0.7, bitsPerBand = 16, planted = Some(50),
+        nPlanes = 128)),
       (s, dir) => Similarity.nearDupPairsLsh(
           Similarity.plantNearDups(t(s, dir, "embeddings"), 50), 0.7,
-          bitsPerBand = 8)
+          nPlanes = 128, bitsPerBand = 16)
         .orderBy("vec_a", "vec_b")),
 
     // ── multimodal CONTENT-level near-dup: perceptual block-hash over
@@ -1261,13 +1270,16 @@ object Pipeline {
       |siz AS (SELECT root, count(*) AS cluster_size FROM lab GROUP BY root)""".stripMargin
 
   /** DuckDB SQL replaying [[Similarity.nearDupPairsLsh]] exactly —
-    * the q45 pattern widened to the pair join: the 64 seed-fixed
+    * the q45 pattern widened to the pair join: the nPlanes seed-fixed
     * hyperplanes embed as literals (shortest-decimal repr round-trips
-    * to the identical double), each vector gets 64 sign bits, band j's
-    * value is `Σ_k 2^k · b_{bitsPerBand·j+k}` (what Spark's
-    * `shiftright(sig, bitsPerBand·j) & mask` computes, expressed
-    * without the packed long — DuckDB raises on `1 << 63` and its
-    * shift semantics differ), candidates are the distinct band-sharing
+    * to the identical double), each vector gets nPlanes sign bits,
+    * band j's value is `Σ_k 2^k · b_{bitsPerBand·j+k}` (what the Spark
+    * side's word extraction `shiftright(sigw[1 + 16j/64], 16j%64) &
+    * mask` computes — the multi-word packing assigns plane p to bit
+    * p%64 of word p/64, so a band's planes are contiguous in one word
+    * and the bit-sum below is representation-independent; DuckDB
+    * raises on `1 << 63` and its shift semantics differ, hence bits
+    * not words here), candidates are the distinct band-sharing
     * pairs, and the rerank is the same sequential-fold dot. `planted`
     * = nPlanted prepends the [[Similarity.plantNearDups]]
     * derivation — the +0.1 double add and the float32 round-trip are
@@ -1275,9 +1287,11 @@ object Pipeline {
     * bit-for-bit. Every stage deterministic, so the equality holds on
     * any dataset — no LSH-recall pin. */
   private def lshPairsOracle(minSim: Double, bitsPerBand: Int = 2,
-                             planted: Option[Int] = None): String = {
-    require(64 % bitsPerBand == 0, "bitsPerBand must divide 64")
-    val planes = Similarity.hyperplanes(64, 64)
+                             planted: Option[Int] = None,
+                             nPlanes: Int = 64): String = {
+    require(64 % bitsPerBand == 0 && nPlanes % bitsPerBand == 0,
+      "bitsPerBand must divide 64 and nPlanes")
+    val planes = Similarity.hyperplanes(nPlanes, 64)
     def dotLit(p: Array[Double]): String = {
       val lst = p.map(_.toString).mkString("[", ", ", "]")
       s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
@@ -1285,7 +1299,7 @@ object Pipeline {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotLit(p)} >= 0 THEN 1 ELSE 0 END) AS b$i"
     }.mkString(",\n      |    ")
-    val bandRows = (0 until 64 / bitsPerBand).map { j =>
+    val bandRows = (0 until nPlanes / bitsPerBand).map { j =>
       val terms = (0 until bitsPerBand).map { k =>
         val bit = s"b${bitsPerBand * j + k}"
         if (k == 0) bit else s"${1L << k} * $bit"

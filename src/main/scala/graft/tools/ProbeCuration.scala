@@ -3,9 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, Sampling, TextAnalysis}
 
-/** One-off: partition counts + repartitioned-clean timing for q73. */
+/** Stage-by-stage timing of the q73 curation composition as
+  * registered (evolved from the round-9 partition-count one-off that
+  * diagnosed the single-split scan floor). */
 object ProbeCuration {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -18,22 +20,35 @@ object ProbeCuration {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs0 = Tables(spark, dir, "documents").select("doc_id", "text")
-    println(s"[probe] raw scan partitions: ${docs0.rdd.getNumPartitions}")
-    docs0.count()
+    Tables(spark, dir, "documents").count() // warm scan path
     for (round <- 1 to 2) {
       println(s"--- round $round")
       spark.catalog.clearCache()
-      val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      val docs = Tables.floored(spark, dir, "documents", "doc_id")
+        .select("doc_id", "text")
       val gated = docs.filter(TextAnalysis.qualityKeep(col("text")))
       val sized = TextAnalysis.lengthGateRetained(gated).filter(col("keep"))
       val clean = sized.select(col("doc_id"),
         TextAnalysis.scrubText(col("text")).as("text"), col("n_tokens"))
-        .repartition(32, col("doc_id")).cache()
-      t("cache clean repartitioned (count)") { clean.count() }
+        .cache()
+      t("A gates+length+scrub+cache (count)") { clean.count() }
       println(s"[probe] clean partitions: ${clean.rdd.getNumPartitions}")
-      t("dupClusters CLEAN-repart (count)") {
-        Dedup.dupClusters(clean, 0.8, bucketCap = Some(16)).count() }
+      val cl = t("B dupClusters (count forces)") {
+        val c = Dedup.dupClusters(clean, 0.8, bucketCap = Some(16)); c.count(); c
+      }
+      t("C sizes+joins+split+sort+materialize") {
+        val sizes = cl.groupBy("cluster_root").agg(count(lit(1)).as("cluster_size"))
+        val out = cl.filter(col("keep"))
+          .join(sizes, Seq("cluster_root"))
+          .join(clean.select("doc_id", "n_tokens"), Seq("doc_id"))
+          .transform(d => Sampling.withSplit(d))
+          .select(col("doc_id"), col("n_tokens"), col("cluster_root"),
+            col("cluster_size"), col("bucket"), col("split"))
+          .orderBy("doc_id")
+          .transform(graft.engine.Checkpoints.materialize)
+        out.count()
+      }
+      clean.unpersist(blocking = false)
     }
     spark.stop()
   }

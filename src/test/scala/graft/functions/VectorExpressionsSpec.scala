@@ -55,4 +55,53 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got(0).getDouble(0) == 11.0) // 1*3 + 2*4, third elem ignored
     assert(got(1).isNullAt(0))
   }
+
+  // ---- the fused multi-word LSH signature kernel ----
+
+  private def expectedWords(v: Seq[Double],
+                            planes: Array[Array[Double]]): Seq[Long] = {
+    val dim = planes.headOption.map(_.length).getOrElse(0)
+    val x = v.padTo(dim, 0.0) // min-length semantics: missing elems = 0
+    val words = new Array[Long]((planes.length + 63) / 64)
+    planes.zipWithIndex.foreach { case (p, i) =>
+      val d = x.zip(p).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+      if (d >= 0.0) words(i >>> 6) |= 1L << (i & 63)
+    }
+    words.toSeq
+  }
+
+  test("lshSigWords (codegen path) matches a plain-Scala sequential fold " +
+    "bit-for-bit at 128 planes (2 words), float and double inputs") {
+    val planes = graft.ops.Similarity.hyperplanes(128, 64)
+    val df = data.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.lshSigWords($"a", planes).as("wa"),
+      VectorFunctions.lshSigWords($"b", planes).as("wb")).collect()
+    rows.zip(data).foreach { case (r, (a, b)) =>
+      assert(r.getSeq[Long](0) == expectedWords(a.map(_.toDouble), planes))
+      assert(r.getSeq[Long](1) == expectedWords(b, planes))
+    }
+  }
+
+  test("lshSigWords interpreted eval path matches codegen; null yields " +
+    "null; a short vector zero-pads (min-length semantics)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val planes = graft.ops.Similarity.hyperplanes(65, 64) // 2 words, top word 1 bit
+    val v = data.head._2
+    val e = LshSignatureWordsExpr(
+      Literal.create(v, ArrayType(DoubleType)), planes)
+    val got = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(got == expectedWords(v, planes))
+    assert(LshSignatureWordsExpr(
+      Literal.create(null, ArrayType(DoubleType)), planes).eval(null) == null)
+    val short = LshSignatureWordsExpr(
+      Literal.create(Seq(1.0, -2.0), ArrayType(DoubleType)), planes)
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(short == expectedWords(Seq(1.0, -2.0), planes))
+  }
 }

@@ -32,6 +32,29 @@ class CandidatePruningSpec extends SparkSpec {
     assert(wide < allPairs / 10, s"wide=$wide of $allPairs")
   }
 
+  test("bandCandidatesWords on a 2-word signature (q69's 128/16 config) " +
+    "yields exactly the brute-force band-sharing pairs") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .limit(300)
+    val planes = Similarity.hyperplanes(128, 64)
+    val sigs = Similarity.lshSignatureWords(emb, planes).cache()
+    val got = Similarity.bandCandidatesWords(sigs, 128, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force from the raw words: band j = bits [16j, 16j+16) of
+    // word (16j)/64 — any shared (j, value) makes a candidate pair
+    val words = sigs.select("vec_id", "sigw").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    def band(w: Seq[Long], j: Int): Long =
+      (w(16 * j / 64) >>> (16 * j % 64)) & 0xffffL
+    val expected = (for {
+      (ia, wa) <- words; (ib, wb) <- words if ia < ib
+      if (0 until 8).exists(j => band(wa, j) == band(wb, j))
+    } yield (ia, ib)).toSet
+    sigs.unpersist()
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    assert(expected.nonEmpty) // the check must actually see collisions
+  }
+
   test("plantNearDups: every planted clone pairs with its source through " +
     "the 8-bit-band LSH path at the 0.7 production threshold, at ~0.995 " +
     "cosine; the organic corpus contributes no pair") {
