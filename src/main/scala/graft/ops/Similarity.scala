@@ -410,6 +410,56 @@ object Similarity {
     out
   }
 
+  /** The sizing law on [[nearDupPairsLsh]] as code: derive
+    * (nPlanes, bitsPerBand) from the corpus size. bitsPerBand is the
+    * smallest word-aligned width (8/16/32) >= log2(n), which holds the
+    * RANDOM collision mass at ~n * nBands / 2^bits per vector — O(1)
+    * instead of O(n) — and nBands is the smallest count driving
+    * P(miss) = (1 - p^bits)^nBands below `maxMiss` for a pair at
+    * `recallSim` (p = 1 - acos(sim)/pi, the hyperplane agreement
+    * probability). `recallSim` is the similarity the recall guarantee
+    * is priced AT — near-exact duplicates (default 0.99), NOT the
+    * query threshold: pricing at a moderate threshold blows the
+    * exponent up (p^bits -> 0, nBands -> thousands), which is the
+    * documented signal that banding is the wrong tool there (the
+    * sub-[[LshCrossoverSim]] dispatch in [[nearDupPairs]] owns that
+    * regime). Pairs between minSim and recallSim are found with lower
+    * probability — the standard LSH trade, made explicit.
+    *
+    * Worked sizes: n=2^12 -> (240, 16); n=2^16 -> (240, 16);
+    * n=2^30 -> (1152, 32) — a 1e9-vector corpus needs ~18 signature
+    * words per vector, ~150 B, which is why [[lshSignatureWords]] is
+    * multi-word and the signature kernel is fused
+    * ([[graft.functions.LshSignatureWordsExpr]]). */
+  def lshBandConfig(n: Long, recallSim: Double = 0.99,
+                    maxMiss: Double = 1e-4): (Int, Int) = {
+    require(n > 0, "empty corpus has no config")
+    require(recallSim > LshCrossoverSim && recallSim < 1.0,
+      s"recall must be priced above the $LshCrossoverSim crossover")
+    require(maxMiss > 0 && maxMiss < 1, "maxMiss must be a probability")
+    val log2n =
+      if (n <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val bits = if (log2n <= 8) 8 else if (log2n <= 16) 16 else 32
+    val p = 1.0 - math.acos(recallSim) / math.Pi
+    val pBand = math.pow(p, bits)
+    val nBands = math.max(4,
+      math.ceil(math.log(maxMiss) / math.log1p(-pBand)).toInt)
+    (bits * nBands, bits)
+  }
+
+  /** [[nearDupPairsLsh]] with the banding config derived from the
+    * corpus by [[lshBandConfig]] — the form a library user should
+    * reach for (the fixed-config overload exists for oracle-replayable
+    * registrations and regression pins). Costs one column-pruned
+    * count() of the input up front. */
+  def nearDupPairsLshAuto(embeddings: DataFrame, minSim: Double,
+                          recallSim: Double = 0.99,
+                          maxMiss: Double = 1e-4,
+                          dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val (nPlanes, bits) = lshBandConfig(embeddings.count(), recallSim, maxMiss)
+    nearDupPairsLsh(embeddings, minSim, nPlanes, bits, dim, seed)
+  }
+
   /** Distinct candidate pairs sharing at least one signature band —
     * the pruning stage of [[nearDupPairs]], exposed so the band-width
     * vs candidate-volume trade is measurable (CandidatePruningSpec

@@ -55,6 +55,50 @@ class CandidatePruningSpec extends SparkSpec {
     assert(expected.nonEmpty) // the check must actually see collisions
   }
 
+  test("lshBandConfig embodies the sizing law: word-aligned bits ~ log2(n), " +
+    "bands priced to the miss bound, moderate-sim pricing blows up loudly") {
+    // bits tier boundaries
+    assert(Similarity.lshBandConfig(256)._2 == 8)
+    assert(Similarity.lshBandConfig(257)._2 == 16)
+    assert(Similarity.lshBandConfig(1L << 16)._2 == 16)
+    assert(Similarity.lshBandConfig((1L << 16) + 1)._2 == 32)
+    assert(Similarity.lshBandConfig(1L << 40)._2 == 32)
+    // the derived band count actually satisfies the miss bound, and
+    // one band fewer would not — the count is minimal, not padded
+    for (n <- Seq(2050L, 1L << 20, 1L << 30); miss <- Seq(1e-4, 1e-6)) {
+      val (nPlanes, bits) = Similarity.lshBandConfig(n, 0.99, miss)
+      val p = 1.0 - math.acos(0.99) / math.Pi
+      val pBand = math.pow(p, bits)
+      val nBands = nPlanes / bits
+      assert(nPlanes % bits == 0)
+      assert(math.pow(1 - pBand, nBands) <= miss)
+      if (nBands > 4) assert(math.pow(1 - pBand, nBands - 1) > miss)
+    }
+    // the scaladoc's worked sizes
+    assert(Similarity.lshBandConfig(1L << 12) == (240, 16))
+    assert(Similarity.lshBandConfig(1L << 30) == (1152, 32))
+    // pricing recall below the crossover is a contract violation, not
+    // a thousand-band config
+    intercept[IllegalArgumentException] {
+      Similarity.lshBandConfig(1000, recallSim = 0.5)
+    }
+  }
+
+  test("nearDupPairsLshAuto == the fixed-config path at the derived config, " +
+    "and finds every planted 0.995 pair on the real corpus") {
+    val emb = Similarity.plantNearDups(
+      Tables(spark, "/root/testdata/sf0.01", "embeddings"), 50)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = asSet(Similarity.nearDupPairsLshAuto(emb, 0.7))
+    val (nPlanes, bits) = Similarity.lshBandConfig(emb.count())
+    val explicitCfg = asSet(Similarity.nearDupPairsLsh(emb, 0.7, nPlanes, bits))
+    assert(auto == explicitCfg)
+    // at the auto config's miss bound (1e-4 priced at 0.99; plants sit
+    // at ~0.995) all 50 plants must land
+    assert(auto.size == 50, s"got ${auto.size} pairs")
+  }
+
   test("plantNearDups: every planted clone pairs with its source through " +
     "the 8-bit-band LSH path at the 0.7 production threshold, at ~0.995 " +
     "cosine; the organic corpus contributes no pair") {
