@@ -254,6 +254,12 @@ object Bench {
     * of even 40-char names + digits is ~1500 bytes, inside budget. */
   val TopKFallback = 32
 
+  /** The 1-decimal truncation level's coverage: 48 slowest queries at
+    * ~27 B each ≈ 1.4 KB — comfortably inside [[LineBudget]] while
+    * covering every query above the noise floor at today's registry
+    * size. */
+  val TopKDec1 = 48
+
   /** The compact driver-facing line: metric/value/queries/sf (plus a
     * `flaky` marker when any query's measurement is untrustworthy).
     * Round 7 taught us the driver tail-captures the last ~2000 stdout
@@ -298,15 +304,20 @@ object Bench {
     }
     // Ladder order = information preservation: flaky NAMES are the
     // first thing sacrificed (flaky_n + the probes line still carry
-    // the signal), because at today's 72-query dec1 line (~1841 B)
-    // even a single flaky entry overflows the budget and would
-    // otherwise flatten every per-query number to integers — round-9
-    // run: one 0.1 s query tripping its 2x-history check cost the
-    // whole line its decimals. The names-dropped level also goes slim
-    // (no unit, basename sf): the ~30 reclaimed bytes keep flaky_n
-    // inside the budget at 1-decimal precision.
+    // the signal), because at a ~full-budget dec1 line even a single
+    // flaky entry overflows and would otherwise flatten every
+    // per-query number to integers — round-9 run: one 0.1 s query
+    // tripping its 2x-history check cost the whole line its decimals.
+    // The names-dropped level also goes slim (no unit, basename sf).
+    // NEXT sacrifice is per-query COVERAGE, not precision: once the
+    // registry outgrows the budget even slim (73 queries did, at
+    // ~1869 B dec1), the dec1 top-TopKDec1 level keeps decimals for
+    // every query a regression read actually inspects and says
+    // "omitted":N about the fast tail — integer values for 0.2 s
+    // queries carry no signal at all.
     val levels = Seq(
       (2, false, 0, true), (1, false, 0, true), (1, true, 0, false),
+      (1, true, TopKDec1, false),
       (0, false, 0, true), (0, true, 0, false),
       (0, true, TopKFallback, false))
     levels.iterator.map((build _).tupled).find(_.length < LineBudget)

@@ -177,6 +177,134 @@ case class LshSignatureWordsExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Fused nProbe-nearest-centroid assignment: the cids of the nProbe
+  * centroids minimizing squared L2 distance (via the constant-free
+  * form `|c|² - 2<v,c>`), ties to the lower cid — bit-identical to
+  * sorting `struct(lit(c2) - 2.0*dot, cid)` structs with array_sort
+  * and slicing, which is what it replaces: composing k per-centroid
+  * [[DotProduct]]s + an array_sort over k structs per row collapses
+  * whole-stage codegen past the method limit at quantizer sizes the
+  * IVF sizing law requires (k ~ n/cellSize — measured 46 s vs ~8 s at
+  * 60k vectors, k=939). One primitive kernel: vector hoisted to
+  * double[] once, centroids + their precomputed |c|² as compiled
+  * array references, top-nProbe by insertion (nProbe is small).
+  *
+  * Centroids are sorted by cid at construction so the positional
+  * tie-break IS the cid tie-break. Null vector yields null; a short
+  * vector zero-pads (the [[DotProduct]] min-length convention). */
+case class NearestCellsExpr(child: Expression,
+                            centroids: Array[(Int, Array[Double])],
+                            nProbe: Int)
+    extends UnaryExpression {
+
+  require(nProbe >= 1 && nProbe <= centroids.length,
+    "nProbe must be in [1, nCells]")
+
+  private val sorted = centroids.sortBy(_._1)
+  private val cids: Array[Int] = sorted.map(_._1)
+  private val cents: Array[Array[Double]] = sorted.map(_._2)
+  private val c2: Array[Double] =
+    cents.map(c => c.map(x => x * x).sum)
+  private val dim = if (cents.isEmpty) 0 else cents(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells expects array<float|double>, got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val bestD = Array.fill(nProbe)(Double.PositiveInfinity)
+    val bestP = new Array[Int](nProbe)
+    var p = 0
+    while (p < cents.length) {
+      val c = cents(p)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += x(j) * c(j); j += 1 }
+      val d = c2(p) - 2.0 * acc
+      // position = #entries with d_j <= d (iterating p ascending makes
+      // <= the (d, cid)-ascending tie-break)
+      var pos = 0
+      while (pos < nProbe && bestD(pos) <= d) pos += 1
+      if (pos < nProbe) {
+        var m = nProbe - 1
+        while (m > pos) { bestD(m) = bestD(m - 1); bestP(m) = bestP(m - 1); m -= 1 }
+        bestD(pos) = d; bestP(pos) = p
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bestP.map(cids(_)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val c2Ref = ctx.addReferenceObj("c2", c2, "double[]")
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val bd = ctx.freshName("bestD")
+      val bp = ctx.freshName("bestP")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val pos = ctx.freshName("pos")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] $x = new double[$dim];
+         |for (int $i = 0; $i < $n; $i++) { $x[$i] = (double) $v.$get($i); }
+         |double[] $bd = new double[$nProbe];
+         |int[] $bp = new int[$nProbe];
+         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |for (int $p = 0; $p < ${cents.length}; $p++) {
+         |  double[] $c = $centsRef[$p];
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) { $acc += $x[$j] * $c[$j]; }
+         |  double $d = $c2Ref[$p] - 2.0 * $acc;
+         |  int $pos = 0;
+         |  while ($pos < $nProbe && $bd[$pos] <= $d) $pos++;
+         |  if ($pos < $nProbe) {
+         |    for (int $m = $nProbe - 1; $m > $pos; $m--) {
+         |      $bd[$m] = $bd[$m - 1]; $bp[$m] = $bp[$m - 1];
+         |    }
+         |    $bd[$pos] = $d; $bp[$pos] = $p;
+         |  }
+         |}
+         |int[] $out = new int[$nProbe];
+         |for (int $i = 0; $i < $nProbe; $i++) { $out[$i] = $cidsRef[$bp[$i]]; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
@@ -187,4 +315,11 @@ object VectorFunctions {
   def lshSigWords(v: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(LshSignatureWordsExpr(
       ColumnBridge.expression(v), planes))
+
+  /** Column API for [[NearestCellsExpr]]. */
+  def nearestCells(v: Column, centroids: Array[(Int, Seq[Double])],
+                   nProbe: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(
+      ColumnBridge.expression(v),
+      centroids.map { case (cid, c) => (cid, c.toArray) }, nProbe))
 }

@@ -158,6 +158,7 @@ object Pipeline {
     Similarity.hyperplanes(16, 64, seed = 7L).zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
 
+
   /** q58: oracle-checked IVF ANN recall — the q45 pattern applied to
     * the IVF path. With centroids pinned as literals the whole path is
     * deterministic SQL: per-vector distance list against the 16
@@ -216,6 +217,78 @@ object Pipeline {
       |  AND ivf.vec_id = ex.vec_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
+
+  /** The planted-or-raw embeddings CTE chain ending in
+    * `e (vec_id, v)` — shared by every oracle replaying an
+    * embedding-pair operator over the (optionally
+    * [[Similarity.plantNearDups]]-augmented) corpus. The clone-id
+    * offset is max(vec_id)+1 DERIVED from the data, replayed as a
+    * scalar subquery — disjoint at any scale; the +0.1 double add and
+    * float32 round-trip are exact IEEE ops, so clones replay
+    * bit-for-bit. */
+  private def plantedEmbCtes(planted: Option[Int]): String = planted match {
+    case None =>
+      "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    case Some(nP) =>
+      s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ep AS (
+      |  SELECT e0.vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+      |    list_transform(range(1, 65),
+      |      i -> CASE WHEN i - 1 = e0.vec_id % 64
+      |             THEN CAST(CAST(v[i] + 0.1 AS FLOAT) AS DOUBLE)
+      |             ELSE v[i] END) AS v
+      |  FROM e0 WHERE e0.vec_id < $nP),
+      |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM ep)"""
+  }
+
+  /** DuckDB SQL replaying [[IvfIndex.nearDupPairs]] over the
+    * [[IvfIndex.sampleCentroids]] quantizer — NO centroid literals:
+    * the centroids are rederived from the data (lowest-vec_id
+    * nonzero-norm vectors, k = ceil(n/cellSize) via a LIMIT
+    * subquery), distances come from a vectors × centroids join with
+    * the same `c2 - 2.0 * <v,c>` sequential-fold double arithmetic as
+    * the Spark side (c2 is the same left fold over the same widened
+    * doubles), the nProbe-nearest cells are a row_number over
+    * (d, cid) — identical tie-break to Spark's array_sort struct
+    * ordering — then co-residence candidates and the fold rerank.
+    * Zero-norm vectors are filtered before assignment (the shared
+    * no-pair convention). Data-adaptive k is what makes the
+    * registered query scale-honest: a pinned-literal quantizer
+    * saturates quadratically once cells outgrow the target size. */
+  private def ivfPairsOracle(minSim: Double, nProbe: Int, cellSize: Int,
+                             planted: Option[Int] = None): String =
+    s"""WITH ${plantedEmbCtes(planted)},
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |nz AS (SELECT * FROM n WHERE nrm > 0),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
+      |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
+      |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
+      |               FROM nz))),
+      |dist AS (
+      |  SELECT z.vec_id, c.cid,
+      |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
+      |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
+      |  FROM nz z CROSS JOIN cents c),
+      |rk AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      |  FROM dist),
+      |av AS (SELECT vec_id, cid AS cell FROM rk WHERE r <= $nProbe),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM av a JOIN av b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |sims AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+      |  FROM cand c
+      |  JOIN nz x ON x.vec_id = c.vec_a
+      |  JOIN nz y ON y.vec_id = c.vec_b)
+      |SELECT vec_a, vec_b, CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1e6
+      |FROM sims WHERE sim >= $minSim
+      |ORDER BY vec_a, vec_b""".stripMargin
 
   private def langScoresSql: (String, String, String, String) = {
     val t = "(' ' || lower(text) || ' ')"
@@ -1171,6 +1244,38 @@ object Pipeline {
           .transform(graft.engine.Checkpoints.materialize)
         clean.unpersist(blocking = false)
         out
+      }),
+
+    // ── IVF-clustered near-dup pairs (SemDeDup-style): the THIRD
+    // pruning mechanism in the registry's pair family, pinned in the
+    // tight-pair regime it structurally serves — a 0.995-sim clone
+    // lands in its source's cells at any quantizer granularity, so
+    // recall there is data-independent, while banding (q69) needs the
+    // sizing law and the exact kernel (q27) needs Θ(n²d). The
+    // MODERATE-threshold regime was measured and declined: at 0.45 on
+    // this ~uniform corpus, any config that actually prunes loses
+    // recall (ProbeIvfScale: 97% recall needed nProbe=8 at 14 s where
+    // exact runs 3 s at 20k vectors) — cluster pruning at moderate
+    // sim pays only on corpora with real cluster structure, and the
+    // operator's scaladoc prices that openly. The quantizer is the
+    // data-adaptive sample quantizer (sampleCentroids, cell target
+    // 64): k GROWS with the corpus — any pinned-literal quantizer
+    // saturates quadratically once cells outgrow the target (measured:
+    // 128 pinned cells ran 111 s at x30 where the sample quantizer
+    // holds cells at 64) — and, unlike Lloyd centroids, it replays in
+    // SQL as a LIMIT subquery + distance join, so the oracle is both
+    // pin-free AND scale-honest: plant derivation, centroid
+    // rederivation, the n×k distance join, row_number (d, cid)
+    // tie-break = Spark's array_sort struct order, co-residence join,
+    // fold rerank — exact on any dataset.
+    Q("q74_ivf_neardup_pairs", "pipeline:dedup-embedding-ivf",
+      Some(ivfPairsOracle(0.7, nProbe = 2, cellSize = 64,
+        planted = Some(50))),
+      (s, dir) => {
+        val planted = Similarity.plantNearDups(t(s, dir, "embeddings"), 50)
+        IvfIndex.nearDupPairs(planted, 0.7,
+            IvfIndex.sampleCentroids(planted, 64), nProbe = 2)
+          .orderBy("vec_a", "vec_b")
       }))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
@@ -1306,23 +1411,7 @@ object Pipeline {
       }.mkString(" + ")
       s"SELECT vec_id, $j AS bi, $terms AS bv FROM sb"
     }.mkString("\n      |  UNION ALL ")
-    val eCtes = planted match {
-      case None =>
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
-      case Some(nP) =>
-        // the clone-id offset is max(vec_id)+1 DERIVED from the data,
-        // replayed here as a scalar subquery — disjoint at any scale
-        s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |ep AS (
-      |  SELECT e0.vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
-      |    list_transform(range(1, 65),
-      |      i -> CASE WHEN i - 1 = e0.vec_id % 64
-      |             THEN CAST(CAST(v[i] + 0.1 AS FLOAT) AS DOUBLE)
-      |             ELSE v[i] END) AS v
-      |  FROM e0 WHERE e0.vec_id < $nP),
-      |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM ep)"""
-    }
-    s"""WITH $eCtes,
+    s"""WITH ${plantedEmbCtes(planted)},
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
       |nz AS (SELECT * FROM n WHERE nrm > 0),
       |sb AS (

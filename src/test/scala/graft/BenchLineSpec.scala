@@ -33,10 +33,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length < Bench.LineBudget, s"compact line ${line.length} " +
       s"bytes at ${grown.size} queries — over the ${Bench.LineBudget} budget")
     assert(!line.contains("probes"), "probes must never ride the compact line")
-    // the bounded fallback names what it dropped
-    if (grown.size > Bench.TopKFallback)
-      assert(line.contains(s""""omitted":${grown.size - Bench.TopKFallback}"""),
-        s"fallback must count omitted queries: $line")
+    // whichever truncating level the ladder lands on (dec1 top-48 or
+    // the integer top-32 fallback), the line must account for every
+    // query: shown entries + the omitted count = the registry
+    val om = """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    val shown = (""""q[0-9A-Za-z_]+":""".r.findAllIn(line).length
+      - 1) // minus the "queries" key itself, which the regex also matches
+    assert(om.isDefined, s"truncating level must count omissions: $line")
+    assert(om.get + shown == grown.size,
+      s"shown=$shown omitted=${om.get} of ${grown.size}: $line")
     // at today's registry size with realistic times, the per-query
     // values keep at least ONE decimal (dec2 outgrew the budget at 72
     // queries — measured 1913 vs 1841 — so full 2-decimal precision

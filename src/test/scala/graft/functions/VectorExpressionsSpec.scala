@@ -104,4 +104,46 @@ class VectorExpressionsSpec extends SparkSpec {
       .toLongArray.toSeq
     assert(short == expectedWords(Seq(1.0, -2.0), planes))
   }
+
+  // ---- the fused nProbe-nearest-centroid assignment kernel ----
+
+  test("nearestCells (codegen + interpreted) matches a plain-Scala " +
+    "(d, cid) sort, including shuffled cid order and distance ties") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val cRnd = new scala.util.Random(13)
+    // shuffled, non-contiguous cids; one duplicated centroid vector so
+    // two cells tie exactly on d — the tie must resolve to the lower cid
+    val base = Seq.fill(20)(Array.fill(64)(cRnd.nextDouble() * 2 - 1))
+    val cents = (base :+ base.head.clone()).zipWithIndex
+      .map { case (c, i) => (((i * 7) % 21) + 100, c) }
+    def expected(v: Seq[Double], nProbe: Int): Seq[Int] =
+      cents.map { case (cid, c) =>
+        val x = v.padTo(64, 0.0)
+        val c2 = c.map(t => t * t).sum
+        val dot = x.zip(c).foldLeft(0.0) { case (a, (p, q)) => a + p * q }
+        (c2 - 2.0 * dot, cid)
+      }.sorted.take(nProbe).map(_._2)
+    val df = data.toDF("a", "b")
+    for (nProbe <- Seq(1, 3)) {
+      val centsSeq = cents.map { case (cid, c) => (cid, c.toSeq) }.toArray
+      val rows = df.select(
+        VectorFunctions.nearestCells($"a", centsSeq, nProbe).as("fa"),
+        VectorFunctions.nearestCells($"b", centsSeq, nProbe).as("fb"))
+        .collect()
+      rows.zip(data).foreach { case (r, (a, b)) =>
+        assert(r.getSeq[Int](0) == expected(a.map(_.toDouble), nProbe))
+        assert(r.getSeq[Int](1) == expected(b, nProbe))
+      }
+      // interpreted eval path + null
+      val e = NearestCellsExpr(
+        Literal.create(data.head._2, ArrayType(DoubleType)),
+        cents.map { case (cid, c) => (cid, c) }.toArray, nProbe)
+      assert(e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray.toSeq == expected(data.head._2, nProbe))
+      assert(NearestCellsExpr(Literal.create(null, ArrayType(DoubleType)),
+        cents.map { case (cid, c) => (cid, c) }.toArray, nProbe).eval(null) == null)
+    }
+  }
 }

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 72, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 73, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -57,12 +57,12 @@ class QueriesSpec extends SparkSpec {
     // its ONE-row percentile-bounds frame onto the doc stream (a scalar
     // join, the cheapest possible BNLJ), and q73 composes that same
     // length-gate stage, inheriting the one-row bounds broadcast;
-    // q69/q72 cross-join their plant rows with the ONE-row derived
+    // q69/q72/q74 cross-join their plant rows with the ONE-row derived
     // clone-id offset (max(id)+1) — the same scalar-broadcast shape
     val bnljAllowed = Set("q25_similarity_topk", "q45_ann_recall",
       "q56_quantized_topk", "q58_ivf_recall", "q70_length_gate",
       "q73_curation_pipeline", "q69_lsh_neardup_pairs",
-      "q72_phash_dup_pairs")
+      "q72_phash_dup_pairs", "q74_ivf_neardup_pairs")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
