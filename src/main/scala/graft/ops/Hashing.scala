@@ -23,6 +23,15 @@ object Hashing {
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Driver/test-side twin of [[h60]] over an already-stringified
+    * value — same md5, same 15-hex-char slice. */
+  def h60Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
   /** The OTHER 60 bits of the same digest: hex chars 16..30 of
     * md5(string(x)). Pairing [[h60]] with this gives a 120-bit key from
     * ONE md5 evaluation (whole-stage codegen subexpression-eliminates

@@ -62,4 +62,52 @@ object Sampling {
       .filter(col("rn") <= cap)
       .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
   }
+
+  /** Temperature resampling — the multilingual-mixture rebalancing of
+    * a pretraining pipeline: per-group acceptance rate
+    * `(n_min / n_g)^exponent`, where exponent = 1 − 1/T maps to the
+    * standard temperature-T mixture p_g ∝ n_g^(1/T), scaled so the
+    * RAREST group is kept whole and every other group is downsampled
+    * toward its target share (no replication — this is the
+    * sampling-without-replacement form). exponent 0 = keep everything
+    * (T=1, natural mix), 0.5 = T=2 (the common choice), 1 = fully
+    * equalized group counts (T→∞).
+    *
+    * Determinism & oracle parity: acceptance is
+    * `h60("mix:" + doc_id) % 1e6 < floor(rate · 1e6)` — per-row and
+    * engine-portable like [[hashSplit]] (salted to decorrelate from
+    * the split hash). At exponents 0.5 and 1.0 the rate math is
+    * sqrt / plain division — BOTH correctly-rounded IEEE ops in Spark
+    * and DuckDB, so the thresholds replay bit-exactly; other
+    * exponents go through pow(), whose last-ulp behavior is NOT
+    * specified cross-engine — fine in production, but registry
+    * oracles should stick to the exact pair. Unlike [[hashSplit]],
+    * retention is corpus-dependent BY DESIGN (rates derive from group
+    * counts): adding documents can change every rate — the mixture is
+    * a property of the corpus, not the row.
+    *
+    * Scale: one tiny groupBy(lang) agg + a 1-row global min + a
+    * broadcast of the per-group thresholds back onto the stream —
+    * the corpus itself is never shuffled; the filter is a pushed
+    * per-row predicate. */
+  def temperatureMix(docs: DataFrame, exponent: Double = 0.5,
+                     byCol: String = "lang"): DataFrame = {
+    require(exponent >= 0 && exponent <= 1, s"bad exponent $exponent")
+    val counts = docs.groupBy(col(byCol))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val nMin = counts.agg(min(col("n")).as("n_min"))
+    val ratio = col("n_min") / col("n")
+    val rate =
+      if (exponent == 0.5) sqrt(ratio)
+      else if (exponent == 1.0) ratio
+      else if (exponent == 0.0) lit(1.0)
+      else pow(ratio, lit(exponent))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col(byCol), floor(rate * lit(1000000.0)).cast("long")
+        .as("rate_ppm"))
+    docs.join(broadcast(thresholds), Seq(byCol))
+      .filter(pmod(h60(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("rate_ppm"))
+      .select(col("doc_id"), col(byCol), col("rate_ppm"))
+  }
 }

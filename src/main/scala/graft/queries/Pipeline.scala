@@ -1276,7 +1276,33 @@ object Pipeline {
         IvfIndex.nearDupPairs(planted, 0.7,
             IvfIndex.sampleCentroids(planted, 64), nProbe = 2)
           .orderBy("vec_a", "vec_b")
-      }))
+      }),
+
+    // ── temperature resampling: the multilingual mixture-rebalancing
+    // step (q36 samples at FIXED per-language rates; here the rates
+    // DERIVE from the corpus: accept (n_min/n_lang)^0.5 — the T=2
+    // temperature mixture, rarest language kept whole). Exponent 0.5
+    // is deliberate: sqrt and division are correctly-rounded IEEE ops
+    // in BOTH engines, so the per-group thresholds replay bit-exactly
+    // where a pow()-based exponent could differ in the last ulp (see
+    // Sampling.temperatureMix). Plan: tiny lang agg + 1-row min +
+    // broadcast thresholds onto the stream — the corpus is never
+    // shuffled.
+    Q("q75_temperature_mix", "pipeline:temperature-mix",
+      Some(s"""WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang, CAST(floor(sqrt((SELECT min(n) FROM c) / n)
+        |    * 1000000.0) AS BIGINT) AS rate_ppm
+        |  FROM c)
+        |SELECT d.doc_id, d.lang, r.rate_ppm
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ${h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+        |  < r.rate_ppm
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Sampling.temperatureMix(t(s, dir, "documents"))
+        .orderBy("doc_id")))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
     * literals (RE2-compatible subset, no lookarounds/backreferences)

@@ -375,6 +375,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(train > 360 && train <= 400, s"train count $train")
   }
 
+  test("temperatureMix: the rarest group is kept whole, rates follow " +
+    "(n_min/n)^exponent exactly, and exponent 1 equalizes in expectation") {
+    // groups of 100 / 400 / 25 docs: n_min = 25
+    val docs = ((0L until 100L).map((_, "en")) ++
+      (100L until 500L).map((_, "zh")) ++
+      (500L until 525L).map((_, "fr")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureMix(docs, exponent = 0.5)
+      .as[(Long, String, Long)].collect()
+    val rates = out.map(r => r._2 -> r._3).toMap
+    // thresholds are the exact IEEE sqrt — no tolerance
+    assert(rates("fr") == 1000000L) // sqrt(25/25) = 1: kept whole
+    assert(rates("en") == math.floor(math.sqrt(25.0 / 100.0) * 1e6).toLong)
+    assert(rates("zh") == math.floor(math.sqrt(25.0 / 400.0) * 1e6).toLong)
+    // fr is kept in FULL, not just at full rate
+    assert(out.count(_._2 == "fr") == 25)
+    // acceptance replays the salted hash row-for-row
+    val kept = out.map(_._1).toSet
+    (0L until 525L).foreach { id =>
+      val lang = if (id < 100) "en" else if (id < 500) "zh" else "fr"
+      val h = graft.ops.Hashing.h60Scala(s"mix:$id") % 1000000L
+      assert(kept.contains(id) == (h < rates(lang)), s"doc $id")
+    }
+    // exponent 1.0: expected post-mix counts equalize at ~n_min per
+    // group (hash-binomial noise; 3 sigma of Bin(400, 1/16) ~ 15)
+    val eq = Sampling.temperatureMix(docs, exponent = 1.0)
+      .as[(Long, String, Long)].collect()
+    val byLang = eq.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("fr") == 25)
+    assert(math.abs(byLang("zh") - 25) <= 15, s"zh ${byLang("zh")}")
+    assert(math.abs(byLang("en") - 25) <= 15, s"en ${byLang("en")}")
+  }
+
   test("vocabQuality: integer-exact scores from hand-computed dfs") {
     // dfs: "a" in docs 0,1,2 -> 3; "b" in 0,1 -> 2; "c" only 0 -> 1;
     // "d" only 2 -> 1 (twice in-doc, still df=1)
