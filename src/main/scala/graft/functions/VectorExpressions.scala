@@ -305,6 +305,178 @@ case class NearestCellsExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Fused top-nProbe nearest-centroid scan over a centroid CHUNK held in
+  * a COLUMN — the broadcast-join form of [[NearestCellsExpr]], for
+  * quantizers past driver scale. [[NearestCellsExpr]] embeds the
+  * centroid matrix in the plan as a reference object, which caps k at
+  * what the driver can collect and ship inside the task binary
+  * (~1e6 centroids); here the centroids arrive as ordinary rows
+  * (grouped into bounded chunks of `struct(cid, c2, v)`), so they flow
+  * through a broadcast exchange like any other build side — spillable,
+  * chunked, never a plan constant — and k is bounded by executor
+  * storage, not driver heap.
+  *
+  * Per row: the vector is hoisted to a primitive double[] once, the
+  * chunk is scanned with the same constant-free squared-L2 form
+  * `c2 - 2<v,c>` and the same ascending-(d, cid) insertion tie-break
+  * as [[NearestCellsExpr]] (chunks must be sorted by cid so the
+  * positional tie-break IS the cid tie-break). Returns the chunk-local
+  * top min(nProbe, chunkLen) as `array<struct<d, cid>>`; the global
+  * top-nProbe is an `array_sort` merge of the per-chunk results — any
+  * globally-top element is within its own chunk's top, so the merge is
+  * lossless, and the d values are bit-identical to the literal kernel
+  * (same fold order, same widening), so the merged assignment equals
+  * [[NearestCellsExpr]]'s on the same centroid set.
+  *
+  * Null vector or null chunk yields null; short vectors zero-pad (the
+  * [[DotProduct]] min-length convention — a skipped `x[j]*c[j]` term
+  * adds 0.0, which cannot change the accumulated d). */
+case class NearestCellsChunkExpr(left: Expression, right: Expression,
+                                 nProbe: Int)
+    extends BinaryExpression {
+
+  require(nProbe >= 1, "nProbe must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("d", DoubleType, nullable = false),
+      StructField("cid", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def vecOk(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val chunkOk = right.dataType match {
+      case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, DoubleType, _, _),
+        StructField(_, ct, _, _))), _) => vecOk(ct)
+      case _ => false
+    }
+    if (vecOk(left.dataType) && chunkOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells_chunk expects (array<float|double>, " +
+          s"array<struct<long, double, array<float|double>>>), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  private def vecIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def centIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType].fields(2).dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val ch = b.asInstanceOf[ArrayData]
+    val vlen = v.numElements()
+    val x = new Array[Double](vlen)
+    var i = 0
+    while (i < vlen) {
+      x(i) = if (vecIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val m = ch.numElements()
+    val take = math.min(nProbe, m)
+    val bestD = Array.fill(nProbe)(Double.PositiveInfinity)
+    val bestC = new Array[Long](nProbe)
+    var p = 0
+    while (p < m) {
+      val row = ch.getStruct(p, 3)
+      val c = row.getArray(2)
+      val n = math.min(vlen, c.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += x(j) * (if (centIsFloat) c.getFloat(j).toDouble else c.getDouble(j))
+        j += 1
+      }
+      val d = row.getDouble(1) - 2.0 * acc
+      var pos = 0
+      while (pos < nProbe && bestD(pos) <= d) pos += 1
+      if (pos < nProbe) {
+        var q = nProbe - 1
+        while (q > pos) { bestD(q) = bestD(q - 1); bestC(q) = bestC(q - 1); q -= 1 }
+        bestD(pos) = d; bestC(pos) = row.getLong(0)
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](take) { i =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](bestD(i), bestC(i)))
+      })
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGet = if (vecIsFloat) "getFloat" else "getDouble"
+    val cGet = if (centIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (v, ch) => {
+      val vlen = ctx.freshName("vlen")
+      val x = ctx.freshName("x")
+      val m = ctx.freshName("m")
+      val take = ctx.freshName("take")
+      val bd = ctx.freshName("bestD")
+      val bc = ctx.freshName("bestC")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val pos = ctx.freshName("pos")
+      val q = ctx.freshName("q")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+         |int $vlen = $v.numElements();
+         |double[] $x = new double[$vlen];
+         |for (int $i = 0; $i < $vlen; $i++) { $x[$i] = (double) $v.$vGet($i); }
+         |int $m = $ch.numElements();
+         |int $take = java.lang.Math.min($nProbe, $m);
+         |double[] $bd = new double[$nProbe];
+         |long[] $bc = new long[$nProbe];
+         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |for (int $p = 0; $p < $m; $p++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $ch.getStruct($p, 3);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $row.getArray(2);
+         |  int $n = java.lang.Math.min($vlen, $c.numElements());
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $x[$j] * ((double) $c.$cGet($j));
+         |  }
+         |  double $d = $row.getDouble(1) - 2.0 * $acc;
+         |  int $pos = 0;
+         |  while ($pos < $nProbe && $bd[$pos] <= $d) $pos++;
+         |  if ($pos < $nProbe) {
+         |    for (int $q = $nProbe - 1; $q > $pos; $q--) {
+         |      $bd[$q] = $bd[$q - 1]; $bc[$q] = $bc[$q - 1];
+         |    }
+         |    $bd[$pos] = $d; $bc[$pos] = $row.getLong(0);
+         |  }
+         |}
+         |Object[] $out = new Object[$take];
+         |for (int $i = 0; $i < $take; $i++) {
+         |  $out[$i] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$bd[$i], $bc[$i]});
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
@@ -322,4 +494,9 @@ object VectorFunctions {
     ColumnBridge.column(NearestCellsExpr(
       ColumnBridge.expression(v),
       centroids.map { case (cid, c) => (cid, c.toArray) }, nProbe))
+
+  /** Column API for [[NearestCellsChunkExpr]]. */
+  def nearestCellsInChunk(v: Column, chunk: Column, nProbe: Int): Column =
+    ColumnBridge.column(NearestCellsChunkExpr(
+      ColumnBridge.expression(v), ColumnBridge.expression(chunk), nProbe))
 }

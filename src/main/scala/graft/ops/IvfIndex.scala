@@ -180,19 +180,128 @@ object IvfIndex {
     * subquery + a distance join), which is what lets the registered
     * query stay oracle-exact while adapting k to the data. Production
     * note: [[trainOnSample]] gives better cells for the same k;
-    * beyond driver-collectable k (~1e6), assignment must switch from
-    * the literal-centroid expression to a broadcast join. */
+    * beyond driver-collectable k (~1e6), assignment switches to the
+    * broadcast-join path — [[sampleCentroidsDf]] + [[assignViaJoin]],
+    * dispatched on k by [[nearDupPairsClustered]]. */
   def sampleCentroids(embeddings: DataFrame,
                       targetCellSize: Int): Array[(Int, Seq[Double])] = {
     require(targetCellSize >= 1, "targetCellSize must be positive")
-    val nz = embeddings.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-      .filter(col("nrm") > 0d)
+    val nz = nonZeroBase(embeddings)
     val n = nz.count()
     val k = math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
+    collectLowestK(nz, k)
+  }
+
+  private def collectLowestK(nz: DataFrame, k: Int): Array[(Int, Seq[Double])] =
     nz.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
+
+  /** The past-driver-scale quantizer: a hash-gated corpus sample AS a
+    * DataFrame — every nonzero-norm vector whose id hashes into the
+    * 1/targetCellSize gate becomes a centroid, cid = vec_id. Expected
+    * cell size is targetCellSize on any distribution (same Voronoi
+    * argument as [[sampleCentroids]]) and k tracks n automatically,
+    * but unlike [[sampleCentroids]] NOTHING is collected, counted, or
+    * sorted: the quantizer is a filter over the scan, fully
+    * distributed, so it composes with [[assignViaJoin]] into an
+    * assignment whose only non-streaming piece is the broadcast of the
+    * centroid rows themselves. cid = vec_id rather than a dense rank
+    * (a global rank would need a sort); assignment semantics only use
+    * cid for equality and tie-ordering, and vec_id order extends the
+    * sample order, so pair results are invariant under the
+    * relabeling. */
+  def sampleCentroidsDf(embeddings: DataFrame,
+                        targetCellSize: Int): DataFrame = {
+    require(targetCellSize >= 1, "targetCellSize must be positive")
+    nonZeroBase(embeddings)
+      .filter(pmod(xxhash64(col("vec_id")), lit(targetCellSize.toLong)) === 0L)
+      .select(col("vec_id").cast("long").as("cid"), col("v"))
+  }
+
+  /** Broadcast-join cell assignment — the 100-TB form of the fused
+    * literal-centroid kernel. [[sampleCentroids]] + [[NearestCellsExpr]]
+    * collect k rows to the driver and embed the centroid matrix in the
+    * plan; fine to ~1e6 centroids, dead at the k ~ n/cellSize the IVF
+    * sizing law demands at corpus scale (≈1.6e7 centroids ≈ 8 GB of
+    * driver state at 1e9 vectors). Here centroids stay a DataFrame:
+    * they are grouped into ⌈k/chunkSize⌉ bounded rows of
+    * `struct(cid, c2, v)` (c2 precomputed once per centroid — the same
+    * sequential-fold |c|² the literal kernel computes), broadcast, and
+    * nested-loop-joined to the corpus; each joined row runs the fused
+    * chunk kernel ([[graft.functions.NearestCellsChunkExpr]]) for its
+    * chunk-local top-nProbe, and a per-vector groupBy merges the
+    * per-chunk winners with an array_sort over (d, cid) — lossless,
+    * because any global winner is a winner within its own chunk.
+    *
+    * Shuffle math: the n·k distance work happens INSIDE the codegen
+    * kernel on the broadcast build side; what moves is n rows ×
+    * ⌈k/chunkSize⌉·nProbe small structs (at n=1e9, k=1.6e7,
+    * chunkSize=4096: ~4000 structs/row — choose chunkSize to taste),
+    * never n·k rows. The d values are bit-identical to the literal
+    * kernel (same fold, same widening, same (d, cid) tie-break), so
+    * on the same centroid set the assignment — and any pair result
+    * built on it — is equal row-for-row (IvfAssignJoinSpec).
+    *
+    * Returns (vec_id, cell): up to nProbe rows per input vector. */
+  def assignViaJoin(vectors: DataFrame, centroidsDf: DataFrame,
+                    nProbe: Int, chunkSize: Int = 4096): DataFrame = {
+    require(nProbe >= 1, "nProbe must be positive")
+    require(chunkSize >= 1, "chunkSize must be positive")
+    val k = centroidsDf.count()
+    require(k > 0, "empty quantizer")
+    val nChunks = ((k + chunkSize - 1) / chunkSize).max(1L)
+    // bounded chunk rows; sort_array orders each chunk by cid so the
+    // kernel's positional insertion tie-break IS the cid tie-break
+    val chunks = centroidsDf
+      .withColumn("c2", dotProduct(col("v"), col("v")))
+      .groupBy(pmod(xxhash64(col("cid")), lit(nChunks)).as("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("c2"), col("v"))))
+        .as("chunk"))
+      .select("chunk")
+    val perChunk = vectors.join(broadcast(chunks))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.nearestCellsInChunk(
+          col("v"), col("chunk"), nProbe).as("tops"))
+    perChunk.groupBy("vec_id")
+      .agg(slice(array_sort(flatten(collect_list(col("tops")))), 1, nProbe)
+        .as("top"))
+      .select(col("vec_id"), explode(col("top").getField("cid")).as("cell"))
+  }
+
+  /** [[nearDupPairs]] with the quantizer supplied as a DataFrame and
+    * assignment via [[assignViaJoin]] — identical pair semantics, no
+    * driver-side centroid state. */
+  def nearDupPairsViaJoin(embeddings: DataFrame, minSim: Double,
+                          centroidsDf: DataFrame, nProbe: Int = 2,
+                          chunkSize: Int = 4096): DataFrame = {
+    val base = nonZeroBase(embeddings).cache()
+    val assigned =
+      assignViaJoin(base.select("vec_id", "v"), centroidsDf, nProbe, chunkSize)
+    val out = pairsFromAssignments(base, assigned, minSim)
+    base.unpersist(blocking = false)
+    out
+  }
+
+  /** The production entry point for clustered near-dup detection:
+    * size the sample quantizer from the data and dispatch on k — the
+    * literal-kernel path while the quantizer is comfortably
+    * driver-collectable (faster: no broadcast exchange, no merge
+    * groupBy), the broadcast-join path beyond it. `kDriverMax`'s
+    * default (65536) is far below the ~1e6 hard ceiling on plan-embedded
+    * centroids — the join path's modest overhead is cheaper than
+    * flirting with task-binary bloat. */
+  def nearDupPairsClustered(embeddings: DataFrame, minSim: Double,
+                            targetCellSize: Int, nProbe: Int = 2,
+                            kDriverMax: Int = 1 << 16): DataFrame = {
+    val n = nonZeroBase(embeddings).count()
+    val k = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)
+    if (k <= kDriverMax)
+      nearDupPairs(embeddings, minSim,
+        collectLowestK(nonZeroBase(embeddings), k.toInt), nProbe)
+    else
+      nearDupPairsViaJoin(embeddings, minSim,
+        sampleCentroidsDf(embeddings, targetCellSize), nProbe)
   }
 
   def nearDupPairs(embeddings: DataFrame, minSim: Double,
@@ -202,9 +311,7 @@ object IvfIndex {
       "nProbe must be in [1, nCells]")
     // one small cached row per vector — the assignment (both join
     // sides) and the rerank payload all re-derive from it
-    val base = embeddings.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-      .filter(col("nrm") > 0d).cache()
+    val base = nonZeroBase(embeddings).cache()
     // fused assignment kernel: composing k per-centroid DotProducts +
     // an array_sort over k structs collapses codegen once k reaches
     // the sizes the sample quantizer produces (see NearestCellsExpr)
@@ -213,6 +320,21 @@ object IvfIndex {
         graft.functions.VectorFunctions.nearestCells(
           col("v"), centroids, nProbe)))
       .select(col("vec_id"), col("cell"))
+    val out = pairsFromAssignments(base, assigned, minSim)
+    base.unpersist(blocking = false)
+    out
+  }
+
+  private def nonZeroBase(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      .filter(col("nrm") > 0d)
+
+  /** The shared pair tail: cell co-residence candidates + exact cosine
+    * rerank. `base` must be the cached nonZeroBase projection;
+    * `assigned` is (vec_id, cell) with up to nProbe rows per vector. */
+  private def pairsFromAssignments(base: DataFrame, assigned: DataFrame,
+                                   minSim: Double): DataFrame = {
     // fresh-name re-projection, not a two-alias self-join: aliased
     // self-join predicates can resolve both sides to one attribute
     // (see the tautology lesson on Dedup's pair joins)
@@ -222,7 +344,7 @@ object IvfIndex {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     val payload = base.select(col("vec_id"), col("v"), col("nrm"))
-    val out = cand
+    cand
       .join(payload.as("x"), col("vec_a") === col("x.vec_id"))
       .join(payload.as("y"), col("vec_b") === col("y.vec_id"))
       .select(col("vec_a"), col("vec_b"),
@@ -232,8 +354,6 @@ object IvfIndex {
       .select(col("vec_a"), col("vec_b"),
         floor(col("sim") * 1e6).cast("long").as("sim_x1e6"))
       .transform(graft.engine.Checkpoints.materialize)
-    base.unpersist(blocking = false)
-    out
   }
 
   /** Approximate top-k: probe the nProbe nearest cells per query, exact

@@ -1273,8 +1273,12 @@ object Pipeline {
         planted = Some(50))),
       (s, dir) => {
         val planted = Similarity.plantNearDups(t(s, dir, "embeddings"), 50)
-        IvfIndex.nearDupPairs(planted, 0.7,
-            IvfIndex.sampleCentroids(planted, 64), nProbe = 2)
+        // the dispatcher resolves to the literal-kernel path at any
+        // driver-collectable k (the oracle replays exactly that); past
+        // kDriverMax it switches to the broadcast-join assignment
+        // (assignViaJoin), whose pair output is spec'd equal on the
+        // same centroid set (IvfAssignJoinSpec)
+        IvfIndex.nearDupPairsClustered(planted, 0.7, 64, nProbe = 2)
           .orderBy("vec_a", "vec_b")
       }),
 

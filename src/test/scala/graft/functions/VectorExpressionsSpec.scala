@@ -146,4 +146,71 @@ class VectorExpressionsSpec extends SparkSpec {
         cents.map { case (cid, c) => (cid, c) }.toArray, nProbe).eval(null) == null)
     }
   }
+
+  // ---- the chunked (broadcast-join) nearest-centroid kernel ----
+
+  test("nearestCellsInChunk (codegen + interpreted) matches a plain-Scala " +
+    "(d, cid) sort over the chunk, ties to the lower cid; null yields null") {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    val cRnd = new scala.util.Random(29)
+    val base = Seq.fill(11)(Array.fill(64)(cRnd.nextDouble() * 2 - 1))
+    // duplicated centroid vector → exact d tie → lower cid must win
+    val cents: Seq[(Long, Array[Double])] = (base :+ base.head.clone())
+      .zipWithIndex.map { case (c, i) => ((((i * 5) % 12) + 40).toLong, c) }
+      .sortBy(_._1) // chunks arrive cid-sorted (sort_array in assignViaJoin)
+    def expected(v: Seq[Double], nProbe: Int): Seq[(Double, Long)] =
+      cents.map { case (cid, c) =>
+        val x = v.padTo(64, 0.0)
+        val c2 = c.map(t => t * t).sum
+        val dot = x.zip(c).foldLeft(0.0) { case (a, (p, q)) => a + p * q }
+        (c2 - 2.0 * dot, cid)
+      }.sorted.take(nProbe)
+    // codegen path: chunk as a column (array<struct<long,double,array<double>>>)
+    val chunkVal: Seq[(Long, Double, Seq[Double])] =
+      cents.map { case (cid, c) => (cid, c.map(t => t * t).sum, c.toSeq) }
+    val df = data.map { case (_, b) => (b, chunkVal) }.toDF("v", "chunk")
+    for (nProbe <- Seq(1, 3)) {
+      val rows = df.select(
+        VectorFunctions.nearestCellsInChunk($"v", $"chunk", nProbe).as("t"))
+        .collect()
+      rows.zip(data).foreach { case (r, (_, b)) =>
+        val got = r.getSeq[org.apache.spark.sql.Row](0)
+          .map(s => (s.getDouble(0), s.getLong(1)))
+        assert(got == expected(b, nProbe))
+      }
+      // interpreted eval path, driven with hand-built catalyst values
+      val chunkType = ArrayType(StructType(Seq(
+        StructField("cid", LongType), StructField("c2", DoubleType),
+        StructField("v", ArrayType(DoubleType)))))
+      val e = NearestCellsChunkExpr(
+        Literal.create(null, ArrayType(DoubleType)),
+        Literal.create(null, chunkType), nProbe)
+      val vArr = new GenericArrayData(data.head._2.toArray)
+      val chArr = new GenericArrayData(cents.map { case (cid, c) =>
+        new GenericInternalRow(Array[Any](cid, c.map(t => t * t).sum,
+          new GenericArrayData(c)))
+      }.toArray[Any])
+      val got = e.nullSafeEval(vArr, chArr).asInstanceOf[ArrayData]
+      val asSeq = (0 until got.numElements()).map { i =>
+        val s = got.getStruct(i, 2)
+        (s.getDouble(0), s.getLong(1))
+      }
+      assert(asSeq == expected(data.head._2, nProbe))
+      assert(e.eval(null) == null) // null children → null out
+    }
+    // short vector zero-pads; chunk smaller than nProbe returns chunkLen
+    val tiny = Seq((Seq(1.0, -2.0), chunkVal.take(2))).toDF("v", "chunk")
+    val r = tiny.select(
+      VectorFunctions.nearestCellsInChunk($"v", $"chunk", 5).as("t"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(r.length == 2)
+    val exp2 = cents.take(2).map { case (cid, c) =>
+      val x = Seq(1.0, -2.0).padTo(64, 0.0)
+      val c2 = c.map(t => t * t).sum
+      (c2 - 2.0 * x.zip(c).foldLeft(0.0) { case (a, (p, q)) => a + p * q }, cid)
+    }.sorted
+    assert(r.map(s => (s.getDouble(0), s.getLong(1))) == exp2)
+  }
 }
