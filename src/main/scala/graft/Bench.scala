@@ -280,11 +280,21 @@ object Bench {
     * could reveal. */
   def compactLine(results: Seq[(String, Probe)], sf: String): String = {
     val flaky = results.filter(_._2.flaky).map(_._1)
-    def build(dec: Int, slim: Boolean, topK: Int, names: Boolean): String = {
+    val flakySet = flaky.toSet
+    def build(dec: Int, slim: Boolean, topK: Int): String = {
       def n(v: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+      // the top-K cut keeps the K slowest PLUS every flaky query: a
+      // disputed number must stay inspectable from stdout alone even
+      // when the query is fast (BENCH_r09's q58 dispute was only
+      // visible as a nameless "flaky_n":3). Flaky names are capped at
+      // 3 in the marker, so the union exceeds K by at most the full
+      // flaky count — still bounded
       val shown =
         if (topK <= 0 || results.size <= topK) results
-        else results.sortBy(-_._2.best).take(topK).sortBy(_._1)
+        else {
+          val slow = results.sortBy(-_._2.best).take(topK).map(_._1).toSet
+          results.filter { case (k, _) => slow(k) || flakySet(k) }
+        }
       val qs = shown.map { case (k, p) => "\"" + k + "\":" + n(p.best) }
         .mkString("{", ",", "}")
       // total over ALL queries (not just shown) — the headline must
@@ -294,34 +304,32 @@ object Bench {
       val t = "%.2f".formatLocal(java.util.Locale.ROOT, total)
       val sfv = if (slim) sf.split('/').last else sf
       val unit = if (slim) "" else """"unit":"sec","""
-      val fl = if (flaky.isEmpty) "" else if (names) {
+      val fl = if (flaky.isEmpty) "" else {
         val ns = flaky.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
         s""""flaky":$ns,"flaky_n":${flaky.size},"""
-      } else s""""flaky_n":${flaky.size},"""
+      }
       val om = if (shown.size < results.size)
         s""""omitted":${results.size - shown.size},""" else ""
       s"""{"metric":"total","value":$t,$unit$fl$om"queries":$qs,"sf":"$sfv"}"""
     }
-    // Ladder order = information preservation: flaky NAMES are the
-    // first thing sacrificed (flaky_n + the probes line still carry
-    // the signal), because at a ~full-budget dec1 line even a single
-    // flaky entry overflows and would otherwise flatten every
-    // per-query number to integers — round-9 run: one 0.1 s query
-    // tripping its 2x-history check cost the whole line its decimals.
-    // The names-dropped level also goes slim (no unit, basename sf).
-    // NEXT sacrifice is per-query COVERAGE, not precision: once the
-    // registry outgrows the budget even slim (73 queries did, at
-    // ~1869 B dec1), the dec1 top-TopKDec1 level keeps decimals for
-    // every query a regression read actually inspects and says
-    // "omitted":N about the fast tail — integer values for 0.2 s
-    // queries carry no signal at all.
+    // Ladder order = information preservation. Flagged NAMES are never
+    // sacrificed (round-9 lesson, the hard way: the driver recorded
+    // q58's contended 2.6 s as a regression because the slim form
+    // reduced the dispute to a nameless "flaky_n":3 — the ≤3 names
+    // cost under ~90 bytes, which coverage can always pay for). What
+    // degrades instead: precision (2 → 1 decimals), then the slim
+    // form (no unit, basename sf), then per-query COVERAGE — the dec1
+    // top-TopKDec1 level keeps decimals for every query a regression
+    // read actually inspects (plus all flaky names) and says
+    // "omitted":N about the fast tail; integer values for 0.2 s
+    // queries carry no signal at all, so the integer levels are last.
     val levels = Seq(
-      (2, false, 0, true), (1, false, 0, true), (1, true, 0, false),
-      (1, true, TopKDec1, false),
-      (0, false, 0, true), (0, true, 0, false),
-      (0, true, TopKFallback, false))
+      (2, false, 0), (1, false, 0), (1, true, 0),
+      (1, true, TopKDec1),
+      (0, false, 0), (0, true, 0),
+      (0, true, TopKFallback))
     levels.iterator.map((build _).tupled).find(_.length < LineBudget)
-      .getOrElse(build(0, slim = true, TopKFallback, names = false))
+      .getOrElse(build(0, slim = true, TopKFallback))
   }
 
   /** The self-diagnosis payload (raw runs, reprobes, stable flags) —

@@ -99,13 +99,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.compactLine(fakeResults(3), "/sf").contains("flaky"))
   }
 
-  test("a flaky marker at today's registry size must not cost per-query " +
-    "decimals: the ladder drops the NAMES (keeping flaky_n) first") {
-    // round-9 failure mode: ONE 0.1 s query tripping its 2x-history
-    // check pushed the dec1 line (~1841 B) past budget and flattened
-    // all 72 per-query numbers to integers — precision the cross-round
-    // regression read needs more than three names the probes line
-    // already carries
+  test("a flagged query is identifiable BY NAME from the compact line at " +
+    "every ladder level, and keeps decimals at today's registry size") {
+    // round-9 failure mode, inverted: the driver recorded q58's
+    // contended 2.6 s as a regression because the slim form reduced
+    // the dispute to a nameless "flaky_n":3. Names are ≤3 by cap
+    // (~90 B) — coverage pays for them, never the other way round.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val rs = names.zipWithIndex.map { case (n, i) =>
       val h = if (i == 0) Some(0.5) else None // one suspect query
@@ -115,7 +114,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length < Bench.LineBudget, s"${line.length} over budget")
     assert(line.contains("\":2.3"), s"flaky marker cost precision: $line")
     assert(line.contains(""""flaky_n":1"""), line)
-    assert(!line.contains(""""flaky":["""), s"names should be dropped: $line")
+    assert(line.contains(s""""flaky":["${names.head}"]"""),
+      s"flagged name must survive every ladder level: $line")
+  }
+
+  test("a FAST flagged query survives the top-K coverage cut by name " +
+    "and value, and its recorded value is the reprobe minimum") {
+    // 150 slow queries force the bounded top-K fallback; the one
+    // disputed query is fast (would never make the slowest-K set) —
+    // it must still appear in the queries object, recorded at the
+    // minimum across ALL its runs including the reprobe (the honest
+    // best-known number: a contended session cannot poison it upward
+    // past what any run observed)
+    val slow = (0 until 150).map(i =>
+      (f"q$i%03d_some_very_long_query_name_indeed_x", Bench.Probe(9.9, 9.9, None)))
+    val disputed = ("q900_fast_disputed",
+      Bench.Probe(2.6, 8.0, Some(1.1), hist = Some(0.9)))
+    assert(disputed._2.best == 1.1, "best must be the reprobe minimum")
+    assert(disputed._2.flaky)
+    val line = Bench.compactLine(slow :+ disputed, "/root/testdata/sf0.1")
+    assert(line.length < Bench.LineBudget, s"${line.length} over budget")
+    assert(line.contains(""""flaky":["q900_fast_disputed"]"""), line)
+    assert(line.contains(""""q900_fast_disputed":1"""),
+      s"disputed query's value must ride the line: $line")
+    // shown + omitted still account for every query
+    val om = """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    val shown = (""""q[0-9A-Za-z_]+":""".r.findAllIn(line).length - 1)
+    assert(om.exists(_ + shown == 151), s"shown=$shown om=$om: $line")
   }
 
   test("history parsing: same-sf compact lines round-trip; cross-sf " +
