@@ -35,7 +35,12 @@ object Tables {
   def floored(spark: SparkSession, sfDir: String, name: String, key: String): DataFrame = {
     val df = apply(spark, sfDir, name)
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key)) else df
+    // probe planned splits via the already-compiled physical plan's
+    // internal-row RDD: `df.rdd` would wrap the query in a fresh
+    // row-deserializer plan and compile it once per table read, only
+    // to ask for a partition count
+    val splits = df.queryExecution.toRdd.getNumPartitions
+    if (splits < cores) df.repartition(cores, col(key)) else df
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
