@@ -434,17 +434,36 @@ object Similarity {
   def lshBandConfig(n: Long, recallSim: Double = 0.99,
                     maxMiss: Double = 1e-4): (Int, Int) = {
     require(n > 0, "empty corpus has no config")
+    val bits = lshBitsForCorpus(n)
+    val nBands = lshBandsForBits(bits, recallSim, maxMiss)
+    (bits * nBands, bits)
+  }
+
+  /** The corpus-size half of [[lshBandConfig]]: the smallest
+    * word-aligned band width (8/16/32) >= ceil(log2 n). The ONLY part
+    * of the law that depends on the data — [[lshBandsForBits]] is a
+    * pure function of the (recallSim, maxMiss) constants, so a
+    * replaying oracle needs just this integer tier switch in SQL plus
+    * the per-tier band counts as constants (q76). */
+  def lshBitsForCorpus(n: Long): Int = {
+    val log2n =
+      if (n <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    if (log2n <= 8) 8 else if (log2n <= 16) 16 else 32
+  }
+
+  /** The recall half of [[lshBandConfig]]: the smallest band count
+    * driving P(miss) = (1 - p^bits)^nBands below `maxMiss` for a pair
+    * at `recallSim` (p = the hyperplane agreement probability
+    * 1 - acos(sim)/pi). Independent of the corpus — per band width it
+    * is one constant of the law. */
+  def lshBandsForBits(bits: Int, recallSim: Double = 0.99,
+                      maxMiss: Double = 1e-4): Int = {
     require(recallSim > LshCrossoverSim && recallSim < 1.0,
       s"recall must be priced above the $LshCrossoverSim crossover")
     require(maxMiss > 0 && maxMiss < 1, "maxMiss must be a probability")
-    val log2n =
-      if (n <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    val bits = if (log2n <= 8) 8 else if (log2n <= 16) 16 else 32
     val p = 1.0 - math.acos(recallSim) / math.Pi
     val pBand = math.pow(p, bits)
-    val nBands = math.max(4,
-      math.ceil(math.log(maxMiss) / math.log1p(-pBand)).toInt)
-    (bits * nBands, bits)
+    math.max(4, math.ceil(math.log(maxMiss) / math.log1p(-pBand)).toInt)
   }
 
   /** [[nearDupPairsLsh]] with the banding config derived from the

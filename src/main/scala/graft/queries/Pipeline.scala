@@ -1306,7 +1306,24 @@ object Pipeline {
         |  < r.rate_ppm
         |ORDER BY doc_id""".stripMargin),
       (s, dir) => Sampling.temperatureMix(t(s, dir, "documents"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── the AUTO-SIZED LSH pair path under the hash-check regime:
+    // q69 pins its (128, 16) config for a stable regression row;
+    // nearDupPairsLshAuto — the form a library user should call —
+    // derives (nPlanes, bitsPerBand) from one count() via the sizing
+    // law. Registered so the DERIVATION itself is oracle-checked: the
+    // oracle recomputes n and replays the integer tier switch in SQL
+    // (no pinned config anywhere — at sf0.01's n=550 both sides land
+    // on the 16-bit tier, at n <= 256 both land on the 8-bit tier,
+    // and the spec exercises both tiers). Per-tier band counts and
+    // plane literals are constants of the law, emitted by the shared
+    // Scala function that the Spark path itself calls.
+    Q("q76_lsh_auto_pairs", "pipeline:dedup-embedding-lsh-auto",
+      Some(lshAutoPairsOracle(0.7, planted = Some(50))),
+      (s, dir) => Similarity.nearDupPairsLshAuto(
+          Similarity.plantNearDups(t(s, dir, "embeddings"), 50), 0.7)
+        .orderBy("vec_a", "vec_b")))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
     * literals (RE2-compatible subset, no lookarounds/backreferences)
@@ -1450,6 +1467,72 @@ object Pipeline {
       |  FROM nz),
       |bands AS (
       |  $bandRows),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id),
+      |sims AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+      |  FROM cand c
+      |  JOIN nz x ON x.vec_id = c.vec_a
+      |  JOIN nz y ON y.vec_id = c.vec_b)
+      |SELECT vec_a, vec_b, CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1e6
+      |FROM sims WHERE sim >= $minSim
+      |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** DuckDB SQL replaying [[Similarity.nearDupPairsLshAuto]] — the
+    * [[lshPairsOracle]] pattern with the band config DERIVED from the
+    * corpus instead of pinned: the oracle recomputes n = count of the
+    * (planted) corpus, replays [[Similarity.lshBitsForCorpus]]'s
+    * integer tier switch in SQL (smallest l with 2^l >= n, then the
+    * 8/16 word-aligned width — exact integer math, no cross-engine
+    * float risk), and selects the matching band arms. The per-tier
+    * band COUNTS are constants of the law (pure functions of the
+    * pinned recallSim/maxMiss — [[Similarity.lshBandsForBits]]), so
+    * the builder evaluates that shared Scala function once per tier
+    * and emits the counts the way it emits the plane literals
+    * themselves. Planes for the smaller tier are a PREFIX of the
+    * larger tier's (one seeded LCG stream fills row-major), so one
+    * literal set serves both arms. Corpora past the 16-bit tier
+    * (n > 2^16) raise in the oracle rather than silently diverging —
+    * the Spark side continues through the 32-bit tier. */
+  private def lshAutoPairsOracle(minSim: Double,
+                                 planted: Option[Int] = None): String = {
+    val bands8 = Similarity.lshBandsForBits(8)
+    val bands16 = Similarity.lshBandsForBits(16)
+    val nPlanesMax = math.max(8 * bands8, 16 * bands16)
+    val planes = Similarity.hyperplanes(nPlanesMax, 64)
+    def dotLit(p: Array[Double]): String = {
+      val lst = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
+    }
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLit(p)} >= 0 THEN 1 ELSE 0 END) AS b$i"
+    }.mkString(",\n      |    ")
+    def bandArms(bits: Int, nBands: Int): String = (0 until nBands).map { j =>
+      val terms = (0 until bits).map { k =>
+        val bit = s"b${bits * j + k}"
+        if (k == 0) bit else s"${1L << k} * $bit"
+      }.mkString(" + ")
+      s"SELECT vec_id, $j AS bi, $terms AS bv FROM sb WHERE (SELECT bits FROM cfg) = $bits"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH ${plantedEmbCtes(planted)},
+      |cfg AS (
+      |  SELECT CASE WHEN l2 <= 8 THEN 8 WHEN l2 <= 16 THEN 16
+      |         ELSE error('corpus beyond the 16-bit oracle tier') END AS bits
+      |  FROM (SELECT min(l) AS l2 FROM range(1, 48) t(l)
+      |        WHERE (CAST(1 AS BIGINT) << l) >= (SELECT count(*) FROM e))),
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |nz AS (SELECT * FROM n WHERE nrm > 0),
+      |sb AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    $bitCols
+      |  FROM nz),
+      |bands AS (
+      |  ${bandArms(8, bands8)}
+      |  UNION ALL ${bandArms(16, bands16)}),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM bands a JOIN bands b

@@ -99,6 +99,27 @@ class CandidatePruningSpec extends SparkSpec {
     assert(auto.size == 50, s"got ${auto.size} pairs")
   }
 
+  test("auto path at the 8-bit tier (n <= 256), and hyperplanes are " +
+    "prefix-stable across plane budgets (one seeded LCG stream fills " +
+    "row-major) — the property that lets the q76 oracle serve both " +
+    "tiers from one literal set") {
+    val planes240 = Similarity.hyperplanes(240, 64)
+    val planes64 = Similarity.hyperplanes(64, 64)
+    assert(planes64.zip(planes240.take(64)).forall {
+      case (a, b) => a.sameElements(b) })
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 150)
+    val planted = Similarity.plantNearDups(emb, 50) // 150 + 50 clones = 200
+    assert(Similarity.lshBitsForCorpus(planted.count()) == 8)
+    assert(Similarity.lshBandConfig(200L) == (64, 8))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = asSet(Similarity.nearDupPairsLshAuto(planted, 0.7))
+    val explicitCfg = asSet(Similarity.nearDupPairsLsh(planted, 0.7, 64, 8))
+    assert(auto == explicitCfg)
+    assert(auto.size == 50, s"got ${auto.size} pairs")
+  }
+
   test("plantNearDups: every planted clone pairs with its source through " +
     "the 8-bit-band LSH path at the 0.7 production threshold, at ~0.995 " +
     "cosine; the organic corpus contributes no pair") {
