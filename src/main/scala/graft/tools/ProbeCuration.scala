@@ -31,11 +31,13 @@ object ProbeCuration {
       val clean = sized.select(col("doc_id"),
         TextAnalysis.scrubText(col("text")).as("text"), col("n_tokens"))
         .cache()
-      t("A gates+length+scrub+cache (count)") { clean.count() }
-      println(s"[probe] clean partitions: ${clean.rdd.getNumPartitions}")
+      val nClean = t("A gates+length+scrub+cache (count)") { clean.count() }
+      println(s"[probe] clean rows: $nClean, partitions: ${clean.rdd.getNumPartitions}")
       val cl = t("B dupClusters (count forces)") {
         val c = Dedup.dupClusters(clean, 0.8, bucketCap = Some(16)); c.count(); c
       }
+      val nDupped = cl.filter(!col("keep")).count()
+      println(s"[probe] dedup-dropped rows: $nDupped (must be > 0 on a corpus with near-dups)")
       t("C sizes+joins+split+sort+materialize") {
         val sizes = cl.groupBy("cluster_root").agg(count(lit(1)).as("cluster_size"))
         val out = cl.filter(col("keep"))

@@ -9,23 +9,32 @@ import graft.engine.Tables
   * `embeddings` tables of a source sf dir `factor`-fold with shifted
   * ids, WITHOUT multiplying the duplicate-pair density:
   *
-  *  - documents: every TOKEN gets a per-replica suffix `~r<k>`
-  *    (tokenization is a whitespace split, so the suffix stays inside
-  *    its token). The map token -> token~rk is injective, so the
-  *    shingle space maps bijectively per replica: intra-replica
-  *    Jaccard — and therefore MinHash/LSH candidate density — is
-  *    preserved EXACTLY, while cross-replica shingle sets are disjoint
-  *    (Jaccard 0). Two rejected designs measured the wrong thing:
-  *    naive replication (same text, 10 copies) gives every doc >= 9
-  *    exact dups and grows the pair set ~45x (output explosion, not
-  *    scaling); an earlier separator tag (whitespace -> ` r<k> `)
-  *    minted shingles like (rk, w, rk) that depend on ONE shared word,
-  *    so every unrelated same-replica doc pair shared shingles —
-  *    measured 601 LSH candidates per doc at x10 vs the true 1.9
-  *    (~2000x inflation; 2.4e9-row verification join). Run with
-  *    factor=1 for the matching baseline (token lengths grow slightly,
-  *    so raw-sf numbers are close but not identical — compare
-  *    factor=10 against factor=1).
+  *  - documents: every NON-STOPWORD token gets a per-replica suffix
+  *    `~r<k>` (tokenization is a whitespace split, so the suffix stays
+  *    inside its token); the quality-gate stopwords and langid marker
+  *    words pass through unchanged. The per-replica token map
+  *    (stopword -> itself, w -> w~rk) is still injective — a suffixed
+  *    token can never equal a carried stopword — so the shingle space
+  *    maps injectively per replica: intra-replica Jaccard — and
+  *    therefore MinHash/LSH candidate density — is preserved EXACTLY.
+  *    Cross-replica, any shingle containing >= 1 non-stopword token
+  *    stays replica-unique; only ALL-stopword n-grams are shared, a
+  *    bounded leak the capped band paths absorb (measured: see
+  *    PLANS.md q73 rows). Carrying stopwords is what earlier rounds
+  *    got wrong ONE level up: suffixing every token zeroed the
+  *    stopword-ratio signal, the quality gate dropped 100% of
+  *    replicas, and q73's scaled runs timed an EMPTY corpus
+  *    (documented in PLANS.md round 9). Two other rejected designs
+  *    measured the wrong thing: naive replication (same text, 10
+  *    copies) gives every doc >= 9 exact dups and grows the pair set
+  *    ~45x (output explosion, not scaling); an earlier separator tag
+  *    (whitespace -> ` r<k> `) minted shingles like (rk, w, rk) that
+  *    depend on ONE shared word, so every unrelated same-replica doc
+  *    pair shared shingles — measured 601 LSH candidates per doc at
+  *    x10 vs the true 1.9 (~2000x inflation; 2.4e9-row verification
+  *    join). Run with factor=1 for the matching baseline (non-stopword
+  *    token lengths grow slightly, so raw-sf numbers are close but not
+  *    identical — compare factor=10 against factor=1).
   *
   *  - embeddings: element i of replica k is multiplied by the sign
   *    (1 - 2 * pmod(hash(k, i), 2)) — a per-replica +-1 pattern.
@@ -53,10 +62,17 @@ object ScaleGen {
 
     val docs = Tables(spark, src, "documents")
     val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    // quality-gate stopwords (TextAnalysis.quality) + langid marker
+    // words (TextAnalysis.langId) pass through unsuffixed so the
+    // per-replica gate and language signals replay the source corpus
+    val carried = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "el", "la", "los", "der", "und", "die", "le", "et", "les")
+    val tokenRe =
+      s"(?i)(?<!\\S)(?!(?:${carried.mkString("|")})(?!\\S))\\S+"
     (0 until factor).map { k =>
       docs.select(
         (col("doc_id") + lit(k.toLong * nDocs)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1~r$k").as("text"),
+        regexp_replace(col("text"), tokenRe, s"$$0~r$k").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .repartition(32)
