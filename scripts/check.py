@@ -26,6 +26,15 @@ def main(sf_dir, out_dir):
     result_dirs = sorted(
         d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
     failures = []
+    # a query that THREW inside Verify writes no result dir at all —
+    # comparing only present dirs silently shrank the gate (q41/q48
+    # vanished this way when the testdata's timestamp type changed);
+    # every registered query must produce a result
+    present = {os.path.basename(d) for d in result_dirs}
+    missing = sorted(set(oracle) - present)
+    for name in missing:
+        failures.append(name)
+        print(f"FAIL {name}: no result written (query threw in Verify?)")
     for d in result_dirs:
         name = os.path.basename(d)
         try:

@@ -44,10 +44,21 @@ object Tables {
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects
-    // outright; read nanos as raw long and truncate to micros (exactly
-    // what DuckDB's ns->us read does, so oracle values agree).
+    // events.parquet's ts has shipped in two physical forms across
+    // driver testdata generations: TIMESTAMP(NANOS), which Spark 4
+    // rejects outright (read nanos as raw long, truncate to micros —
+    // exactly what DuckDB's ns->us read does), and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark would
+    // read as TIMESTAMP_NTZ — breaking every long-cast/unix_micros
+    // downstream (q41/q48 failed SILENTLY for part of round 10: the
+    // per-query catch in Verify ate the AnalysisException and the
+    // local checker counted only present results — both hardened
+    // since). Disabling NTZ inference reads micros-no-tz as plain
+    // TIMESTAMP; with the session pinned UTC the raw epoch micros are
+    // identical to DuckDB's naive read, matching the nanos-era
+    // semantics bit-for-bit.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
