@@ -28,18 +28,27 @@ import Hashing.tokens
 object Packing {
 
   /** Per-doc whitespace-token count and exclusive global start offset
-    * in the doc_id-ordered token stream. */
-  def withOffsets(docs: DataFrame, bucketSize: Long = 65536L): DataFrame = {
+    * in the doc_id-ordered token stream. `keepCols` names extra input
+    * columns carried through to the output — they ride the
+    * (doc_id, n_tokens, bucket) rows through the bucket window's one
+    * shuffle (text is projected away before it either way), so the
+    * shuffle payload grows only by their width; the composition form
+    * for pipelines that pack rows already carrying lineage columns
+    * (q77's lang/rate_ppm), where a join-back by doc_id would shuffle
+    * twice for values this stage already held. */
+  def withOffsets(docs: DataFrame, bucketSize: Long = 65536L,
+                  keepCols: Seq[String] = Nil): DataFrame = {
     val toks = docs.select(
-      col("doc_id"),
+      col("doc_id") +:
       // null text counts as 0 tokens, explicitly: size(tokens(null)) is
       // NULL under ANSI semantics, and a NULL n_tokens would poison the
       // window sum here while DuckDB's window sum (which skips NULLs)
       // would still produce a defined offset — the two engines would
       // silently disagree on every later doc's start_offset.
       coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
-        .as("n_tokens"),
-      floor(col("doc_id") / lit(bucketSize)).cast("long").as("bucket"))
+        .as("n_tokens") +:
+      floor(col("doc_id") / lit(bucketSize)).cast("long").as("bucket") +:
+      keepCols.map(col): _*)
     val inBucket = toks.withColumn("cum_in_bucket",
       sum(col("n_tokens"))
         .over(Window.partitionBy("bucket").orderBy("doc_id"))
@@ -53,24 +62,28 @@ object Packing {
           - col("btotal"), lit(0L)))
       .select(col("bucket"), col("base"))
     inBucket.join(broadcast(bases), Seq("bucket"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("base") + col("cum_in_bucket")).as("start_offset"))
+      .select(col("doc_id") +: col("n_tokens") +:
+        (col("base") + col("cum_in_bucket")).as("start_offset") +:
+        keepCols.map(col): _*)
   }
 
   /** Chunk assignment at a fixed context length: first chunk, whether
     * the doc spans a chunk boundary, and how many boundaries it
     * crosses. Empty docs (0 tokens) sit at their offset crossing
-    * nothing. */
+    * nothing. `keepCols` carries extra input columns through (see
+    * [[withOffsets]]). */
   def packChunks(docs: DataFrame, contextLen: Long = 512L,
-                 bucketSize: Long = 65536L): DataFrame = {
-    val off = withOffsets(docs, bucketSize)
+                 bucketSize: Long = 65536L,
+                 keepCols: Seq[String] = Nil): DataFrame = {
+    val off = withOffsets(docs, bucketSize, keepCols)
     val lastTok = greatest(col("start_offset") + col("n_tokens") - 1,
       col("start_offset"))
     val firstChunk = floor(col("start_offset") / lit(contextLen)).cast("long")
     val lastChunk = floor(lastTok / lit(contextLen)).cast("long")
-    off.select(col("doc_id"), col("n_tokens"), col("start_offset"),
-      firstChunk.as("chunk_id"),
-      (lastChunk > firstChunk).as("spans_boundary"),
-      (lastChunk - firstChunk).as("chunks_crossed"))
+    off.select(col("doc_id") +: col("n_tokens") +: col("start_offset") +:
+      firstChunk.as("chunk_id") +:
+      (lastChunk > firstChunk).as("spans_boundary") +:
+      (lastChunk - firstChunk).as("chunks_crossed") +:
+      keepCols.map(col): _*)
   }
 }

@@ -1323,7 +1323,49 @@ object Pipeline {
       Some(lshAutoPairsOracle(0.7, planted = Some(50))),
       (s, dir) => Similarity.nearDupPairsLshAuto(
           Similarity.plantNearDups(t(s, dir, "embeddings"), 50), 0.7)
-        .orderBy("vec_a", "vec_b")))
+        .orderBy("vec_a", "vec_b")),
+
+    // ── the FULL pretraining pipe: q73 (gates → corpus length gate →
+    // PII scrub → capped dedup → hash split) continued through the
+    // two stages a real run adds — temperature resampling of the
+    // train split (q75's corpus-derived (n_min/n)^0.5 rates, computed
+    // over the POST-dedup train corpus: the mixture is a property of
+    // what survives curation, not of the crawl) and concat-and-chunk
+    // sequence packing (q49's two-level prefix sum over the SCRUBBED
+    // text). One query so the cross-stage plan is itself under the
+    // hash-check regime: the mix is a tiny lang agg + broadcast
+    // thresholds (a pushed per-row predicate — the corpus never
+    // shuffles for it), and the pack's bucket window shuffles only
+    // (doc_id, n_tokens, lang, rate_ppm) rows — the text is projected
+    // away first, and lang/rate_ppm ride as keepCols instead of a
+    // second join-back shuffle. Every stage deterministic; the oracle
+    // replays all seven in sequence — exact on any dataset, no pins.
+    Q("q77_pretraining_pipeline", "pipeline:pretraining-e2e",
+      Some(pretrainOracle),
+      (s, dir) => {
+        val docs = docsF(s, dir).select("doc_id", "text", "lang")
+        val gated = docs.filter(TextAnalysis.qualityKeep(col("text")))
+        val sized = TextAnalysis.lengthGateRetained(gated)
+          .filter(col("keep"))
+        // scrubbed corpus cached: the dedup pipeline re-scans it and
+        // the post-dedup join re-reads it (same discipline as q73)
+        val clean = sized.select(col("doc_id"),
+          TextAnalysis.scrubText(col("text")).as("text"), col("lang"))
+          .cache()
+        val cl = Dedup.dupClusters(clean, 0.8, bucketCap = Some(16))
+        val kept = cl.filter(col("keep")).select("doc_id")
+          .join(clean, Seq("doc_id"))
+        val train = Sampling.withSplit(kept)
+          .filter(col("split") === "train")
+          .select("doc_id", "text", "lang")
+        val mixed = Sampling.withMix(train)
+        val out = Packing
+          .packChunks(mixed, 512L, keepCols = Seq("lang", "rate_ppm"))
+          .orderBy("doc_id")
+          .transform(graft.engine.Checkpoints.materialize)
+        clean.unpersist(blocking = false)
+        out
+      }))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
     * literals (RE2-compatible subset, no lookarounds/backreferences)
@@ -1637,10 +1679,14 @@ object Pipeline {
     * `cur`), and the q66 hash split — every stage the same
     * deterministic decisions the Spark plan makes, so equality is
     * exact by construction on any dataset. */
-  private def curationOracle: String = {
+  /** The shared q73/q77 curation CTE chain: quality gates → corpus
+    * length gate → PII scrub (CTE `cur`: doc_id, scrubbed text,
+    * n_tokens) → capped LSH pairs → connected components (CTEs
+    * `lab`/`siz`). Must be spliced under `WITH RECURSIVE`. */
+  private def curationCoreCtes: String = {
     val (em, ph, ip) = (TextAnalysis.EmailRe, TextAnalysis.PhoneRe,
       TextAnalysis.IpRe)
-    s"""WITH RECURSIVE qb AS ($qualityBodySql),
+    s"""qb AS ($qualityBodySql),
       |gkeep AS (
       |  SELECT doc_id FROM qb
       |  WHERE NOT ((n_words < 20) OR (n_words > 1000)
@@ -1667,7 +1713,11 @@ object Pipeline {
       |  SELECT doc_a, doc_b FROM pairs
       |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
       |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
-      |${ccCtes("cur")},
+      |${ccCtes("cur")}""".stripMargin
+  }
+
+  private def curationOracle: String = {
+    s"""WITH RECURSIVE $curationCoreCtes,
       |sp AS (
       |  SELECT doc_id,
       |    ${h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
@@ -1685,6 +1735,52 @@ object Pipeline {
       |WHERE l.doc_id = l.root
       |ORDER BY l.doc_id""".stripMargin
   }
+
+  /** DuckDB SQL replaying the FULL pretraining pipe (q77): the
+    * [[curationCoreCtes]] chain, then the train-split roots,
+    * temperature-mix rates derived over that post-dedup train corpus
+    * (q75's sqrt/division math — correctly-rounded IEEE ops in both
+    * engines), the mix-hash acceptance, token counts over the
+    * SCRUBBED text, and q49's offset/chunk math under a running-sum
+    * window. Every stage deterministic → exact on any dataset. */
+  private def pretrainOracle: String =
+    s"""WITH RECURSIVE $curationCoreCtes,
+      |tr AS (
+      |  SELECT l.doc_id FROM lab l
+      |  WHERE l.doc_id = l.root
+      |    AND ${h60Sql("'split:' || CAST(l.doc_id AS VARCHAR)")} % 1000 < 980),
+      |ld AS (
+      |  SELECT t.doc_id, d.lang, c.text FROM tr t
+      |  JOIN documents d ON d.doc_id = t.doc_id
+      |  JOIN cur c ON c.doc_id = t.doc_id),
+      |lc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM ld GROUP BY lang),
+      |rt AS (
+      |  SELECT lang, CAST(floor(sqrt((SELECT min(n) FROM lc) / n)
+      |    * 1000000.0) AS BIGINT) AS rate_ppm
+      |  FROM lc),
+      |mx AS (
+      |  SELECT ld.doc_id, ld.lang, ld.text, r.rate_ppm
+      |  FROM ld JOIN rt r USING (lang)
+      |  WHERE ${h60Sql("'mix:' || CAST(ld.doc_id AS VARCHAR)")} % 1000000
+      |    < r.rate_ppm),
+      |tok2 AS (
+      |  SELECT doc_id, lang, rate_ppm,
+      |    CAST(coalesce(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 0) AS BIGINT) AS n_tokens
+      |  FROM mx),
+      |off AS (
+      |  SELECT doc_id, lang, rate_ppm, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_offset
+      |  FROM tok2)
+      |SELECT doc_id, n_tokens, start_offset,
+      |  CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
+      |  (floor(greatest(start_offset + n_tokens - 1, start_offset) / 512.0)
+      |     > floor(start_offset / 512.0)) AS spans_boundary,
+      |  CAST(floor(greatest(start_offset + n_tokens - 1, start_offset) / 512.0)
+      |     - floor(start_offset / 512.0) AS BIGINT) AS chunks_crossed,
+      |  lang, rate_ppm
+      |FROM off ORDER BY doc_id""".stripMargin
 
   private def lshMaterializeOracle(maxBucket: Option[Int]): String =
     s"""WITH RECURSIVE ${cappedLshCtes(maxBucket)},

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 74, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 76, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -60,11 +60,14 @@ class QueriesSpec extends SparkSpec {
     // q69/q72/q74 cross-join their plant rows with the ONE-row derived
     // clone-id offset (max(id)+1), and q75 its per-group counts with
     // the ONE-row global min — the same scalar-broadcast shape
+    // q76 derives its plants like q69 (1-row clone-id offset); q77
+    // composes the length gate's one-row bounds broadcast like q73
     val bnljAllowed = Set("q25_similarity_topk", "q45_ann_recall",
       "q56_quantized_topk", "q58_ivf_recall", "q70_length_gate",
       "q73_curation_pipeline", "q69_lsh_neardup_pairs",
       "q72_phash_dup_pairs", "q74_ivf_neardup_pairs",
-      "q75_temperature_mix")
+      "q75_temperature_mix", "q76_lsh_auto_pairs",
+      "q77_pretraining_pipeline")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
