@@ -1353,17 +1353,23 @@ object Pipeline {
           TextAnalysis.scrubText(col("text")).as("text"), col("lang"))
           .cache()
         val cl = Dedup.dupClusters(clean, 0.8, bucketCap = Some(16))
-        val kept = cl.filter(col("keep")).select("doc_id")
-          .join(clean, Seq("doc_id"))
-        val train = Sampling.withSplit(kept)
+        // the surviving train corpus is read FOUR times downstream
+        // (the mix's count agg, its threshold-join probe side, the
+        // pack's bucket window, its bases agg) — cached, those are
+        // four scans of a small frame instead of four re-evaluations
+        // of the kept-roots join
+        val train = Sampling.withSplit(
+            cl.filter(col("keep")).select("doc_id").join(clean, Seq("doc_id")))
           .filter(col("split") === "train")
           .select("doc_id", "text", "lang")
+          .cache()
         val mixed = Sampling.withMix(train)
         val out = Packing
           .packChunks(mixed, 512L, keepCols = Seq("lang", "rate_ppm"))
           .orderBy("doc_id")
           .transform(graft.engine.Checkpoints.materialize)
         clean.unpersist(blocking = false)
+        train.unpersist(blocking = false)
         out
       }))
 
