@@ -492,6 +492,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("packChunks keepCols: carried columns equal a join-back against " +
+    "the base output, with identical pack math") {
+    val docs = Seq(
+      (0L, "a b c", "en", 10L),
+      (1L, "d e", "fr", 20L),
+      (2L, "f g h i", "en", 30L))
+      .toDF("doc_id", "text", "lang", "extra")
+    val kept = Packing.packChunks(docs, contextLen = 4L, bucketSize = 2L,
+        keepCols = Seq("lang", "extra"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getString(6), r.getLong(7)))
+    val joined = Packing.packChunks(docs, contextLen = 4L, bucketSize = 2L)
+      .join(docs.select("doc_id", "lang", "extra"), Seq("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getString(6), r.getLong(7)))
+    assert(kept.toSeq == joined.toSeq)
+  }
+
+  test("withMix retains every input column plus rate_ppm, and projects " +
+    "to exactly temperatureMix's row set") {
+    val docs = ((1L to 60L).map(i => (i, s"t$i", "en")) ++
+      (61L to 75L).map(i => (i, s"t$i", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val full = Sampling.withMix(docs)
+    assert(full.columns.sorted.toSeq ==
+      Seq("doc_id", "lang", "rate_ppm", "text"))
+    val viaFull = full.select("doc_id", "lang", "rate_ppm")
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Sampling.temperatureMix(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaFull == direct)
+    // the rarest group is kept whole (rate 1e6), the common one thinned
+    val rates = full.select("lang", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("fr") == 1000000L)
+    assert(rates("en") < 1000000L && rates("en") > 0L)
+  }
+
   test("groupCap keeps at most N per language and is deterministic") {
     val docs = (1L to 40L)
       .map(i => (i, if (i % 2 == 0) "the cat and the dog of it"
