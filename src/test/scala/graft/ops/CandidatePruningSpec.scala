@@ -120,6 +120,29 @@ class CandidatePruningSpec extends SparkSpec {
     assert(auto.size == 50, s"got ${auto.size} pairs")
   }
 
+  test("the 32-bit tier EXECUTES: the (1152, 32) config the law " +
+    "prescribes at 1e9 vectors runs end-to-end (18-word signatures, " +
+    "32-bit band extraction) and recovers every plant with exact " +
+    "precision") {
+    // the tier can't be reached through the auto path at test scale
+    // (it needs n > 2^16), so drive the fixed-config form with the
+    // exact sizes lshBandConfig(2^30) derives — this is the one
+    // config in the scaladoc's worked sizes that otherwise never runs
+    assert(Similarity.lshBandConfig(1L << 30) == (1152, 32))
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 60)
+    val planted = Similarity.plantNearDups(emb, 20)
+    val got = Similarity.nearDupPairsLsh(planted, 0.7, 1152, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth from the exact blocked kernel at the same threshold
+    // (nearDupPairs at 0.7 would dispatch to LSH — call it directly)
+    val exact = Similarity.allPairsBlocked(planted, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "LSH emitted a pair the exact kernel denies")
+    assert(got.size == 20, s"got ${got.size} of 20 plants")
+    assert(got == exact)
+  }
+
   test("plantNearDups: every planted clone pairs with its source through " +
     "the 8-bit-band LSH path at the 0.7 production threshold, at ~0.995 " +
     "cosine; the organic corpus contributes no pair") {
