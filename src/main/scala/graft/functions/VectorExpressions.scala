@@ -364,10 +364,14 @@ case class NearestCellsChunkExpr(left: Expression, right: Expression,
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
-  private def vecIsFloat: Boolean =
+  // lazy: the interpreted path reads these per evaluated ROW — a def
+  // would re-walk the DataType cast chain for every row of every chunk.
+  // @transient so a serialized copy re-derives them from the child
+  // types instead of shipping cached booleans.
+  @transient private lazy val vecIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  private def centIsFloat: Boolean =
+  @transient private lazy val centIsFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType
       .asInstanceOf[StructType].fields(2).dataType
       .asInstanceOf[ArrayType].elementType == FloatType

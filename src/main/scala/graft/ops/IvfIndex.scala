@@ -245,10 +245,20 @@ object IvfIndex {
     *
     * Returns (vec_id, cell): up to nProbe rows per input vector. */
   def assignViaJoin(vectors: DataFrame, centroidsDf: DataFrame,
-                    nProbe: Int, chunkSize: Int = 4096): DataFrame = {
+                    nProbe: Int, chunkSize: Int = 4096,
+                    kEstimate: Option[Long] = None): DataFrame = {
     require(nProbe >= 1, "nProbe must be positive")
     require(chunkSize >= 1, "chunkSize must be positive")
-    val k = centroidsDf.count()
+    // nChunks only needs an ORDER-OF-MAGNITUDE k: the grouping key is
+    // pmod(hash(cid), nChunks), correct for any nChunks >= 1 — a wrong
+    // estimate only unbalances chunk sizes. At 100 TB the quantizer is
+    // itself a filtered corpus scan, so count()ing it here re-read the
+    // corpus once before the real pass; every caller that built the
+    // quantizer already knows expected k (n / targetCellSize), and
+    // passing it makes the quantizer's ONE scan the broadcast build.
+    // With an estimate supplied, an actually-empty quantizer is the
+    // caller's bug: it yields an empty assignment, not an error.
+    val k = kEstimate.getOrElse(centroidsDf.count())
     require(k > 0, "empty quantizer")
     val nChunks = ((k + chunkSize - 1) / chunkSize).max(1L)
     // bounded chunk rows; sort_array orders each chunk by cid so the
@@ -274,13 +284,40 @@ object IvfIndex {
     * driver-side centroid state. */
   def nearDupPairsViaJoin(embeddings: DataFrame, minSim: Double,
                           centroidsDf: DataFrame, nProbe: Int = 2,
-                          chunkSize: Int = 4096): DataFrame = {
+                          chunkSize: Int = 4096,
+                          kEstimate: Option[Long] = None): DataFrame = {
     val base = nonZeroBase(embeddings).cache()
-    val assigned =
-      assignViaJoin(base.select("vec_id", "v"), centroidsDf, nProbe, chunkSize)
+    val assigned = assignViaJoin(base.select("vec_id", "v"), centroidsDf,
+      nProbe, chunkSize, kEstimate)
     val out = pairsFromAssignments(base, assigned, minSim)
     base.unpersist(blocking = false)
     out
+  }
+
+  /** The derived flat-IVF cell-size law — the [[graft.ops.Similarity]]
+    * `lshBandConfig` discipline applied to the clustering knob: derive
+    * the dial from n, price the trade in code, never leave it to
+    * folklore. Total pair-detection work at corpus size n with cell
+    * target c and probe width p:
+    *
+    *   assignment  n·k      = n²/c          (every vector scores every
+    *                                         centroid, k = n/c)
+    *   rerank      Σ n_cell² ≈ n·c·p²       (each vector lands in p
+    *                                         cells of expected size c)
+    *
+    * d/dc (n²/c + n·c·p²) = 0  →  c* = √n / p — both terms then grow
+    * as n^1.5·p, the standard flat-quantizer law. A FIXED c (the
+    * bench's old 64) makes assignment n²/64: fine at 1e6 vectors,
+    * hostile at 1e9 (1.6e16 → with c*=√n/2 ≈ 15800, assignment drops
+    * ~250× to 6.3e13 while rerank stays equal by construction).
+    * Clamped to ≥1; at tiny n the clamp dominates and every cell is a
+    * singleton, which only costs recall, never correctness (rerank is
+    * exact). IvfCellConfigSpec pins monotonicity and the balance
+    * property. */
+  def ivfCellConfig(n: Long, nProbe: Int = 2): Int = {
+    require(n >= 0, "n must be non-negative")
+    require(nProbe >= 1, "nProbe must be positive")
+    math.max(1L, math.round(math.sqrt(n.toDouble) / nProbe)).toInt
   }
 
   /** The production entry point for clustered near-dup detection:
@@ -290,18 +327,27 @@ object IvfIndex {
     * groupBy), the broadcast-join path beyond it. `kDriverMax`'s
     * default (65536) is far below the ~1e6 hard ceiling on plan-embedded
     * centroids — the join path's modest overhead is cheaper than
-    * flirting with task-binary bloat. */
+    * flirting with task-binary bloat. With no explicit `targetCellSize`
+    * the cell target derives from the corpus via [[ivfCellConfig]]
+    * (c* = √n/nProbe — the balanced n^1.5 regime); an explicit size is
+    * for pinned-oracle replay and experiments. The join branch reuses
+    * the already-counted n as its k estimate, so the quantizer scan
+    * happens exactly once, inside the broadcast build
+    * ([[assignViaJoin]]'s kEstimate). */
   def nearDupPairsClustered(embeddings: DataFrame, minSim: Double,
-                            targetCellSize: Int, nProbe: Int = 2,
+                            targetCellSize: Option[Int] = None,
+                            nProbe: Int = 2,
                             kDriverMax: Int = 1 << 16): DataFrame = {
     val n = nonZeroBase(embeddings).count()
-    val k = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)
+    val cell = targetCellSize.getOrElse(ivfCellConfig(n, nProbe))
+    val k = math.max(1L, math.ceil(n.toDouble / cell).toLong)
     if (k <= kDriverMax)
       nearDupPairs(embeddings, minSim,
         collectLowestK(nonZeroBase(embeddings), k.toInt), nProbe)
     else
       nearDupPairsViaJoin(embeddings, minSim,
-        sampleCentroidsDf(embeddings, targetCellSize), nProbe)
+        sampleCentroidsDf(embeddings, cell), nProbe,
+        kEstimate = Some(k))
   }
 
   def nearDupPairs(embeddings: DataFrame, minSim: Double,

@@ -36,8 +36,25 @@ object Packing {
     * for pipelines that pack rows already carrying lineage columns
     * (q77's lang/rate_ppm), where a join-back by doc_id would shuffle
     * twice for values this stage already held. */
+  /** Column names this operator generates internally or emits; a
+    * keepCols entry colliding with one would fail as an ambiguous
+    * column deep inside the bucket window — reject it at entry with
+    * the offending name instead. */
+  private val ReservedCols = Set("doc_id", "n_tokens", "bucket",
+    "cum_in_bucket", "btotal", "base", "start_offset", "chunk_id",
+    "spans_boundary", "chunks_crossed")
+
+  private def requireKeepable(keepCols: Seq[String]): Unit = {
+    val bad = keepCols.filter(ReservedCols)
+    require(bad.isEmpty,
+      s"keepCols ${bad.mkString(", ")} collide(s) with columns this " +
+        "operator generates (" + ReservedCols.toSeq.sorted.mkString(", ") +
+        ") — rename before packing")
+  }
+
   def withOffsets(docs: DataFrame, bucketSize: Long = 65536L,
                   keepCols: Seq[String] = Nil): DataFrame = {
+    requireKeepable(keepCols)
     val toks = docs.select(
       col("doc_id") +:
       // null text counts as 0 tokens, explicitly: size(tokens(null)) is
@@ -75,6 +92,7 @@ object Packing {
   def packChunks(docs: DataFrame, contextLen: Long = 512L,
                  bucketSize: Long = 65536L,
                  keepCols: Seq[String] = Nil): DataFrame = {
+    requireKeepable(keepCols)
     val off = withOffsets(docs, bucketSize, keepCols)
     val lastTok = greatest(col("start_offset") + col("n_tokens") - 1,
       col("start_offset"))

@@ -107,6 +107,12 @@ object Sampling {
   def withMix(docs: DataFrame, exponent: Double = 0.5,
               byCol: String = "lang"): DataFrame = {
     require(exponent >= 0 && exponent <= 1, s"bad exponent $exponent")
+    // enforce the scaladoc contract: an input already carrying rate_ppm
+    // would fail as an ambiguous column inside the threshold join —
+    // fail here, at the call site, with the contract named
+    require(!docs.columns.contains("rate_ppm"),
+      "withMix input must not already carry rate_ppm (it is this " +
+        "operator's output column)")
     val counts = docs.groupBy(col(byCol))
       .agg(count(lit(1)).cast("double").as("n"))
     val nMin = counts.agg(min(col("n")).as("n_min"))

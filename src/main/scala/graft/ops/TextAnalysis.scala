@@ -22,15 +22,35 @@ object TextAnalysis {
   private def occ(text: Column, needle: String): Column =
     ((length(text) - length(replace(text, lit(needle)))) / needle.length).cast("long")
 
+  /** The [[quality]]/[[qualityKeep]] stopword list — public because
+    * tools that must PRESERVE the gate signal on transformed text
+    * (ScaleGen carries these tokens through unsuffixed) must derive
+    * from this list, not keep a copy that silently drifts when the
+    * gate changes (the round-9 empty-scaled-corpus failure mode). */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
+  /** [[langId]]'s marker words per language, in score-column order —
+    * public for the same no-drift reason as [[QualityStopwords]]. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "les"))
+
   /** Marker-word language scores + argmax prediction. A deliberately
     * simple n-gram/stopword heuristic (the container has no langid
     * model); deterministic and portable. */
   def langId(docs: DataFrame): DataFrame = {
     val t = concat(lit(" "), lower(col("text")), lit(" "))
-    val en = (occ(t, " the ") + occ(t, " and ") + occ(t, " of ")).as("score_en")
-    val es = (occ(t, " el ") + occ(t, " la ") + occ(t, " los ")).as("score_es")
-    val de = (occ(t, " der ") + occ(t, " und ") + occ(t, " die ")).as("score_de")
-    val fr = (occ(t, " le ") + occ(t, " et ") + occ(t, " les ")).as("score_fr")
+    def score(lang: String): Column = {
+      val ws = LangMarkers.toMap.apply(lang)
+      ws.map(w => occ(t, s" $w ")).reduce(_ + _).as(s"score_$lang")
+    }
+    val en = score("en")
+    val es = score("es")
+    val de = score("de")
+    val fr = score("fr")
     val scored = docs.select(col("doc_id"), col("lang"), en, es, de, fr,
       (octet_length(col("text")) > length(col("text"))).as("non_ascii"))
     val best = greatest(col("score_en"), col("score_es"), col("score_de"),
@@ -50,8 +70,7 @@ object TextAnalysis {
     val t = col("text")
     val nWords = size(tokens(t)).cast("long")
     val padded = concat(lit(" "), lower(t), lit(" "))
-    val stop = Seq(" the ", " a ", " an ", " and ", " or ", " of ", " to ", " in ")
-      .map(s => occ(padded, s)).reduce(_ + _)
+    val stop = QualityStopwords.map(w => occ(padded, s" $w ")).reduce(_ + _)
     docs.select(
       col("doc_id"),
       length(t).cast("long").as("n_chars"),
@@ -93,8 +112,7 @@ object TextAnalysis {
   def qualityKeep(t: Column): Column = {
     val nWords = size(tokens(t)).cast("long")
     val padded = concat(lit(" "), lower(t), lit(" "))
-    val stop = Seq(" the ", " a ", " an ", " and ", " or ", " of ", " to ", " in ")
-      .map(s => occ(padded, s)).reduce(_ + _)
+    val stop = QualityStopwords.map(w => occ(padded, s" $w ")).reduce(_ + _)
     val nPunct = regexp_count(t, lit("[.,!?;:]")).cast("long")
     val avgLen = floor(length(t).cast("double") * 1000 /
       greatest(nWords, lit(1L))).cast("long")

@@ -293,8 +293,10 @@ object Pipeline {
   private def langScoresSql: (String, String, String, String) = {
     val t = "(' ' || lower(text) || ' ')"
     def score(ws: Seq[String]) = ws.map(w => occSql(t, s" $w ")).mkString("(", " + ", ")")
-    (score(Seq("the", "and", "of")), score(Seq("el", "la", "los")),
-      score(Seq("der", "und", "die")), score(Seq("le", "et", "les")))
+    // marker lists come from the SAME constant the Spark path reads —
+    // the oracle must replay the operator, not a copy of it
+    val m = TextAnalysis.LangMarkers.toMap
+    (score(m("en")), score(m("es")), score(m("de")), score(m("fr")))
   }
 
   /** The argmax-language CASE from [[langIdOracle]], reused by q50. */
@@ -320,7 +322,7 @@ object Pipeline {
   /** The q29 quality-signal SELECT body, shared with q52's gates. */
   private val qualityBodySql: String = {
     val t = "(' ' || lower(text) || ' ')"
-    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+    val stop = TextAnalysis.QualityStopwords
       .map(w => occSql(t, s" $w ")).mkString(" + ")
     s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
       |  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_words,
@@ -1278,7 +1280,7 @@ object Pipeline {
         // kDriverMax it switches to the broadcast-join assignment
         // (assignViaJoin), whose pair output is spec'd equal on the
         // same centroid set (IvfAssignJoinSpec)
-        IvfIndex.nearDupPairsClustered(planted, 0.7, 64, nProbe = 2)
+        IvfIndex.nearDupPairsClustered(planted, 0.7, Some(64), nProbe = 2)
           .orderBy("vec_a", "vec_b")
       }),
 

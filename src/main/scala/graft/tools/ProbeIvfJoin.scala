@@ -40,12 +40,16 @@ object ProbeIvfJoin {
     time(s"literal cell=$cell")(
       IvfIndex.nearDupPairs(e, sim,
         IvfIndex.sampleCentroids(e, cell), nProbe = 2).count())
+    // kEstimate = n/cell: the production form — the quantizer scan
+    // happens once, inside the broadcast build, never in a count()
     time(s"join cell=$cell")(
       IvfIndex.nearDupPairsViaJoin(e, sim,
-        IvfIndex.sampleCentroidsDf(e, cell), nProbe = 2).count())
+        IvfIndex.sampleCentroidsDf(e, cell), nProbe = 2,
+        kEstimate = Some(math.max(1L, n / cell))).count())
     time(s"join cell=$cellBig (large k)")(
       IvfIndex.nearDupPairsViaJoin(e, sim,
-        IvfIndex.sampleCentroidsDf(e, cellBig), nProbe = 2).count())
+        IvfIndex.sampleCentroidsDf(e, cellBig), nProbe = 2,
+        kEstimate = Some(math.max(1L, n / cellBig))).count())
     spark.stop()
   }
 }

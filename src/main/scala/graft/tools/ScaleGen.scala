@@ -64,9 +64,12 @@ object ScaleGen {
     val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     // quality-gate stopwords (TextAnalysis.quality) + langid marker
     // words (TextAnalysis.langId) pass through unsuffixed so the
-    // per-replica gate and language signals replay the source corpus
-    val carried = Seq("the", "a", "an", "and", "or", "of", "to", "in",
-      "el", "la", "los", "der", "und", "die", "le", "et", "les")
+    // per-replica gate and language signals replay the source corpus.
+    // Derived from the SAME constants the gates read — a hard-coded
+    // copy here silently diverged once already (round 9: every scaled
+    // replica failed the stopword gate and q73 timed an empty corpus).
+    val carried = (graft.ops.TextAnalysis.QualityStopwords ++
+      graft.ops.TextAnalysis.LangMarkers.flatMap(_._2)).distinct
     val tokenRe =
       s"(?i)(?<!\\S)(?!(?:${carried.mkString("|")})(?!\\S))\\S+"
     (0 until factor).map { k =>

@@ -66,8 +66,55 @@ class IvfAssignJoinSpec extends SparkSpec {
     "and still recovers every planted 0.995 clone at 0.7") {
     val planted = Similarity.plantNearDups(emb, 50)
     // kDriverMax=1 forces the join branch with the hash-gated quantizer
-    val pairs = IvfIndex.nearDupPairsClustered(planted, 0.7, 64,
+    val pairs = IvfIndex.nearDupPairsClustered(planted, 0.7, Some(64),
         nProbe = 2, kDriverMax = 1)
+      .orderBy("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val off = emb.agg(max("vec_id")).head.getLong(0) + 1
+    assert(pairs.toSeq == (0L until 50L).map(i => (i, i + off)),
+      s"got ${pairs.length}: ${pairs.take(5).mkString(",")}")
+  }
+
+  test("kEstimate: assignment is unchanged, and the quantizer is " +
+    "scanned exactly once (the count() pass is gone)") {
+    val planted = Similarity.plantNearDups(emb, 50)
+    val cents = IvfIndex.sampleCentroids(planted, 64)
+    val base = planted.select(col("vec_id"), col("embedding").as("v"))
+    val k = cents.length.toLong
+    // an accumulator-bumping nondeterministic UDF on the centroid rows
+    // counts how many times the quantizer side is actually evaluated —
+    // nondeterministic so neither count()'s column pruning nor any
+    // plan rewrite can elide it
+    val acc = spark.sparkContext.longAccumulator("centroidRows")
+    val touch = udf((v: Seq[Double]) => { acc.add(1); v })
+      .asNondeterministic()
+    val counted = asDf(cents).withColumn("v", touch(col("v")))
+
+    acc.reset()
+    val withEst = IvfIndex.assignViaJoin(base, counted, 2, 7,
+        kEstimate = Some(k))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(acc.value == k,
+      s"quantizer evaluated ${acc.value} rows for k=$k — not one scan")
+
+    acc.reset()
+    val without = IvfIndex.assignViaJoin(base, counted, 2, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(acc.value == 2 * k,
+      s"count() path should pay the second pass: ${acc.value} vs ${2 * k}")
+    assert(withEst == without, "kEstimate changed the assignment")
+
+    // a loose over-estimate only unbalances chunks, never drops rows
+    val over = IvfIndex.assignViaJoin(base, asDf(cents), 2, 7,
+        kEstimate = Some(k * 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(over == without, "over-estimated k changed the assignment")
+  }
+
+  test("the dispatcher with NO explicit cell size derives it from the " +
+    "law and still recovers every planted clone") {
+    val planted = Similarity.plantNearDups(emb, 50)
+    val pairs = IvfIndex.nearDupPairsClustered(planted, 0.7, nProbe = 2)
       .orderBy("vec_a", "vec_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val off = emb.agg(max("vec_id")).head.getLong(0) + 1

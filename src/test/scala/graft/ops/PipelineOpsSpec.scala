@@ -512,6 +512,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.toSeq == joined.toSeq)
   }
 
+  test("packChunks rejects keepCols that collide with generated columns, " +
+    "naming the offender") {
+    val docs = Seq((0L, "a b", 7L)).toDF("doc_id", "text", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packChunks(docs, keepCols = Seq("n_tokens"))
+    }
+    assert(e.getMessage.contains("n_tokens"))
+    val e2 = intercept[IllegalArgumentException] {
+      Packing.withOffsets(docs.withColumnRenamed("n_tokens", "bucket"),
+        keepCols = Seq("bucket"))
+    }
+    assert(e2.getMessage.contains("bucket"))
+  }
+
+  test("withMix rejects an input already carrying rate_ppm") {
+    val docs = Seq((0L, "t", "en", 5L))
+      .toDF("doc_id", "text", "lang", "rate_ppm")
+    val e = intercept[IllegalArgumentException](Sampling.withMix(docs))
+    assert(e.getMessage.contains("rate_ppm"))
+  }
+
   test("withMix retains every input column plus rate_ppm, and projects " +
     "to exactly temperatureMix's row set") {
     val docs = ((1L to 60L).map(i => (i, s"t$i", "en")) ++
