@@ -197,6 +197,32 @@ object IvfIndex {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
 
+  /** The [[sampleCentroids]] quantizer AS a DataFrame, with the k it
+    * derived: the ceil(n / targetCellSize) lowest-vec_id nonzero-norm
+    * vectors, cid = vec_id. Nothing is collected — the frame is a
+    * TakeOrderedAndProject over the scan (map-side partial top-k) —
+    * and unlike the hash-gated [[sampleCentroidsDf]] it REPLAYS in
+    * SQL as a LIMIT subquery (DuckDB has no xxhash64), which is what
+    * lets a registered query drive [[assignViaJoin]] under the
+    * hash-check regime (q78). cid = vec_id rather than the dense
+    * 0..k-1 rank [[sampleCentroids]] assigns: assignment uses cid
+    * only for equality and (d, cid) tie-ordering, and vec_id order
+    * extends the rank order, so pair results are invariant under the
+    * relabeling (same argument as [[sampleCentroidsDf]]). Returns k
+    * alongside so callers can thread it as [[assignViaJoin]]'s
+    * kEstimate — the count() already happened here; paying it again
+    * inside the assignment would re-scan the corpus. */
+  def sampleQuantizerDf(embeddings: DataFrame,
+                        targetCellSize: Int): (DataFrame, Long) = {
+    require(targetCellSize >= 1, "targetCellSize must be positive")
+    val nz = nonZeroBase(embeddings)
+    val n = nz.count()
+    val k = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)
+    val df = nz.orderBy("vec_id").limit(k.toInt)
+      .select(col("vec_id").cast("long").as("cid"), col("v"))
+    (df, k)
+  }
+
   /** The past-driver-scale quantizer: a hash-gated corpus sample AS a
     * DataFrame — every nonzero-norm vector whose id hashes into the
     * 1/targetCellSize gate becomes a centroid, cid = vec_id. Expected

@@ -1373,6 +1373,33 @@ object Pipeline {
         clean.unpersist(blocking = false)
         train.unpersist(blocking = false)
         out
+      }),
+
+    // ── the broadcast-join IVF assignment UNDER the hash check: q74
+    // dispatches to the literal-kernel branch at bench k, so the join
+    // path (assignViaJoin + NearestCellsChunkExpr — the 100-TB form,
+    // where centroids never touch the driver) was proven only by
+    // IvfAssignJoinSpec equality, never by a CORRECTNESS row. Here the
+    // SAME lowest-k quantizer as q74 is supplied AS a DataFrame
+    // (sampleQuantizerDf — a TakeOrderedAndProject, nothing collected;
+    // the hash-gated sampleCentroidsDf can't be oracle-replayed since
+    // DuckDB lacks xxhash64) and the join branch is forced, with
+    // chunkSize=16 so the per-chunk top-nProbe MERGE runs for real
+    // (~5 chunks at sf0.01's k≈80, one chunk would bypass it). Pair
+    // results are invariant under the cid relabeling (vec_id vs dense
+    // rank — both orders agree), so q74's replay SQL carries over
+    // verbatim: same oracle, two Spark plans, one truth.
+    // QueriesSpec asserts the executed plan contains the
+    // BroadcastNestedLoopJoin chunk join.
+    Q("q78_ivf_join_pairs", "pipeline:dedup-embedding-ivf-join",
+      Some(ivfPairsOracle(0.7, nProbe = 2, cellSize = 64,
+        planted = Some(50))),
+      (s, dir) => {
+        val planted = Similarity.plantNearDups(t(s, dir, "embeddings"), 50)
+        val (cents, k) = IvfIndex.sampleQuantizerDf(planted, 64)
+        IvfIndex.nearDupPairsViaJoin(planted, 0.7, cents, nProbe = 2,
+            chunkSize = 16, kEstimate = Some(k))
+          .orderBy("vec_a", "vec_b")
       }))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern

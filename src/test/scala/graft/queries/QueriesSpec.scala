@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 76, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 77, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -67,7 +67,11 @@ class QueriesSpec extends SparkSpec {
       "q73_curation_pipeline", "q69_lsh_neardup_pairs",
       "q72_phash_dup_pairs", "q74_ivf_neardup_pairs",
       "q75_temperature_mix", "q76_lsh_auto_pairs",
-      "q77_pretraining_pipeline")
+      "q77_pretraining_pipeline",
+      // q78 forces the broadcast-chunk assignment join (the BNLJ whose
+      // build side is the bounded centroid-chunk frame) plus the q74
+      // plant-offset scalar broadcast
+      "q78_ivf_join_pairs")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -133,6 +137,31 @@ class QueriesSpec extends SparkSpec {
       assert(hashEx.isEmpty,
         s"bucketed join still hash-shuffles:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q78 executes the broadcast-chunk IVF assignment: the BNLJ chunk " +
+    "join and the fused chunk kernel are in the executed plan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the registered query materializes (cache+count), so the join
+    // lives inside an InMemoryRelation's cached plan; AQE wraps
+    // subtrees too — walk through both
+    def deepString(p: SparkPlan): String = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => deepString(a.executedPlan)
+        case s: InMemoryTableScanExec => deepString(s.relation.cachedPlan)
+      }
+      (p.toString +: nested).mkString("\n")
+    }
+    spark.catalog.clearCache()
+    val df = Registry.queries("q78_ivf_join_pairs")(spark, sf)
+    assert(df.count() > 0)
+    val plan = deepString(df.queryExecution.executedPlan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q78 did not execute the broadcast-chunk join:\n$plan")
+    assert(plan.toLowerCase.contains("nearestcellschunk"),
+      s"q78 did not run the fused chunk kernel:\n$plan")
   }
 
   test("dot_product is SQL-callable after registration; Aggregator merge matches expression merge") {
