@@ -415,7 +415,14 @@ object IvfIndex {
     val cand = aSide.join(bSide, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    val payload = base.select(col("vec_id"), col("v"), col("nrm"))
+    rerankPairs(base.select(col("vec_id"), col("v"), col("nrm")), cand, minSim)
+  }
+
+  /** The exact-cosine rerank shared by the batch and incremental pair
+    * paths: `payload` is (vec_id, v, nrm) covering every id in `cand`;
+    * `cand` is the distinct (vec_a < vec_b) candidate set. */
+  private def rerankPairs(payload: DataFrame, cand: DataFrame,
+                          minSim: Double): DataFrame =
     cand
       .join(payload.as("x"), col("vec_a") === col("x.vec_id"))
       .join(payload.as("y"), col("vec_b") === col("y.vec_id"))
@@ -426,6 +433,89 @@ object IvfIndex {
       .select(col("vec_a"), col("vec_b"),
         floor(col("sim") * 1e6).cast("long").as("sim_x1e6"))
       .transform(graft.engine.Checkpoints.materialize)
+
+  /** Build and PERSIST the cell index for a historical corpus — the
+    * storage half of incremental re-dedup, making good on the promise
+    * in [[nearDupPairsClustered]]'s scaladoc that the cell id is the
+    * natural storage partition: (cell, vec_id, v, nrm) — one row per
+    * (vector, probed cell), up to nProbe per vector — written
+    * BUCKETED BY cell via [[graft.engine.TableStore.writeBucketed]],
+    * so a later delta batch joins the index on cell without
+    * shuffling it and reranks only co-located bucket tiles.
+    * Assignment is [[assignViaJoin]] against caller-supplied PINNED
+    * centroids: the same centroid frame must be presented to every
+    * later delta batch, or cells drift and delta-vs-history pairs are
+    * silently missed (same contract as faiss's train-once/add-many).
+    * Returns the catalog table name to hand to
+    * [[incrementalNearDupPairs]]. */
+  def buildCellIndex(embeddings: DataFrame, centroidsDf: DataFrame,
+                     warehouse: String, table: String, nBuckets: Int,
+                     nProbe: Int = 2, chunkSize: Int = 4096,
+                     kEstimate: Option[Long] = None): String = {
+    val base = nonZeroBase(embeddings).cache()
+    val assigned = assignViaJoin(base.select("vec_id", "v"), centroidsDf,
+      nProbe, chunkSize, kEstimate)
+    val indexed = assigned
+      .join(base.select("vec_id", "v", "nrm"), Seq("vec_id"))
+      .select("cell", "vec_id", "v", "nrm")
+    val name = graft.engine.TableStore.writeBucketed(
+      indexed, warehouse, table, nBuckets, Seq("cell"))
+    base.unpersist(blocking = false)
+    name
+  }
+
+  /** Incremental re-dedup of a delta batch against a persisted cell
+    * index — the IVF analogue of [[IncrementalDedup.newDocsExact]]:
+    * instead of re-pairing the full corpus, the delta is assigned via
+    * [[assignViaJoin]] against the SAME pinned centroids the index was
+    * built with, the index is pruned to the cells the delta actually
+    * touches (a broadcast semi-join — the touched-cell list is bounded
+    * by |delta|·nProbe, small by the definition of a delta), and
+    * candidate pairs are co-residents with AT LEAST ONE delta side —
+    * history-vs-history pairs were already found when the index was
+    * built and are never recomputed. Output contract matches
+    * [[nearDupPairs]] (vec_a < vec_b, sim_x1e6), restricted to
+    * delta-involving pairs; on the same centroids it equals the full
+    * re-dedup's output filtered to delta-involving pairs, exactly
+    * (IvfIncrementalSpec).
+    *
+    * Scale: work is |delta|·k assignment (inside the broadcast-chunk
+    * kernel) + rerank over touched cells only — Σ_touched n_c·δ_c
+    * instead of the full Σ n_c² — and the bucketed-by-cell layout
+    * means the co-residence join reads the index's touched buckets
+    * co-located, never shuffling history. Delta and history ids must
+    * be disjoint (caller contract, same as [[IncrementalDedup]]). */
+  def incrementalNearDupPairs(index: DataFrame, delta: DataFrame,
+                              minSim: Double, centroidsDf: DataFrame,
+                              nProbe: Int = 2, chunkSize: Int = 4096,
+                              kEstimate: Option[Long] = None): DataFrame = {
+    val dBase = nonZeroBase(delta).cache()
+    // read twice (touched cells + the candidate union) — materialized
+    // so the chunk-kernel assignment runs once
+    val dAssigned = assignViaJoin(dBase.select("vec_id", "v"), centroidsDf,
+        nProbe, chunkSize, kEstimate)
+      .transform(graft.engine.Checkpoints.materialize)
+    val touched = dAssigned.select("cell").distinct()
+    val hot = index.join(broadcast(touched), Seq("cell"), "left_semi")
+    val u = dAssigned
+      .select(col("vec_id"), col("cell"), lit(true).as("is_delta"))
+      .unionByName(hot
+        .select(col("vec_id"), col("cell"), lit(false).as("is_delta")))
+    val aSide = u.select(col("vec_id").as("vec_a"), col("cell"),
+      col("is_delta").as("a_delta"))
+    val bSide = u.select(col("vec_id").as("vec_b"), col("cell"),
+      col("is_delta").as("b_delta"))
+    val cand = aSide.join(bSide, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b") &&
+        (col("a_delta") || col("b_delta")))
+      .select("vec_a", "vec_b").distinct()
+    // index rows repeat per probed cell — one payload row per id
+    val payload = dBase.select(col("vec_id"), col("v"), col("nrm"))
+      .unionByName(hot.select(col("vec_id"), col("v"), col("nrm"))
+        .dropDuplicates("vec_id"))
+    val out = rerankPairs(payload, cand, minSim)
+    dBase.unpersist(blocking = false)
+    out
   }
 
   /** Approximate top-k: probe the nProbe nearest cells per query, exact

@@ -290,6 +290,54 @@ object Pipeline {
       |FROM sims WHERE sim >= $minSim
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** [[ivfPairsOracle]] with the q44 incremental split grafted on:
+    * history = vec_id % 3 <> 2, delta = the rest; centroids derive
+    * from HISTORY only (the pinned train-once quantizer), every
+    * vector is assigned with the same distance/tie rules, and the
+    * final pair set keeps only pairs with >= 1 delta side —
+    * history-vs-history pairs are the index build's business, not the
+    * delta batch's. The touched-cell pruning the Spark side performs
+    * is invisible here BY CONSTRUCTION: a delta-involving candidate
+    * is co-resident with its delta member, so its cell is touched —
+    * pruning removes only history-history work, never results. */
+  private def ivfIncrementalOracle(minSim: Double, nProbe: Int,
+                                   cellSize: Int,
+                                   planted: Option[Int] = None): String =
+    s"""WITH ${plantedEmbCtes(planted)},
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |nz AS (SELECT * FROM n WHERE nrm > 0),
+      |hist AS (SELECT * FROM nz WHERE vec_id % 3 <> 2),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
+      |  FROM (SELECT vec_id, v FROM hist ORDER BY vec_id
+      |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
+      |               FROM hist))),
+      |dist AS (
+      |  SELECT z.vec_id, (z.vec_id % 3 = 2) AS is_delta, c.cid,
+      |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
+      |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
+      |  FROM nz z CROSS JOIN cents c),
+      |rk AS (
+      |  SELECT vec_id, is_delta, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      |  FROM dist),
+      |av AS (SELECT vec_id, is_delta, cid AS cell FROM rk WHERE r <= $nProbe),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM av a JOIN av b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE a.is_delta OR b.is_delta),
+      |sims AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+      |  FROM cand c
+      |  JOIN nz x ON x.vec_id = c.vec_a
+      |  JOIN nz y ON y.vec_id = c.vec_b)
+      |SELECT vec_a, vec_b, CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1e6
+      |FROM sims WHERE sim >= $minSim
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   private def langScoresSql: (String, String, String, String) = {
     val t = "(' ' || lower(text) || ' ')"
     def score(ws: Seq[String]) = ws.map(w => occSql(t, s" $w ")).mkString("(", " + ", ")")
@@ -1399,6 +1447,37 @@ object Pipeline {
         val (cents, k) = IvfIndex.sampleQuantizerDf(planted, 64)
         IvfIndex.nearDupPairsViaJoin(planted, 0.7, cents, nProbe = 2,
             chunkSize = 16, kEstimate = Some(k))
+          .orderBy("vec_a", "vec_b")
+      }),
+
+    // ── incremental cell-partitioned re-dedup: the 100-TB workflow the
+    // IVF scaladocs promise — history's (cell, vec_id, v, nrm) index
+    // PERSISTED bucketed by cell (TableStore.writeBucketed, the q57
+    // machinery), a delta batch assigned via the broadcast-chunk join
+    // against the SAME pinned centroids (trained on history — the
+    // train-once/add-many contract), the index pruned to the cells the
+    // delta touches, and pairs kept only where >= 1 side is delta —
+    // the IVF analogue of q44's bloom-prefiltered incremental dedup.
+    // The split is q44's mod-3; centroids derive from history ONLY, so
+    // the oracle replays the whole workflow (quantizer LIMIT subquery
+    // over history, distance join over everything, delta-side filter)
+    // with no pins. On the same centroids this equals the full
+    // re-dedup filtered to delta-involving pairs, row-for-row
+    // (IvfIncrementalSpec) — the correctness claim that makes the
+    // pruning safe.
+    Q("q79_ivf_incremental_pairs", "pipeline:dedup-embedding-ivf-incr",
+      Some(ivfIncrementalOracle(0.7, nProbe = 2, cellSize = 64,
+        planted = Some(50))),
+      (s, dir) => {
+        val planted = Similarity.plantNearDups(t(s, dir, "embeddings"), 50)
+        val hist = planted.filter(col("vec_id") % 3 =!= 2)
+        val delta = planted.filter(col("vec_id") % 3 === 2)
+        val (cents, k) = IvfIndex.sampleQuantizerDf(hist, 64)
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val idx = IvfIndex.buildCellIndex(hist, cents, wh, "q79_cells", 8,
+          nProbe = 2, chunkSize = 16, kEstimate = Some(k))
+        IvfIndex.incrementalNearDupPairs(s.table(idx), delta, 0.7, cents,
+            nProbe = 2, chunkSize = 16, kEstimate = Some(k))
           .orderBy("vec_a", "vec_b")
       }))
 
