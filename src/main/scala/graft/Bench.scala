@@ -186,6 +186,21 @@ object Bench {
     // Against a recorded same-sf history, a best exceeding 2x is
     // flagged even when the runs agree with each other.
     def suspect: Boolean = hist.exists(h => h > 0 && best > 2 * h)
+    /** The honest per-query number for CROSS-ROUND totals: min over
+      * this session's successful runs AND the recorded same-sf
+      * history. A contended session cannot inflate it past what any
+      * run ever observed (BENCH_r10 recorded q24 at 7.2 s where every
+      * fresh-session measurement says 1.06 — summing raws made 76.78
+      * read as a regression over 61.7 that was not there); a genuine
+      * regression still surfaces, because history carries only past
+      * MEASUREMENTS — a plan that truly got slower keeps its new cost
+      * in every future round's runs while its history ages out of
+      * relevance with the driver's min-merge. All-failed with no
+      * history: -1 (excluded from the total like `best`). */
+    def bestKnown: Double = {
+      val cands = ok ++ hist.filter(_ > 0)
+      if (cands.isEmpty) -1.0 else cands.min
+    }
     /** What the compact line surfaces to the driver: runs that
       * disagree irreconcilably OR agree at 2x their own history. */
     def flaky: Boolean = !stable || suspect
@@ -302,6 +317,13 @@ object Bench {
       val total = results.map(_._2.best).filter(_ >= 0).sum
       // total keeps 2 decimals always — one value, cross-round headline
       val t = "%.2f".formatLocal(java.util.Locale.ROOT, total)
+      // best_total: the same sum over per-query bestKnown (min of this
+      // session's runs and same-sf history) — the number cross-round
+      // comparisons should read. `value` stays the raw-run sum so the
+      // two diverging IS the in-band contention signal, alongside the
+      // flaky names. ~25 bytes at every ladder level.
+      val bt = "%.2f".formatLocal(java.util.Locale.ROOT,
+        results.map(_._2.bestKnown).filter(_ >= 0).sum)
       val sfv = if (slim) sf.split('/').last else sf
       val unit = if (slim) "" else """"unit":"sec","""
       val fl = if (flaky.isEmpty) "" else {
@@ -310,7 +332,7 @@ object Bench {
       }
       val om = if (shown.size < results.size)
         s""""omitted":${results.size - shown.size},""" else ""
-      s"""{"metric":"total","value":$t,$unit$fl$om"queries":$qs,"sf":"$sfv"}"""
+      s"""{"metric":"total","value":$t,"best_total":$bt,$unit$fl$om"queries":$qs,"sf":"$sfv"}"""
     }
     // Ladder order = information preservation. Flagged NAMES are never
     // sacrificed (round-9 lesson, the hard way: the driver recorded

@@ -143,6 +143,34 @@ class BenchLineSpec extends AnyFunSuite {
     assert(om.exists(_ + shown == 151), s"shown=$shown om=$om: $line")
   }
 
+  test("best_total sums per-query best-knowns: a contended query " +
+    "contributes its history minimum, never its contended raw") {
+    // BENCH_r10's q24: recorded 7.2 s where every fresh-session
+    // measurement says 1.06 — the raw-sum `value` read as a regression
+    // that was not there. best_total is the cross-round headline.
+    val contended = ("q24_dedup_simhash",
+      Bench.Probe(7.2, 7.4, None, hist = Some(1.06)))
+    val clean = ("q20_dedup_exact",
+      Bench.Probe(0.4, 0.42, None, hist = Some(0.38)))
+    val line = Bench.compactLine(Seq(contended, clean), "/sf")
+    assert(line.contains(""""value":7.60"""), line)
+    assert(line.contains(""""best_total":1.44"""), line)
+    // min is two-sided: a session FASTER than history improves it
+    assert(Bench.compactLine(Seq(
+      ("q1_x", Bench.Probe(0.5, 0.55, None, hist = Some(2.0)))), "/sf")
+      .contains(""""best_total":0.50"""))
+    // no history: best_total degenerates to the session's own best
+    assert(Bench.compactLine(Seq(("q2_x", Bench.Probe(3.0, 3.2, None))), "/sf")
+      .contains(""""value":3.00,"best_total":3.00"""))
+    // all-failed falls back to history; with neither it is excluded
+    assert(Bench.Probe(-1.0, -1.0, None, hist = Some(1.5)).bestKnown == 1.5)
+    assert(Bench.Probe(-1.0, -1.0, None).bestKnown == -1.0)
+    // best_total must never be parsed as a query by the history reader
+    val h = Bench.parseHistory(line.replace("\"sf\":\"/sf\"",
+      "\"sf\":\"sf0.1\""), "/root/testdata/sf0.1")
+    assert(h.keySet == Set("q24_dedup_simhash", "q20_dedup_exact"), h)
+  }
+
   test("history parsing: same-sf compact lines round-trip; cross-sf " +
     "history is ignored") {
     val line = """{"metric":"total","value":65.43,"unit":"sec",""" +
