@@ -29,13 +29,30 @@ def main(sf_dir, out_dir):
     # a query that THREW inside Verify writes no result dir at all —
     # comparing only present dirs silently shrank the gate (q41/q48
     # vanished this way when the testdata's timestamp type changed);
-    # every registered query must produce a result
+    # every registered query must produce a result. The expectation
+    # comes from names.json (the FULL registered list Verify emits),
+    # not from oracle keys: a rows-only query has no oracle entry and
+    # would otherwise still vanish silently when it throws.
     present = {os.path.basename(d) for d in result_dirs}
+    names_path = os.path.join(out_dir, "names.json")
+    if os.path.exists(names_path):
+        with open(names_path) as f:
+            registered = set(json.load(f))
+    else:  # older dump without names.json: fall back to oracle keys
+        registered = set(oracle)
+    # converse guard: an oracle key with no registered query behind it
+    # (a renamed query leaving a stale oracle) would silently drop out
+    # of the gate — its SQL runs against nothing and nothing compares
+    stale = sorted(set(oracle) - registered)
+    for name in stale:
+        failures.append(name)
+        print(f"FAIL {name}: oracle entry has no registered query "
+              "(renamed without updating the oracle key?)")
     # honor the same narrowing Verify honors, else a filtered local
     # run would flag every skipped query as missing
     only = [s for s in os.environ.get("SPARK_GRAFT_VERIFY_ONLY", "")
             .split(",") if s]
-    expected = {n for n in oracle
+    expected = {n for n in registered
                 if not only or any(s in n for s in only)}
     missing = sorted(expected - present)
     for name in missing:

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Self-test for check.py's gate-completeness guards.
+
+The correctness gate has two silent-shrink failure modes, both hit in
+earlier rounds: a query that THROWS in Verify writes no result dir
+(round 10: q41/q48 vanished when the testdata timestamp type changed),
+and an oracle key whose query was renamed compares nothing. This
+builds tiny fixture dumps and asserts check.py fails loudly on each —
+including the rows-only case (a registered query with NO oracle entry)
+that the oracle-keys-based expectation used to miss.
+
+Usage: python3 scripts/check_selftest.py   (exit 0 = all guards hold)
+"""
+import json, os, shutil, subprocess, sys, tempfile
+
+import duckdb
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_check(sf, out):
+    return subprocess.run(
+        [sys.executable, os.path.join(HERE, "check.py"), sf, out],
+        capture_output=True, text=True,
+        env={k: v for k, v in os.environ.items()
+             if k != "SPARK_GRAFT_VERIFY_ONLY"})
+
+
+def write_result(out, name):
+    d = os.path.join(out, name)
+    os.makedirs(d, exist_ok=True)
+    duckdb.sql(f"COPY (SELECT 1 AS x) TO '{d}/part-0.parquet' "
+               "(FORMAT PARQUET)")
+
+
+def fixture(root, tag, oracle, names, results):
+    out = os.path.join(root, tag)
+    os.makedirs(out)
+    with open(os.path.join(out, "oracle_sql.json"), "w") as f:
+        json.dump(oracle, f)
+    with open(os.path.join(out, "names.json"), "w") as f:
+        json.dump(names, f)
+    for r in results:
+        write_result(out, r)
+    return out
+
+
+def main():
+    root = tempfile.mkdtemp(prefix="check-selftest-")
+    sf = os.path.join(root, "sf")
+    os.makedirs(sf)
+    failures = []
+
+    def case(title, ok, r):
+        print(("ok   " if ok else "FAIL ") + title)
+        if not ok:
+            failures.append(title)
+            print("  stdout: " + r.stdout.strip()[-400:])
+
+    # 1: complete dump (oracle query + rows-only query, both present)
+    out = fixture(root, "clean", {"q1": "SELECT 1 AS x"},
+                  ["q1", "q2_rows_only"], ["q1", "q2_rows_only"])
+    r = run_check(sf, out)
+    case("clean dump passes", r.returncode == 0, r)
+
+    # 2: an ORACLE query that threw (no result dir) fails by name
+    out = fixture(root, "miss_oracle", {"q1": "SELECT 1 AS x"},
+                  ["q1", "q2_rows_only"], ["q2_rows_only"])
+    r = run_check(sf, out)
+    case("missing oracle-query result fails",
+         r.returncode != 0 and "q1" in r.stdout, r)
+
+    # 3: a ROWS-ONLY query that threw fails too — the expectation must
+    # come from names.json, not oracle keys (the round-10 ADVICE gap)
+    out = fixture(root, "miss_rowsonly", {"q1": "SELECT 1 AS x"},
+                  ["q1", "q2_rows_only"], ["q1"])
+    r = run_check(sf, out)
+    case("missing rows-only result fails",
+         r.returncode != 0 and "q2_rows_only" in r.stdout, r)
+
+    # 4: a stale oracle key (query renamed, oracle not) fails loudly
+    out = fixture(root, "stale", {"q_old_name": "SELECT 1 AS x"},
+                  ["q_new_name"], ["q_new_name"])
+    r = run_check(sf, out)
+    case("stale oracle key fails",
+         r.returncode != 0 and "q_old_name" in r.stdout, r)
+
+    shutil.rmtree(root)
+    if failures:
+        print(f"\n{len(failures)} SELFTEST FAILURES: {failures}")
+        sys.exit(1)
+    print("\nALL CHECK.PY GUARDS HOLD")
+
+
+if __name__ == "__main__":
+    main()
