@@ -1474,10 +1474,14 @@ object Pipeline {
         val delta = planted.filter(col("vec_id") % 3 === 2)
         val (cents, k) = IvfIndex.sampleQuantizerDf(hist, 64)
         val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        // default chunkSize (one chunk at bench k): q78 already pins
+        // the multi-chunk merge under the hash gate; fragmenting BOTH
+        // of this query's assignments 4-ways only multiplied merge
+        // rows (measured 5.1 -> see PLANS.md)
         val idx = IvfIndex.buildCellIndex(hist, cents, wh, "q79_cells", 8,
-          nProbe = 2, chunkSize = 16, kEstimate = Some(k))
+          nProbe = 2, kEstimate = Some(k))
         IvfIndex.incrementalNearDupPairs(s.table(idx), delta, 0.7, cents,
-            nProbe = 2, chunkSize = 16, kEstimate = Some(k))
+            nProbe = 2, kEstimate = Some(k))
           .orderBy("vec_a", "vec_b")
       }))
 
