@@ -464,6 +464,36 @@ object IvfIndex {
     name
   }
 
+  /** Absorb a just-paired delta batch INTO the persisted cell index —
+    * the add-half of the train-once/add-many lifecycle: the next
+    * batch must see this one as history, or cross-batch duplicates
+    * arriving one batch apart are never compared. Assigns the delta
+    * with the SAME pinned centroids (the index's standing contract)
+    * and APPENDS its (cell, vec_id, v, nrm) rows to the bucketed
+    * table: an insert into a datasource-bucketed table writes new
+    * per-bucket files honoring the catalog's bucket spec, so history
+    * is never rewritten — the append cost is |delta| rows regardless
+    * of index size, which is what makes per-batch absorption viable
+    * at 100 TB (a rebuild would re-shuffle the corpus per batch).
+    * NOT atomic like [[graft.engine.TableStore.writeBucketed]]'s
+    * staged swap: a crash mid-append can leave a partial batch —
+    * re-run the batch idempotently by vec_id range, or use a
+    * transactional table format (Delta/Iceberg) in production, where
+    * this append maps to a single commit. Caller contract: delta ids
+    * disjoint from everything already in the index. */
+  def absorbIntoCellIndex(indexName: String, delta: DataFrame,
+                          centroidsDf: DataFrame, nProbe: Int = 2,
+                          chunkSize: Int = 4096,
+                          kEstimate: Option[Long] = None): Unit = {
+    val dBase = nonZeroBase(delta).cache()
+    val rows = assignViaJoin(dBase.select("vec_id", "v"), centroidsDf,
+        nProbe, chunkSize, kEstimate)
+      .join(dBase.select("vec_id", "v", "nrm"), Seq("vec_id"))
+      .select("cell", "vec_id", "v", "nrm")
+    rows.write.mode("append").insertInto(indexName)
+    dBase.unpersist(blocking = false)
+  }
+
   /** Incremental re-dedup of a delta batch against a persisted cell
     * index — the IVF analogue of [[IncrementalDedup.newDocsExact]]:
     * instead of re-pairing the full corpus, the delta is assigned via

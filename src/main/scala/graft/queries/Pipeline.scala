@@ -299,14 +299,23 @@ object Pipeline {
     * delta batch's. The touched-cell pruning the Spark side performs
     * is invisible here BY CONSTRUCTION: a delta-involving candidate
     * is co-resident with its delta member, so its cell is touched —
-    * pruning removes only history-history work, never results. */
+    * pruning removes only history-history work, never results.
+    * `histPred` picks which rows the QUANTIZER derives from: q79
+    * trains on everything-but-the-delta; q80 trains on the ORIGINAL
+    * history only (vec_id % 3 = 0), because its middle batch joins
+    * the index by ABSORPTION after the centroids were pinned — the
+    * oracle needs no absorb notion at all: assignment is per-vector,
+    * so the absorbed index's contents equal "assign everything
+    * non-delta with the pinned centroids" either way. */
   private def ivfIncrementalOracle(minSim: Double, nProbe: Int,
                                    cellSize: Int,
-                                   planted: Option[Int] = None): String =
+                                   planted: Option[Int] = None,
+                                   histPred: String = "vec_id % 3 <> 2")
+    : String =
     s"""WITH ${plantedEmbCtes(planted)},
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
       |nz AS (SELECT * FROM n WHERE nrm > 0),
-      |hist AS (SELECT * FROM nz WHERE vec_id % 3 <> 2),
+      |hist AS (SELECT * FROM nz WHERE $histPred),
       |cents AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
@@ -1481,6 +1490,38 @@ object Pipeline {
         val idx = IvfIndex.buildCellIndex(hist, cents, wh, "q79_cells", 8,
           nProbe = 2, kEstimate = Some(k))
         IvfIndex.incrementalNearDupPairs(s.table(idx), delta, 0.7, cents,
+            nProbe = 2, kEstimate = Some(k))
+          .orderBy("vec_a", "vec_b")
+      }),
+
+    // ── the train-once/ADD-MANY lifecycle under the hash check: q79
+    // proves one delta batch against a built index; here a SECOND
+    // batch arrives after the first was ABSORBED (absorbIntoCellIndex
+    // — an append of per-bucket files into the bucketed table, never
+    // a history rewrite), so the output must include the b1-vs-b2
+    // CROSS-BATCH pairs that skipping absorption would silently lose.
+    // Centroids pin to the ORIGINAL history (vec_id % 3 = 0) and
+    // never move as batches join — the standing faiss-style contract.
+    // The oracle needs no absorb notion: assignment is per-vector, so
+    // the absorbed index equals "assign everything non-delta with the
+    // pinned centroids" — only the quantizer's source CTE changes vs
+    // q79. IvfIncrementalSpec additionally asserts the FILES: every
+    // pre-absorb parquet survives the append verbatim.
+    Q("q80_ivf_absorb_pairs", "pipeline:dedup-embedding-ivf-absorb",
+      Some(ivfIncrementalOracle(0.7, nProbe = 2, cellSize = 64,
+        planted = Some(50), histPred = "vec_id % 3 = 0")),
+      (s, dir) => {
+        val planted = Similarity.plantNearDups(t(s, dir, "embeddings"), 50)
+        val h0 = planted.filter(col("vec_id") % 3 === 0)
+        val b1 = planted.filter(col("vec_id") % 3 === 1)
+        val b2 = planted.filter(col("vec_id") % 3 === 2)
+        val (cents, k) = IvfIndex.sampleQuantizerDf(h0, 64)
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val idx = IvfIndex.buildCellIndex(h0, cents, wh, "q80_cells", 8,
+          nProbe = 2, kEstimate = Some(k))
+        IvfIndex.absorbIntoCellIndex(idx, b1, cents, nProbe = 2,
+          kEstimate = Some(k))
+        IvfIndex.incrementalNearDupPairs(s.table(idx), b2, 0.7, cents,
             nProbe = 2, kEstimate = Some(k))
           .orderBy("vec_a", "vec_b")
       }))

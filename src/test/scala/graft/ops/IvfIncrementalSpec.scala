@@ -86,6 +86,57 @@ class IvfIncrementalSpec extends SparkSpec {
     assert(all.count() == 11)
   }
 
+  test("absorbIntoCellIndex: the batch is appended (history files " +
+    "untouched) and the NEXT batch pairs against it — the " +
+    "train-once/add-many lifecycle") {
+    val planted = Similarity.plantNearDups(emb, 50)
+    val h0 = planted.filter(col("vec_id") % 3 === 0)
+    val b1 = planted.filter(col("vec_id") % 3 === 1)
+    val b2 = planted.filter(col("vec_id") % 3 === 2)
+    // centroids pinned from the ORIGINAL history only — batches must
+    // never move the quantizer (the index's standing contract)
+    val (cents, k) = IvfIndex.sampleQuantizerDf(h0, 64)
+    val wh = tmpDir("ivf-absorb-wh")
+    val idx = IvfIndex.buildCellIndex(h0, cents, wh, "cells_a", 4,
+      nProbe = 2, kEstimate = Some(k))
+
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(wh))
+        .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = dataFiles()
+    val rowsBefore = spark.table(idx).count()
+    IvfIndex.absorbIntoCellIndex(idx, b1, cents, nProbe = 2,
+      kEstimate = Some(k))
+    val after = dataFiles()
+    assert(spark.table(idx).count() > rowsBefore, "absorb added no rows")
+    // append, not rewrite: every pre-absorb file survives verbatim
+    assert(before.subsetOf(after),
+      s"absorb rewrote history files: ${(before -- after).take(3)}")
+    assert(after.size > before.size, "absorb wrote no new files")
+
+    // batch2 against (h0 ∪ absorbed b1) = the full run on everything,
+    // restricted to batch2-involving pairs — including the b1-vs-b2
+    // CROSS-BATCH pairs that skipping absorption would silently lose
+    val incr = asPairs(IvfIndex.incrementalNearDupPairs(
+      spark.table(idx), b2, 0.7, cents, nProbe = 2, kEstimate = Some(k)))
+    val b2Ids = b2.select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = asPairs(IvfIndex.nearDupPairsViaJoin(
+      planted, 0.7, cents, nProbe = 2, kEstimate = Some(k)))
+    val expected = full.filter { case ((a, b), _) => b2Ids(a) || b2Ids(b) }
+    assert(incr == expected,
+      s"${(incr.keySet -- expected.keySet).take(3)} extra, " +
+        s"${(expected.keySet -- incr.keySet).take(3)} missing")
+    // the cross-batch regime is actually exercised: some expected pair
+    // involves b1 (not h0) on its history side
+    val b1Ids = b1.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(expected.keys.exists { case (a, b) => b1Ids(a) || b1Ids(b) },
+      "no b1-vs-b2 pair in this data; cross-batch property vacuous")
+  }
+
   test("the index is bucketed by cell and the incremental plan prunes " +
     "it to touched cells via a broadcast semi-join") {
     val planted = Similarity.plantNearDups(emb, 50)
