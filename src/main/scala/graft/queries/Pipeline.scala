@@ -257,6 +257,19 @@ object Pipeline {
     * saturates quadratically once cells outgrow the target size. */
   private def ivfPairsOracle(minSim: Double, nProbe: Int, cellSize: Int,
                              planted: Option[Int] = None): String =
+    ivfPairsOracleWithCell(minSim, nProbe, s"$cellSize.0", planted)
+
+  /** [[ivfPairsOracle]] with the cell size as a SQL expression
+    * evaluated over nz's aggregate scope — the hook that lets q81 put
+    * [[graft.ops.IvfIndex.ivfCellConfig]]'s √n/nProbe derivation
+    * ITSELF under the hash check (the q76 precedent, applied to the
+    * IVF law): `count(*)` inside the expression is the same n the
+    * Scala side counts, `floor(x + 0.5)` is exactly Scala's
+    * math.round for the non-negative x here, and sqrt / divide are
+    * correctly-rounded IEEE ops in both engines. */
+  private def ivfPairsOracleWithCell(minSim: Double, nProbe: Int,
+                                     cellSql: String,
+                                     planted: Option[Int] = None): String =
     s"""WITH ${plantedEmbCtes(planted)},
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
       |nz AS (SELECT * FROM n WHERE nrm > 0),
@@ -264,7 +277,7 @@ object Pipeline {
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
       |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
-      |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
+      |        LIMIT (SELECT CAST(ceil(count(*) / ($cellSql)) AS BIGINT)
       |               FROM nz))),
       |dist AS (
       |  SELECT z.vec_id, c.cid,
@@ -1524,7 +1537,28 @@ object Pipeline {
         IvfIndex.incrementalNearDupPairs(s.table(idx), b2, 0.7, cents,
             nProbe = 2, kEstimate = Some(k))
           .orderBy("vec_a", "vec_b")
-      }))
+      }),
+
+    // ── the IVF cell-size LAW under the hash check (the q76
+    // precedent, applied to clustering): q74/q78-q80 pin cellSize=64
+    // for stable regression rows; nearDupPairsClustered with NO
+    // explicit size — the form a library user should call — derives
+    // c* = round(√n / nProbe) from one count() (the balanced-n^1.5
+    // flat-IVF law, IvfCellConfigSpec). Registered so the DERIVATION
+    // is oracle-checked: the SQL recomputes n over the same
+    // nonzero-norm base and replays round(√n/2) as floor(x + 0.5) —
+    // exactly Scala's math.round on the non-negative x here, with
+    // sqrt/divide correctly-rounded IEEE ops in both engines. No
+    // pinned config anywhere: grow the corpus and both sides rederive
+    // the same quantizer.
+    Q("q81_ivf_auto_pairs", "pipeline:dedup-embedding-ivf-auto",
+      Some(ivfPairsOracleWithCell(0.7, nProbe = 2,
+        "greatest(1, floor(sqrt(count(*)) / 2 + 0.5))",
+        planted = Some(50))),
+      (s, dir) => IvfIndex.nearDupPairsClustered(
+          Similarity.plantNearDups(t(s, dir, "embeddings"), 50), 0.7,
+          nProbe = 2)
+        .orderBy("vec_a", "vec_b")))
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
     * literals (RE2-compatible subset, no lookarounds/backreferences)
