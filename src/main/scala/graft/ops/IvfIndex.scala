@@ -544,6 +544,10 @@ object IvfIndex {
       .unionByName(hot.select(col("vec_id"), col("v"), col("nrm"))
         .dropDuplicates("vec_id"))
     val out = rerankPairs(payload, cand, minSim)
+    // out is materialized by rerankPairs, so the operator-internal
+    // caches can be released (the repo's release-after-materialize
+    // convention — PipelineOpsSpec polices it on the dedup family)
+    dAssigned.unpersist(blocking = false)
     dBase.unpersist(blocking = false)
     out
   }

@@ -130,11 +130,48 @@ class IvfIncrementalSpec extends SparkSpec {
     assert(incr == expected,
       s"${(incr.keySet -- expected.keySet).take(3)} extra, " +
         s"${(expected.keySet -- incr.keySet).take(3)} missing")
-    // the cross-batch regime is actually exercised: some expected pair
-    // involves b1 (not h0) on its history side
-    val b1Ids = b1.select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(expected.keys.exists { case (a, b) => b1Ids(a) || b1Ids(b) },
-      "no b1-vs-b2 pair in this data; cross-batch property vacuous")
+    // the cross-batch regime: plant pairs are (i, i + off), so a
+    // b1-vs-b2 pair exists iff the clone offset shifts the mod-3
+    // class (off % 3 != 0 puts some source in class 1 with its clone
+    // in class 2). The driver regenerates testdata between rounds and
+    // off = max(vec_id)+1 moves with it, so this assert must be
+    // offset-aware — the class-independent guarantee lives in the
+    // synthetic lifecycle test below.
+    val off = emb.agg(max("vec_id")).head.getLong(0) + 1
+    if (off % 3 != 0) {
+      val b1Ids = b1.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(expected.keys.exists { case (a, b) => b1Ids(a) || b1Ids(b) },
+        s"off=$off shifts classes yet no b1-vs-b2 pair surfaced")
+    }
+  }
+
+  test("synthetic two-batch lifecycle: the cross-batch duplicate " +
+    "(batch1-vs-batch2) is caught ONLY because batch1 was absorbed") {
+    import spark.implicits._
+    def unit(i: Int): Seq[Float] =
+      Seq.tabulate(4)(j => if (j == i % 4) 1f else 0.01f * (i / 4))
+    val hist = (0L until 8L).map(i => (i, unit(i.toInt), 0))
+      .toDF("vec_id", "embedding", "label")
+    // batch1 carries a vector; batch2 carries its near-clone — a pair
+    // that exists in NO single batch and not in original history
+    val b1 = Seq((100L, unit(1).map(x => x * 1.001f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val b2 = Seq((200L, unit(1).map(x => x * 1.002f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val (cents, k) = IvfIndex.sampleQuantizerDf(hist, 2)
+    val wh = tmpDir("ivf-absorb-wh-syn")
+    val idx = IvfIndex.buildCellIndex(hist, cents, wh, "cells_l", 2,
+      nProbe = 2, kEstimate = Some(k))
+    IvfIndex.absorbIntoCellIndex(idx, b1, cents, nProbe = 2,
+      kEstimate = Some(k))
+    val pairs = IvfIndex.incrementalNearDupPairs(
+        spark.table(idx), b2, 0.95, cents, nProbe = 2,
+        kEstimate = Some(k))
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 200L)),
+      s"cross-batch duplicate missed after absorption: $pairs")
+    assert(pairs.contains((1L, 200L)), s"history-vs-batch2 missed: $pairs")
   }
 
   test("the index is bucketed by cell and the incremental plan prunes " +
