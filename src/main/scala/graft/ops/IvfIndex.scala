@@ -305,6 +305,118 @@ object IvfIndex {
       .select(col("vec_id"), explode(col("top").getField("cid")).as("cell"))
   }
 
+  /** Fixed-point Lloyd sufficient statistics for one refinement step
+    * over a quantizer held AS a DataFrame — the distributed half of
+    * [[refineCentroidsDf]], exposed so the statistics themselves can
+    * sit under the oracle hash gate (q82): per (cell, dimension), the
+    * member count and the EXACT sum of members' values quantized to
+    * `scaleBits` fractional bits.
+    *
+    * Why fixed point: a float mean is a sum whose value depends on
+    * partial-aggregation ORDER — Spark's combiner tree and DuckDB's
+    * grouped sum round differently, so a double-summed centroid can
+    * never be hash-compared, and (worse) is not even deterministic
+    * across two runs of the SAME engine once partitioning shifts. The
+    * standard fix is to make the accumulator associative exactly:
+    * q = floor(x·2^scaleBits + 0.5) per element (float→double widening
+    * is exact, the scale is a power of two so the multiply is exact,
+    * floor is exact — every step bit-deterministic in any IEEE
+    * engine), then SUM the resulting longs, which is order-independent
+    * by the associativity of integer addition. At scaleBits=20 the
+    * quantization perturbs each element by ≤ 2^-21 — noise four orders
+    * below the corpus's own float32 resolution for unit-scale
+    * embeddings — and overflow needs Σ|x| > 2^43 per (cell, dim),
+    * i.e. ~8e12 unit-scale members in ONE cell before a long saturates.
+    *
+    * Assignment is [[assignViaJoin]] at nProbe=1 (Lloyd assigns each
+    * point to exactly its nearest cell) — the broadcast-chunk kernel,
+    * so k past driver scale is fine. Shuffle shape: the explode is
+    * n·dim narrow rows, but partial aggregation combines to k·dim per
+    * map partition before the ONE exchange, so what moves is bounded
+    * by centroid state, not corpus size. Output:
+    * (cell, pos 1-based, n_members, s_fp), only non-empty cells.
+    * Zero-norm vectors join no cell (the family convention). */
+  def lloydCellStats(embeddings: DataFrame, centroidsDf: DataFrame,
+                     chunkSize: Int = 4096,
+                     kEstimate: Option[Long] = None,
+                     scaleBits: Int = 20): DataFrame =
+    lloydCellStatsBase(nonZeroBase(embeddings).select("vec_id", "v"),
+      centroidsDf, chunkSize, kEstimate, scaleBits)
+
+  private def lloydCellStatsBase(base: DataFrame, centroidsDf: DataFrame,
+                                 chunkSize: Int, kEstimate: Option[Long],
+                                 scaleBits: Int): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 30,
+      "scaleBits must be in [0, 30]")
+    val scale = (1L << scaleBits).toDouble // exact power of two
+    val assigned = assignViaJoin(base, centroidsDf, nProbe = 1,
+      chunkSize, kEstimate)
+    assigned.join(base, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("pos"),
+        floor(col("col").cast("double") * lit(scale) + lit(0.5d))
+          .cast("long").as("q"))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n_members"), sum(col("q")).as("s_fp"))
+  }
+
+  /** Distributed Lloyd refinement of a quantizer held AS a DataFrame —
+    * the training step [[sampleCentroidsDf]]/[[sampleQuantizerDf]]
+    * skip, runnable at k past driver scale where [[train]] (which
+    * collects k centroids per iteration) and [[trainOnSample]] (driver
+    * Lloyd over a bounded sample) both stop being options: at
+    * k ~ n/cellSize = 1.6e7 centroids for 1e9 vectors, per-iteration
+    * centroid state is ~8 GB — it must live in executors. Each
+    * iteration: [[assignViaJoin]] at nProbe=1, the fixed-point-exact
+    * per-cell means of [[lloydCellStats]] (see there for why integer
+    * accumulation is the only hash-stable/deterministic choice), and
+    * a left join back onto the previous centroids so EMPTY CELLS KEEP
+    * their prior centroid — the same retention rule as [[train]].
+    * Means are (s_fp / 2^scaleBits) / n: both operands exact, one
+    * IEEE division each → bit-deterministic.
+    *
+    * cid labels are preserved (refined centroids answer for the same
+    * cells), so a refined frame drops into [[assignViaJoin]],
+    * [[buildCellIndex]], or [[nearDupPairsViaJoin]] wherever the raw
+    * quantizer did — train once (sample + refine), add many, the faiss
+    * lifecycle with the training half distributed. Per iteration the
+    * new centroid frame is materialized (cache + count) so the next
+    * assignment broadcasts k bounded rows instead of re-planning a
+    * growing lineage; the previous iteration's blocks are released as
+    * soon as its successor is pinned. */
+  def refineCentroidsDf(embeddings: DataFrame, centroidsDf: DataFrame,
+                        iters: Int, chunkSize: Int = 4096,
+                        kEstimate: Option[Long] = None,
+                        scaleBits: Int = 20): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val scale = (1L << scaleBits).toDouble
+    val base = nonZeroBase(embeddings).select("vec_id", "v").cache()
+    try {
+      // widen once: refined means are doubles, and coalesce(mean, old)
+      // needs both legs the same array element type
+      var cents = centroidsDf.select(col("cid"),
+        transform(col("v"), x => x.cast("double")).as("v"))
+      var prev: Option[DataFrame] = None
+      for (_ <- 0 until iters) {
+        val stats = lloydCellStatsBase(base, cents, chunkSize, kEstimate,
+          scaleBits)
+        val means = stats
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"),
+            ((col("s_fp").cast("double") / lit(scale)) /
+              col("n_members").cast("double")).as("m")))).as("pm"))
+          .select(col("cell").as("cid"), col("pm").getField("m").as("mv"))
+        val next = graft.engine.Checkpoints.materialize(
+          cents.join(means, Seq("cid"), "left")
+            .select(col("cid"), coalesce(col("mv"), col("v")).as("v")))
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(next)
+        cents = next
+      }
+      cents
+    } finally base.unpersist(blocking = false)
+  }
+
   /** [[nearDupPairs]] with the quantizer supplied as a DataFrame and
     * assignment via [[assignViaJoin]] — identical pair semantics, no
     * driver-side centroid state. */
