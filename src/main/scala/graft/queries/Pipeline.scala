@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Tables, TableStore}
-import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Sampling, Sharding, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h60bSql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -1558,7 +1558,117 @@ object Pipeline {
       (s, dir) => IvfIndex.nearDupPairsClustered(
           Similarity.plantNearDups(t(s, dir, "embeddings"), 50), 0.7,
           nProbe = 2)
-        .orderBy("vec_a", "vec_b")))
+        .orderBy("vec_a", "vec_b")),
+
+    // ── distributed Lloyd refinement under the hash check: the
+    // training step the sample quantizer skips, runnable at k past
+    // driver scale (assignment via the broadcast-chunk join, means as
+    // fixed-point-exact integer sums — a float mean is partial-
+    // aggregation-ORDER-dependent and could never be hash-compared;
+    // floor(x·2^20 + 0.5) summed as longs is order-independent and
+    // bit-deterministic in any IEEE engine, see lloydCellStats
+    // scaladoc). Output is the per-(cell, dim) sufficient statistics
+    // of the Lloyd update — exactly what refineCentroidsDf divides
+    // into means — so the hash row pins assignment AND update. The
+    // oracle rederives the quantizer (LIMIT subquery, the q74
+    // pattern), replays the argmin with the same fold/tie-break, and
+    // re-sums the same quantized longs; no pinned config. DuckDB's
+    // sum(BIGINT) widens to HUGEINT — cast back.
+    Q("q82_ivf_lloyd_stats", "pipeline:ivf-lloyd-refine",
+      Some(lloydStatsOracle(cellSize = 64, scaleBits = 20)),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val (cents, k) = IvfIndex.sampleQuantizerDf(e, 64)
+        IvfIndex.lloydCellStats(e, cents, chunkSize = 16,
+            kEstimate = Some(k), scaleBits = 20)
+          .orderBy("cell", "pos")
+      }),
+
+    // ── deterministic epoch shuffle + sharding: what a trainer
+    // actually reads — q49's packed chunks, permuted by the
+    // epoch-salted h60 and dealt into shard files with dense in-shard
+    // positions. No ORDER BY rand() (a sampling pass + global sort,
+    // unstable under retries): one hash exchange + per-shard local
+    // sorts, bit-stable, and a different epoch re-permutes. The
+    // oracle replays packing (q49's CTEs), the distinct chunk set,
+    // the same md5-derived hash, and the (h, chunk_id) in-shard
+    // order.
+    Q("q83_epoch_shards", "pipeline:epoch-shuffle",
+      Some(epochShardsOracle(contextLen = 512, nShards = 8, epoch = 1)),
+      (s, dir) => Sharding.epochShards(
+          Packing.packChunks(t(s, dir, "documents"), 512L)
+            .select("chunk_id").distinct(),
+          nShards = 8, epoch = 1)
+        .orderBy("shard", "shard_pos")))
+
+  /** DuckDB SQL replaying [[Packing.packChunks]]'s chunk ids (the q49
+    * prefix-sum CTEs) then [[Sharding.epochShards]]: the same
+    * epoch-salted [[Hashing.h60]], `mod nShards` (h is non-negative,
+    * so `%` equals pmod), and the (h, chunk_id) in-shard total
+    * order. */
+  private def epochShardsOracle(contextLen: Int, nShards: Int,
+                                epoch: Int): String = {
+    val h = graft.ops.Hashing.h60Sql(
+      s"'shuffle:$epoch:' || CAST(chunk_id AS VARCHAR)")
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 0) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |off AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_offset
+      |  FROM tok),
+      |ch AS (
+      |  SELECT DISTINCT CAST(floor(start_offset / $contextLen.0) AS BIGINT)
+      |    AS chunk_id
+      |  FROM off),
+      |hs AS (SELECT chunk_id, $h AS h FROM ch)
+      |SELECT chunk_id, h % $nShards AS shard,
+      |  CAST(row_number() OVER (PARTITION BY h % $nShards
+      |    ORDER BY h, chunk_id) - 1 AS BIGINT) AS shard_pos
+      |FROM hs ORDER BY shard, shard_pos""".stripMargin
+  }
+
+  /** DuckDB SQL replaying [[IvfIndex.lloydCellStats]] over the
+    * [[IvfIndex.sampleQuantizerDf]] quantizer (cid = vec_id — the
+    * relabeling-invariant form, here VISIBLE in the output, so the
+    * oracle must label cells identically, not just equivalently).
+    * Assignment is the q74 replay at nProbe=1; the update statistics
+    * are exact integer arithmetic end-to-end: float→double widening,
+    * a power-of-two scale multiply, floor — each bit-exact IEEE ops —
+    * then an integer sum, associative in any order. */
+  private def lloydStatsOracle(cellSize: Int, scaleBits: Int): String = {
+    val scale = (1L << scaleBits).toDouble
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |nz AS (SELECT vec_id, v FROM n WHERE nrm > 0),
+      |cents AS (
+      |  SELECT vec_id AS cid, v AS cv,
+      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
+      |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
+      |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
+      |               FROM nz))),
+      |dist AS (
+      |  SELECT z.vec_id, c.cid,
+      |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
+      |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
+      |  FROM nz z CROSS JOIN cents c),
+      |rk AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      |  FROM dist),
+      |av AS (SELECT vec_id, cid AS cell FROM rk WHERE r = 1),
+      |qv AS (
+      |  SELECT a.cell, CAST(p.i AS INT) AS pos,
+      |    CAST(floor(z.v[p.i] * $scale + 0.5) AS BIGINT) AS q
+      |  FROM av a JOIN nz z USING (vec_id)
+      |  CROSS JOIN range(1, 65) p(i))
+      |SELECT cell, pos, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(sum(q) AS BIGINT) AS s_fp
+      |FROM qv GROUP BY cell, pos ORDER BY cell, pos""".stripMargin
+  }
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern
     * literals (RE2-compatible subset, no lookarounds/backreferences)
