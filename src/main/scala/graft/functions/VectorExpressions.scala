@@ -481,6 +481,319 @@ case class NearestCellsChunkExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused product-quantization encoder: one vector → one packed code
+  * word, all m subspaces in a single kernel.
+  *
+  * Product quantization (the FAISS `IndexPQ`/`IndexIVFPQ` layout,
+  * Jégou/Douze/Schmid 2011) splits a d-dim vector into m contiguous
+  * subspaces of dsub = d/m and quantizes each independently against a
+  * ksub-entry sub-codebook; the vector is then stored as m small codes
+  * (here bitsPerCode bits each, packed little-endian into ONE
+  * non-negative long: code_j occupies bits [j·bits, (j+1)·bits)). At
+  * 64-dim float32 with m=8/ksub=16 that is 256 B → 4 B — the memory /
+  * scan-bandwidth lever that makes billion-vector similarity feasible.
+  *
+  * The codebooks are a plan constant — deliberately, and unlike the
+  * IVF centroid case this is NOT a scale ceiling: codebook size is
+  * m·ksub·dsub = d·ksub doubles, INDEPENDENT of corpus size (64-dim,
+  * ksub=16 ⇒ 8 KB). Shipping it inside the task binary is exactly what
+  * FAISS does with trained PQ codebooks.
+  *
+  * Arithmetic (oracle-replayable): per subspace j the winning code is
+  * argmin_c ( c2[j][c] − 2·Σ_{i<dsub} x[j·dsub+i]·cb[j][c][i] ) with a
+  * strict-< first-wins scan in ascending c (= the ORDER BY d, code
+  * tie-break), the dot a 0.0-init ascending fold and c2 the same fold
+  * over the squared sub-centroid — every term bit-identical to the
+  * DuckDB replay over `::DOUBLE[]` slices. Short vectors zero-pad (the
+  * [[DotProduct]] min-length convention); null vector yields null. */
+case class PqEncodeExpr(child: Expression,
+                        codebooks: Array[Array[Array[Double]]],
+                        bitsPerCode: Int)
+    extends UnaryExpression {
+
+  private val m = codebooks.length
+  require(m >= 1, "need at least one subspace")
+  private val ksub = codebooks(0).length
+  private val dsub = codebooks(0)(0).length
+  require(codebooks.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
+    "ragged codebooks: every subspace needs ksub entries of dsub dims")
+  require(ksub <= (1 << bitsPerCode),
+    s"ksub=$ksub does not fit bitsPerCode=$bitsPerCode")
+  require(m.toLong * bitsPerCode <= 63,
+    s"m=$m x $bitsPerCode bits overflows a non-negative long")
+  private val dim = m * dsub
+
+  // flattened [m*ksub][dsub] (row j*ksub+c) + its |c|^2 per entry;
+  // c2 is the same 0.0-init ascending fold the oracle's list_reduce
+  // over the squared slice performs
+  private val flat: Array[Array[Double]] = codebooks.flatten
+  private val c2: Array[Double] = flat.map { cv =>
+    var a = 0.0; var i = 0
+    while (i < dsub) { a += cv(i) * cv(i); i += 1 }
+    a
+  }
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float|double>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    var packed = 0L
+    var j = 0
+    while (j < m) {
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        val cv = flat(j * ksub + c)
+        var acc = 0.0
+        var i2 = 0
+        while (i2 < dsub) { acc += x(j * dsub + i2) * cv(i2); i2 += 1 }
+        val d = c2(j * ksub + c) - 2.0 * acc
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      packed |= bestC.toLong << (bitsPerCode * j)
+      j += 1
+    }
+    packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[][]")
+    val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i2 = ctx.freshName("i2")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val packed = ctx.freshName("packed")
+      val cv = ctx.freshName("cv")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] $x = new double[$dim];
+         |for (int $i = 0; $i < $n; $i++) { $x[$i] = (double) $v.$get($i); }
+         |long $packed = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestC = 0;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double[] $cv = $flatRef[$j * $ksub + $c];
+         |    double $acc = 0.0;
+         |    for (int $i2 = 0; $i2 < $dsub; $i2++) {
+         |      $acc += $x[$j * $dsub + $i2] * $cv[$i2];
+         |    }
+         |    double $d = $c2Ref[$j * $ksub + $c] - 2.0 * $acc;
+         |    if ($d < $best) { $best = $d; $bestC = $c; }
+         |  }
+         |  $packed |= ((long) $bestC) << ($bitsPerCode * $j);
+         |}
+         |${ev.value} = $packed;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: all m·ksub sub-distances of one query
+  * vector against the PQ codebooks, in one kernel — entry
+  * [j·ksub + c] = c2[j][c] − 2·⟨q_sub(j), cb[j][c]⟩, the identical
+  * arithmetic (same fold order, same widening) as [[PqEncodeExpr]]'s
+  * assignment scan, so the table entries are bit-identical to the
+  * distances the oracle recomputes per (query, code, subspace).
+  *
+  * Computed ONCE per query row (O(d·ksub) work) and broadcast with the
+  * query; the corpus-side scan then costs m array reads + m adds per
+  * vector ([[PqAdcScoreExpr]]) instead of a d-dim float rerank — the
+  * asymmetric-distance trick that makes PQ scans memory-bound rather
+  * than arithmetic-bound. Null vector yields null; short vectors
+  * zero-pad. */
+case class PqLutExpr(child: Expression,
+                     codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private val m = codebooks.length
+  require(m >= 1, "need at least one subspace")
+  private val ksub = codebooks(0).length
+  private val dsub = codebooks(0)(0).length
+  require(codebooks.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
+    "ragged codebooks: every subspace needs ksub entries of dsub dims")
+  private val dim = m * dsub
+
+  private val flat: Array[Array[Double]] = codebooks.flatten
+  private val c2: Array[Double] = flat.map { cv =>
+    var a = 0.0; var i = 0
+    while (i < dsub) { a += cv(i) * cv(i); i += 1 }
+    a
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut expects array<float|double>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val lut = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val cv = flat(j * ksub + c)
+        var acc = 0.0
+        var i2 = 0
+        while (i2 < dsub) { acc += x(j * dsub + i2) * cv(i2); i2 += 1 }
+        lut(j * ksub + c) = c2(j * ksub + c) - 2.0 * acc
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[][]")
+    val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i2 = ctx.freshName("i2")
+      val acc = ctx.freshName("acc")
+      val lut = ctx.freshName("lut")
+      val cv = ctx.freshName("cv")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] $x = new double[$dim];
+         |for (int $i = 0; $i < $n; $i++) { $x[$i] = (double) $v.$get($i); }
+         |double[] $lut = new double[${m * ksub}];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double[] $cv = $flatRef[$j * $ksub + $c];
+         |    double $acc = 0.0;
+         |    for (int $i2 = 0; $i2 < $dsub; $i2++) {
+         |      $acc += $x[$j * $dsub + $i2] * $cv[$i2];
+         |    }
+         |    $lut[$j * $ksub + $c] = $c2Ref[$j * $ksub + $c] - 2.0 * $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The ADC scan kernel: approximate squared-L2 of (query, coded
+  * vector) as Σ_{j<m} lut[j·ksub + code_j], codes unpacked from the
+  * [[PqEncodeExpr]] word with shift/mask, accumulated in ascending j
+  * with a 0.0-init fold — replayed in the oracle as `list_reduce` over
+  * the j-ORDERED per-subspace distance list, so the score is
+  * bit-identical cross-engine. m adds + m array reads per corpus row:
+  * the per-vector cost of a PQ scan, independent of d. Null lut or
+  * null code yields null. */
+case class PqAdcScoreExpr(left: Expression, right: Expression,
+                          m: Int, ksub: Int, bitsPerCode: Int)
+    extends BinaryExpression {
+
+  require(m >= 1 && ksub >= 1, "need at least one subspace and one code")
+  require(ksub <= (1 << bitsPerCode),
+    s"ksub=$ksub does not fit bitsPerCode=$bitsPerCode")
+  private val mask = (1L << bitsPerCode) - 1L
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_score expects (array<double>, bigint), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val code = b.asInstanceOf[Long]
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val c = ((code >>> (bitsPerCode * j)) & mask).toInt
+      acc += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, code) => {
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      s"""
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $c = (int) (($code >>> ($bitsPerCode * $j)) & ${mask}L);
+         |  $acc += $lut.getDouble($j * $ksub + $c);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
@@ -503,4 +816,21 @@ object VectorFunctions {
   def nearestCellsInChunk(v: Column, chunk: Column, nProbe: Int): Column =
     ColumnBridge.column(NearestCellsChunkExpr(
       ColumnBridge.expression(v), ColumnBridge.expression(chunk), nProbe))
+
+  /** Column API for [[PqEncodeExpr]]. */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]],
+               bitsPerCode: Int): Column =
+    ColumnBridge.column(PqEncodeExpr(
+      ColumnBridge.expression(v), codebooks, bitsPerCode))
+
+  /** Column API for [[PqLutExpr]]. */
+  def pqLut(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLutExpr(ColumnBridge.expression(v), codebooks))
+
+  /** Column API for [[PqAdcScoreExpr]]. */
+  def pqAdcScore(lut: Column, code: Column, m: Int, ksub: Int,
+                 bitsPerCode: Int): Column =
+    ColumnBridge.column(PqAdcScoreExpr(
+      ColumnBridge.expression(lut), ColumnBridge.expression(code),
+      m, ksub, bitsPerCode))
 }

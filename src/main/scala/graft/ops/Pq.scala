@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.{pqAdcScore, pqEncode, pqLut}
+
+/** Product quantization: the compression layer of billion-scale
+  * similarity search (Jégou/Douze/Schmid, "Product quantization for
+  * nearest neighbor search", TPAMI 2011 — the FAISS `IndexPQ` /
+  * `IndexIVFPQ` layout).
+  *
+  * A d-dim vector is split into `m` contiguous subspaces of
+  * dsub = d/m; each subspace is quantized independently against a
+  * ksub-entry sub-codebook, and the vector is stored as m codes of
+  * `bitsPerCode` bits packed into one long. At the default
+  * m=8 / ksub=16 over 64-dim float32 this is 256 B → 4 B per vector
+  * (64×), which is what lets an ANN index over 10⁹+ vectors live in
+  * executor memory — and what turns the candidate scan from a d-dim
+  * float rerank into m table lookups per vector (asymmetric distance
+  * computation, ADC).
+  *
+  * Scale posture, piece by piece:
+  *  - codebooks are m·ksub·dsub = d·ksub doubles — a few KB,
+  *    INDEPENDENT of corpus size. Collecting the sample to the driver
+  *    and embedding the trained codebooks in the plan is bounded O(1)
+  *    state at any corpus scale (exactly how FAISS ships trained
+  *    codebooks to every search node); this differs from the IVF
+  *    centroid case, where k grows with n and the quantizer must stay
+  *    a DataFrame ([[IvfIndex.sampleCentroidsDf]]).
+  *  - encoding is ONE scan: n·ksub·d fused multiply-adds inside
+  *    whole-stage codegen ([[graft.functions.PqEncodeExpr]]), no
+  *    shuffle, output one long per vector.
+  *  - ADC search broadcasts the (tiny) query side WITH its per-query
+  *    lookup tables ([[graft.functions.PqLutExpr]], O(d·ksub) work
+  *    per query, done once); the corpus side streams codes through
+  *    [[graft.functions.PqAdcScoreExpr]] at m adds per row. The
+  *    corpus never shuffles for scoring; only the per-query top-k
+  *    window moves (query_id, vec_id, score) rows.
+  *
+  * Determinism / oracle parity: codebooks come from the ksub
+  * lowest-vec_id sample vectors (a LIMIT subquery in the DuckDB
+  * replay — the q74/q78 pin-free quantizer pattern, constant-size
+  * here), all distances are the c2 − 2·⟨x,c⟩ sequential-fold form the
+  * rest of the vector family uses, ADC sums fold in ascending
+  * subspace order, and every ranked value is floor-scaled to an
+  * integer before the (value, vec_id) tie-broken window — so encode,
+  * top-k and recall all replay bit-for-bit in SQL.
+  */
+object Pq {
+
+  /** PQ geometry. `dim` must equal m·dsub of the corpus vectors;
+    * ksub must fit bitsPerCode; m·bitsPerCode must fit a long. */
+  final case class PqConfig(m: Int = 8, ksub: Int = 16,
+                            bitsPerCode: Int = 4, dim: Int = 64) {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(ksub <= (1 << bitsPerCode),
+      s"ksub=$ksub does not fit bitsPerCode=$bitsPerCode")
+    require(m.toLong * bitsPerCode <= 63,
+      s"m=$m x $bitsPerCode bits overflows a non-negative long")
+    def dsub: Int = dim / m
+  }
+
+  /** Deterministic sample codebooks: sub-codebook j is the j-th
+    * dsub-slice of the ksub lowest-vec_id vectors, code = rank in that
+    * sample (0-based, vec_id-ascending). The collect is ksub rows —
+    * constant-size driver state at any corpus scale — and the sample
+    * replays in SQL as `ORDER BY vec_id LIMIT ksub` + row_number.
+    * (For higher recall per bit, refine these with per-subspace Lloyd
+    * sweeps — [[IvfIndex.refineCentroidsDf]] over sliced vectors — at
+    * the cost of a pinned, non-replayable codebook; the sample form
+    * keeps the whole PQ family under the hash-check regime.) */
+  def sampleCodebooks(embeddings: DataFrame,
+                      cfg: PqConfig): Array[Array[Array[Double]]] = {
+    val rows = embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(cfg.ksub).collect()
+    require(rows.nonEmpty, "empty corpus: no codebook sample")
+    val samples: Array[Array[Double]] = rows
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }.padTo(cfg.dim, 0.0).toArray)
+    Array.tabulate(cfg.m) { j =>
+      samples.map(_.slice(j * cfg.dsub, (j + 1) * cfg.dsub))
+    }
+  }
+
+  /** One-scan PQ encoding: (vec_id, pq_code) with code_j in bits
+    * [j·bitsPerCode, (j+1)·bitsPerCode) of the packed long. */
+  def encode(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]],
+             bitsPerCode: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      pqEncode(col("embedding"), codebooks, bitsPerCode).as("pq_code"))
+
+  /** ADC top-k: for each query (vec_id < nQueries), the k corpus
+    * vectors with the smallest ADC approximate squared-L2 (self
+    * excluded), ranked on the floor-scaled score with vec_id
+    * tie-break. Output: (query_id, rank, vec_id, adc_x1e6).
+    *
+    * Plan: codebook sample (LIMIT ksub) → one encode scan → broadcast
+    * of nQueries (query_id, lut) rows → scored stream → per-query
+    * top-k window. The corpus is read once and never shuffled before
+    * the window; at 100 TB the window input is the only exchange and
+    * carries three narrow columns. */
+  def adcTopK(embeddings: DataFrame, cfg: PqConfig,
+              nQueries: Int, k: Int): DataFrame = {
+    val cb = sampleCodebooks(embeddings, cfg)
+    val codes = encode(embeddings, cb, cfg.bitsPerCode)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        pqLut(col("embedding"), cb).as("lut"))
+    val scored = codes.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        floor(pqAdcScore(col("lut"), col("pq_code"),
+          cfg.m, cfg.ksub, cfg.bitsPerCode) * 1e6)
+          .cast("long").as("adc_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_x1e6"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc_x1e6")
+  }
+
+  /** Exact squared-L2 top-k baseline (self excluded): the full-vector
+    * twin ADC is measured against. d(q,v) = ⟨v,v⟩ − 2⟨q,v⟩ (the ‖q‖²
+    * constant cancels in ranking), floor-scaled, vec_id tie-break.
+    * Output: (query_id, rank, vec_id, l2_x1e6). */
+  def exactL2TopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("v2", Similarity.dot(col("v"), col("v")))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        floor((col("v2") - lit(2.0) * Similarity.dot(col("qv"), col("v")))
+          * 1e6).cast("long").as("l2_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2_x1e6"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "l2_x1e6")
+  }
+
+  /** Two-stage production search: ADC shortlist → exact rerank. The
+    * compressed scan ranks ALL corpus vectors at m adds each and keeps
+    * the top `shortlist` per query; only those nQueries·shortlist
+    * finalists get their full float vectors back (a broadcast semi-join
+    * fetch against the corpus — the Spark form of the point-lookup a
+    * serving system would do) and are reranked by exact squared-L2.
+    * This is how IVF-PQ deployments actually answer queries: the
+    * codes bound memory bandwidth, the rerank restores precision, and
+    * recall@k is governed by the (cheap) shortlist depth rather than
+    * by raw code fidelity. Output: (query_id, rank, vec_id, l2_x1e6). */
+  def adcRerankTopK(embeddings: DataFrame, cfg: PqConfig, nQueries: Int,
+                    k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist smaller than k=$k")
+    val cand = adcTopK(embeddings, cfg, nQueries, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("v2", Similarity.dot(col("v"), col("v")))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(cand), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        floor((col("v2") - lit(2.0) * Similarity.dot(col("qv"), col("v")))
+          * 1e6).cast("long").as("l2_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2_x1e6"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "l2_x1e6")
+  }
+
+  /** Recall of the two-stage (shortlist + rerank) top-k against the
+    * exact top-k: the number that prices the shortlist depth. Output:
+    * (query_id, exact_k, rerank_hits). */
+  def adcRerankRecall(embeddings: DataFrame, cfg: PqConfig, nQueries: Int,
+                      k: Int, shortlist: Int): DataFrame = {
+    val ex = exactL2TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val rr = adcRerankTopK(embeddings, cfg, nQueries, k, shortlist)
+      .select(col("query_id").as("rq"), col("vec_id").as("rv"))
+    ex.join(rr, ex("query_id") === rr("rq") && ex("vec_id") === rr("rv"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("exact_k"), count(col("rv")).as("rerank_hits"))
+      .orderBy("query_id")
+  }
+
+  /** Recall of the ADC top-k against the exact squared-L2 top-k — the
+    * honesty row for the ~36× compression (the q45/q58 pattern: both
+    * sides deterministic, so the recall claim itself sits under the
+    * hash check). Output: (query_id, exact_k, adc_hits). */
+  def adcRecall(embeddings: DataFrame, cfg: PqConfig,
+                nQueries: Int, k: Int): DataFrame = {
+    val ex = exactL2TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val adc = adcTopK(embeddings, cfg, nQueries, k)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    ex.join(adc, ex("query_id") === adc("aq") && ex("vec_id") === adc("av"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("exact_k"), count(col("av")).as("adc_hits"))
+      .orderBy("query_id")
+  }
+}

