@@ -159,6 +159,15 @@ object Pq {
     require(shortlist >= k, s"shortlist=$shortlist smaller than k=$k")
     val cand = adcTopK(embeddings, cfg, nQueries, shortlist)
       .select(col("query_id"), col("vec_id"))
+    exactRerank(embeddings, cand, nQueries, k)
+  }
+
+  /** Exact squared-L2 rerank of a (query_id, vec_id) candidate frame:
+    * fetch the finalists' full vectors (broadcast semi-join — the
+    * candidate side is nQueries·shortlist rows, corpus-size-
+    * independent), score, keep the top k per query. */
+  private def exactRerank(embeddings: DataFrame, cand: DataFrame,
+                          nQueries: Int, k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("v2", Similarity.dot(col("v"), col("v")))
     val queries = embeddings.filter(col("vec_id") < nQueries)
@@ -188,6 +197,82 @@ object Pq {
         "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("exact_k"), count(col("rv")).as("rerank_hits"))
+      .orderBy("query_id")
+  }
+
+  /** IVF-PQ: the full billion-scale serving layout (FAISS
+    * `IndexIVFPQ`) — coarse cells bound WHERE to look, PQ codes bound
+    * WHAT it costs to look, exact rerank restores precision:
+    *
+    *  1. coarse quantizer = [[IvfIndex.sampleQuantizerDf]] (the
+    *     SQL-replayable lowest-k sample, k = ⌈n/cellSize⌉);
+    *     every corpus vector is placed in its ONE nearest cell via
+    *     [[IvfIndex.assignViaJoin]] (broadcast-chunk kernel — k past
+    *     driver scale is fine);
+    *  2. each query probes its `nProbe` nearest cells and ADC-scores
+    *     ONLY co-resident codes: ~nProbe·cellSize candidates per
+    *     query regardless of corpus size, vs the n-row full ADC scan
+    *     of [[adcTopK]];
+    *  3. the per-query ADC shortlist is exactly reranked
+    *     ([[exactRerank]]).
+    *
+    * Plan shape: the (vec_id → cell) placement joins the codes once
+    * on vec_id (at production scale this pair is PERSISTED bucketed
+    * by cell — [[IvfIndex.buildCellIndex]]'s layout with pq_code as
+    * payload — so the join is a build-time cost, not a per-query
+    * one); the query side (probes + LUTs, nQueries·nProbe rows) is
+    * broadcast, so candidate generation is a broadcast hash join on
+    * cell — the corpus never shuffles at query time.
+    * Output: (query_id, rank, vec_id, l2_x1e6). */
+  def ivfPqTopK(embeddings: DataFrame, cfg: PqConfig, cellSize: Int,
+                nProbe: Int, nQueries: Int, k: Int,
+                shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist smaller than k=$k")
+    val (cents, kCells) = IvfIndex.sampleQuantizerDf(embeddings, cellSize)
+    val cb = sampleCodebooks(embeddings, cfg)
+    val base = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val placed = IvfIndex.assignViaJoin(base, cents, nProbe = 1,
+      kEstimate = Some(kCells))
+    val indexed = encode(embeddings, cb, cfg.bitsPerCode)
+      .join(placed, "vec_id")
+    val qbase = base.filter(col("vec_id") < nQueries)
+    val qprobes = IvfIndex.assignViaJoin(qbase, cents, nProbe = nProbe,
+        kEstimate = Some(kCells))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qlut = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        pqLut(col("embedding"), cb).as("lut"))
+    val scored = indexed.join(broadcast(qprobes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qlut), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        floor(pqAdcScore(col("lut"), col("pq_code"),
+          cfg.m, cfg.ksub, cfg.bitsPerCode) * 1e6)
+          .cast("long").as("adc_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_x1e6"), col("vec_id"))
+    val cand = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(embeddings, cand, nQueries, k)
+  }
+
+  /** Recall of the IVF-PQ top-k against the exact squared-L2 top-k:
+    * both loss sources — cell probing (misses outside the nProbe
+    * cells) and code fidelity (shortlist ordering) — folded into one
+    * hash-checked number. Output: (query_id, exact_k, ivfpq_hits). */
+  def ivfPqRecall(embeddings: DataFrame, cfg: PqConfig, cellSize: Int,
+                  nProbe: Int, nQueries: Int, k: Int,
+                  shortlist: Int): DataFrame = {
+    val ex = exactL2TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val iv = ivfPqTopK(embeddings, cfg, cellSize, nProbe, nQueries, k,
+        shortlist)
+      .select(col("query_id").as("iq"), col("vec_id").as("iv"))
+    ex.join(iv, ex("query_id") === iv("iq") && ex("vec_id") === iv("iv"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("exact_k"), count(col("iv")).as("ivfpq_hits"))
       .orderBy("query_id")
   }
 

@@ -1646,7 +1646,30 @@ object Pipeline {
     Q("q88_pq_rerank_recall", "pipeline:pq-rerank-recall",
       Some(pqRerankRecallOracle(PqDefault, nQ = 20, k = 5, shortlist = 50)),
       (s, dir) => Pq.adcRerankRecall(t(s, dir, "embeddings"), PqDefault,
-        nQueries = 20, k = 5, shortlist = 50)))
+        nQueries = 20, k = 5, shortlist = 50)),
+
+    // ── IVF-PQ: the two families composed into the billion-scale
+    // serving layout (FAISS IndexIVFPQ). Coarse cells bound WHERE to
+    // look (candidates ≈ nProbe·cellSize per query, independent of
+    // corpus size — vs q85's full n-row ADC scan), codes bound what
+    // looking COSTS (m adds against 7-byte payloads), the rerank
+    // restores precision. Placement runs through the broadcast-chunk
+    // assignment join (q78's past-driver-scale path) at nProbe=1;
+    // queries probe nProbe cells; the query side (probes + LUTs) is
+    // broadcast so candidate generation never shuffles the corpus.
+    // q90 folds BOTH loss sources — cell probing and code fidelity —
+    // into one hash-checked recall.
+    Q("q89_ivfpq_topk", "pipeline:ivfpq-ann",
+      Some(ivfPqTopKOracle(PqDefault, cellSize = 64, nProbe = 4,
+        nQ = 20, k = 5, shortlist = 50)),
+      (s, dir) => Pq.ivfPqTopK(t(s, dir, "embeddings"), PqDefault,
+        cellSize = 64, nProbe = 4, nQueries = 20, k = 5, shortlist = 50)),
+
+    Q("q90_ivfpq_recall", "pipeline:ivfpq-recall",
+      Some(ivfPqRecallOracle(PqDefault, cellSize = 64, nProbe = 4,
+        nQ = 20, k = 5, shortlist = 50)),
+      (s, dir) => Pq.ivfPqRecall(t(s, dir, "embeddings"), PqDefault,
+        cellSize = 64, nProbe = 4, nQueries = 20, k = 5, shortlist = 50)))
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).
@@ -1823,6 +1846,107 @@ object Pipeline {
       |  CAST(count(rrk.vec_id) AS BIGINT) AS rerank_hits
       |FROM ex LEFT JOIN rrk ON rrk.query_id = ex.query_id
       |  AND rrk.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** The IVF-PQ CTE chain on top of [[pqCodesCtes]] (needs its `e`,
+    * `cb`, `codes`), ending in `irr (query_id, vec_id, l2_x1e6)`:
+    * coarse centroids as the q74 LIMIT subquery over the nonzero-norm
+    * base (= [[IvfIndex.sampleQuantizerDf]], relabeling-invariant),
+    * corpus placement = argmin cell (r = 1), query probes = r <=
+    * nProbe, candidates by cell co-residence, ADC over candidates
+    * only (the shifted/masked-code join + j-ordered fold, as q85),
+    * shortlist, exact rerank. */
+  private def ivfPqCtes(cfg: Pq.PqConfig, cellSize: Int, nProbe: Int,
+                        nQ: Int, shortlist: Int): String = {
+    val mask = (1 << cfg.bitsPerCode) - 1
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
+      |nn AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |nz AS (SELECT vec_id, v FROM nn WHERE nrm > 0),
+      |ccents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
+      |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
+      |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
+      |               FROM nz))),
+      |cdist AS (
+      |  SELECT z.vec_id, c.cid,
+      |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
+      |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
+      |  FROM e z CROSS JOIN ccents c),
+      |crk AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      |  FROM cdist),
+      |placed AS (SELECT vec_id, cid AS cell FROM crk WHERE r = 1),
+      |qprob AS (SELECT vec_id AS query_id, cid AS cell FROM crk
+      |          WHERE r <= $nProbe AND vec_id < $nQ),
+      |icand AS (
+      |  SELECT qp.query_id, p.vec_id
+      |  FROM placed p JOIN qprob qp ON p.cell = qp.cell
+      |  WHERE p.vec_id <> qp.query_id),
+      |iadc_d AS (
+      |  SELECT cd.query_id, cd.vec_id, j.j,
+      |    ${pqSliceC2("cb.cv", "j.j", cfg.dsub)}
+      |      - 2.0 * ${pqSliceDot("q.qv", "cb.cv", "j.j", cfg.dsub)} AS d
+      |  FROM icand cd CROSS JOIN range(0, ${cfg.m}) j(j)
+      |  JOIN codes c ON c.vec_id = cd.vec_id
+      |  JOIN q ON q.query_id = cd.query_id
+      |  JOIN cb ON cb.code = (c.pq_code >> (${cfg.bitsPerCode} * j.j)) & $mask),
+      |iadc_s AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(floor(list_reduce(list(d ORDER BY j), (x, y) -> x + y)
+      |      * 1000000) AS BIGINT) AS adc_x1e6
+      |  FROM iadc_d GROUP BY query_id, vec_id),
+      |isl AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_x1e6, vec_id) AS rn
+      |  FROM iadc_s) WHERE rn <= $shortlist),
+      |irr AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    CAST(floor((${dotSql("e.v", "e.v")}
+      |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS l2_x1e6
+      |  FROM isl c JOIN e ON e.vec_id = c.vec_id
+      |  JOIN q ON q.query_id = c.query_id)""".stripMargin
+  }
+
+  /** q89: the IVF-PQ serving path end-to-end. */
+  private def ivfPqTopKOracle(cfg: Pq.PqConfig, cellSize: Int, nProbe: Int,
+                              nQ: Int, k: Int, shortlist: Int): String =
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${ivfPqCtes(cfg, cellSize, nProbe, nQ, shortlist)}
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, l2_x1e6 FROM (
+      |  SELECT query_id, vec_id, l2_x1e6,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY l2_x1e6, vec_id) AS rank
+      |  FROM irr) WHERE rank <= $k
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q90: IVF-PQ recall vs the exact top-k — cell-probing loss and
+    * code-fidelity loss folded into one hash-checked number. */
+  private def ivfPqRecallOracle(cfg: Pq.PqConfig, cellSize: Int,
+                                nProbe: Int, nQ: Int, k: Int,
+                                shortlist: Int): String =
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${ivfPqCtes(cfg, cellSize, nProbe, nQ, shortlist)},
+      |ivk AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY l2_x1e6, vec_id) AS rn
+      |  FROM irr) WHERE rn <= $k),
+      |ex_d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(floor((${dotSql("e.v", "e.v")}
+      |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS d
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+      |  FROM ex_d) WHERE rn <= $k)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(ivk.vec_id) AS BIGINT) AS ivfpq_hits
+      |FROM ex LEFT JOIN ivk ON ivk.query_id = ex.query_id
+      |  AND ivk.vec_id = ex.vec_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   /** DuckDB SQL replaying [[Packing.packChunks]]'s chunk ids (the q49

@@ -43,6 +43,8 @@ object ProbePq {
     time("encode")(Pq.encode(e, cb, cfg.bitsPerCode).count())
     time("adcTopK")(Pq.adcTopK(e, cfg, nQ, k).count())
     time("rerankTopK")(Pq.adcRerankTopK(e, cfg, nQ, k, shortlist).count())
+    time("ivfPqTopK")(Pq.ivfPqTopK(e, cfg, cellSize = 64, nProbe = 4,
+      nQ, k, shortlist).count())
     spark.stop()
   }
 }

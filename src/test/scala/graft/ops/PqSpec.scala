@@ -211,6 +211,33 @@ class PqSpec extends SparkSpec {
       Pq.adcRerankTopK(d, cfg, nQ, k = 5, shortlist = 3))
   }
 
+  test("IVF-PQ: planted duplicate survives cell probing, shortlist and " +
+    "rerank to stay top-1; recall never exceeds exact_k") {
+    val base = corpus(60)
+    val nQ = 5
+    val planted = base ++ (0 until nQ).map(i => (1000L + i, base(i)._2))
+    val d = df(planted)
+    // an exact duplicate lands in the same argmin cell as its query
+    // (identical distances, same tie-break), encodes to the same
+    // codes (minimal possible ADC score for that query), and has
+    // exact distance -|q|^2 (the unique minimum) — so it must come
+    // through all three stages as top-1
+    val top1 = Pq.ivfPqTopK(d, cfg, cellSize = 8, nProbe = 2, nQ,
+        k = 3, shortlist = 10)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until nQ).foreach(i => assert(top1(i.toLong) == 1000L + i,
+      s"IVF-PQ top-1 of query $i must be its exact duplicate"))
+    val recall = Pq.ivfPqRecall(d, cfg, cellSize = 8, nProbe = 2, nQ,
+      k = 3, shortlist = 10).collect()
+    assert(recall.length == nQ)
+    recall.foreach { r =>
+      assert(r.getLong(1) == 3)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        s"query ${r.getLong(0)}: hits out of range")
+    }
+  }
+
   test("config guards: indivisible dim, overflowing pack, oversized ksub") {
     intercept[IllegalArgumentException](Pq.PqConfig(m = 7, dim = 64))
     intercept[IllegalArgumentException](          // 8 x 8 = 64 bits: sign bit
