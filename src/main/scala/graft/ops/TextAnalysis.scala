@@ -560,6 +560,62 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(wnd).cast("long"))
   }
 
+  /** CCNet-style reference-overlap quality score: grade every document
+    * by how much of it is "reference-like", where the reference is a
+    * designated slice of the corpus itself (CCNet scores Common Crawl
+    * against a Wikipedia LM; here the `source = refSource` slice
+    * stands in, so the whole derivation is data-derived and
+    * oracle-replayable — no trained model to pin).
+    *
+    * score = floor(1000 · |doc's distinct trigrams present in the
+    * reference vocabulary| / |doc's distinct trigrams|), where the
+    * reference vocabulary is every trigram appearing in ≥ minDf
+    * DISTINCT reference documents (the df floor drops idiosyncratic
+    * n-grams, the same role as CCNet's LM smoothing). Documents with
+    * no trigrams (< 3 tokens) score 0. Buckets mirror CCNet's
+    * head/middle/tail split at fixed thresholds (head ≥ 667,
+    * middle ≥ 334 of the 0–1000 scale).
+    *
+    * Scale: the vocabulary is an aggregate over the REFERENCE slice
+    * only — curated references are orders smaller than the corpus, so
+    * the (shingle) set broadcasts and the corpus-side shingle stream
+    * joins it map-side (zero corpus shuffles); the only exchange is
+    * the per-doc count aggregation on (doc_id) narrow rows. At a
+    * reference too big to broadcast, drop the hint and the same plan
+    * becomes a shuffle join keyed on the shingle — still one pass
+    * over the corpus. All arithmetic integer or floor-scaled.
+    *
+    * Output: (doc_id, n_tri, ref_hits, score_x1000, bucket). */
+  def referenceOverlapScore(docs: DataFrame, refSource: String = "src0",
+                            minDf: Int = 2): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val sh = docs
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    // (doc_id, s) rows are per-doc distinct (shingles3), so count(*)
+    // per shingle IS the reference document frequency
+    val refVocab = docs.filter(col("source") === refSource)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("s"), lit(1).as("hit"))
+    val agg = sh.join(broadcast(refVocab), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), count(col("hit")).as("ref_hits"))
+    val score = when(col("n_tri") > 0,
+      floor(lit(1000.0) * col("ref_hits") / col("n_tri")))
+      .otherwise(lit(0L)).cast("long")
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("ref_hits"), lit(0L)).as("ref_hits"),
+        score.as("score_x1000"))
+      .withColumn("bucket",
+        when(col("score_x1000") >= 667, lit("head"))
+          .when(col("score_x1000") >= 334, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
   /** Corpus length-outlier gate (the C4/Gopher-style "trim the tails"
     * stage): every document is flagged keep iff its token count lies
     * within the corpus's [pLo, pHi] exact interpolated percentiles.

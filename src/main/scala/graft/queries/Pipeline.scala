@@ -1669,7 +1669,20 @@ object Pipeline {
       Some(ivfPqRecallOracle(PqDefault, cellSize = 64, nProbe = 4,
         nQ = 20, k = 5, shortlist = 50)),
       (s, dir) => Pq.ivfPqRecall(t(s, dir, "embeddings"), PqDefault,
-        cellSize = 64, nProbe = 4, nQueries = 20, k = 5, shortlist = 50)))
+        cellSize = 64, nProbe = 4, nQueries = 20, k = 5, shortlist = 50)),
+
+    // ── CCNet-style reference-overlap quality scoring: grade every
+    // document by its distinct-trigram overlap with a designated
+    // reference slice's vocabulary (trigrams in >= minDf distinct
+    // reference docs), head/middle/tail buckets at fixed thresholds.
+    // The reference vocabulary aggregates over the SLICE only and
+    // broadcasts; the corpus-side shingle stream joins it map-side —
+    // the one exchange is the per-doc count agg on narrow rows.
+    Q("q91_reference_overlap", "pipeline:reference-quality",
+      Some(referenceOverlapOracle(refSource = "src0", minDf = 2)),
+      (s, dir) => TextAnalysis.referenceOverlapScore(
+        docsF(s, dir), refSource = "src0", minDf = 2)
+        .orderBy("doc_id")))
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).
@@ -1847,6 +1860,40 @@ object Pipeline {
       |FROM ex LEFT JOIN rrk ON rrk.query_id = ex.query_id
       |  AND rrk.vec_id = ex.vec_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** q91: [[TextAnalysis.referenceOverlapScore]] replayed — the
+    * reference vocabulary from the same df-floored slice aggregate,
+    * per-doc distinct-trigram overlap, the identical
+    * (1000.0 · hits) / n IEEE division under floor, fixed bucket
+    * thresholds. Docs with < 3 tokens come back through the left
+    * join with n_tri = 0, score 0, bucket 'tail'. */
+  private def referenceOverlapOracle(refSource: String,
+                                     minDf: Int): String =
+    s"""WITH refsh AS (
+      |  SELECT s FROM (
+      |    SELECT doc_id, unnest(${shingles3Sql("text")}) AS s
+      |    FROM documents WHERE source = '$refSource')
+      |  GROUP BY s HAVING count(*) >= $minDf),
+      |sh AS (SELECT doc_id, unnest(${shingles3Sql("text")}) AS s
+      |       FROM documents),
+      |agg AS (
+      |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |    CAST(count(r.s) AS BIGINT) AS ref_hits
+      |  FROM sh LEFT JOIN refsh r ON r.s = sh.s
+      |  GROUP BY sh.doc_id),
+      |sc AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+      |    CAST(coalesce(a.ref_hits, 0) AS BIGINT) AS ref_hits,
+      |    CAST(CASE WHEN coalesce(a.n_tri, 0) > 0
+      |      THEN floor(1000.0 * a.ref_hits / a.n_tri) ELSE 0 END AS BIGINT)
+      |      AS score_x1000
+      |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id)
+      |SELECT doc_id, n_tri, ref_hits, score_x1000,
+      |  CASE WHEN score_x1000 >= 667 THEN 'head'
+      |       WHEN score_x1000 >= 334 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM sc ORDER BY doc_id""".stripMargin
 
   /** The IVF-PQ CTE chain on top of [[pqCodesCtes]] (needs its `e`,
     * `cb`, `codes`), ending in `irr (query_id, vec_id, l2_x1e6)`:

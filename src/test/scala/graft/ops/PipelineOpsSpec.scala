@@ -281,6 +281,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept > 0 && kept < out.size, s"degenerate gate: $kept/${out.size}")
   }
 
+  test("referenceOverlapScore: hand-computed overlaps, minDf vocabulary " +
+    "floor, bucket boundaries at 334/667, trigram-less docs score 0") {
+    val docs = Seq(
+      // reference slice: vocabulary with minDf=2 is {"a b c", "b c d"}
+      // ("b c x" and "c d y" appear in one ref doc each — floored out)
+      (1L, "a b c d", "ref"),
+      (2L, "a b c x", "ref"),
+      (3L, "b c d y", "ref"),
+      // corpus: 2/2 hits → 1000 head; 2/3 → 666 middle (just under
+      // the head threshold); 1/3 → 333 tail (just under middle);
+      // < 3 tokens → no trigrams → 0 tail
+      (10L, "a b c d", "other"),
+      (11L, "a b c d q", "other"),
+      (12L, "a b c z w", "other"),
+      (13L, "q w", "other")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.referenceOverlapScore(docs, "ref", minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1000L, "head"),
+      (2L, 2L, 1L, 500L, "middle"),
+      (3L, 2L, 1L, 500L, "middle"),
+      (10L, 2L, 2L, 1000L, "head"),
+      (11L, 3L, 2L, 666L, "middle"),
+      (12L, 3L, 1L, 333L, "tail"),
+      (13L, 0L, 0L, 0L, "tail")))
+  }
+
   test("topShingles: df counts distinct docs, rank breaks ties by " +
     "shingle string, k truncates") {
     val docs = Seq(
