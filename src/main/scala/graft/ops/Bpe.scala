@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Hashing.tokens
+
+/** Distributed BPE (byte-pair-encoding) merge training — the
+  * tokenizer-training stage of a pretraining pipeline (Sennrich,
+  * Haddow & Birch 2016, "Neural Machine Translation of Rare Words
+  * with Subword Units"; the word-level trainer GPT-2/SentencePiece
+  * descend from).
+  *
+  * The classic algorithm: collapse the corpus to a word vocabulary
+  * {word → count}; represent each word as a character-symbol
+  * sequence; repeatedly (a) count adjacent symbol pairs weighted by
+  * word count, (b) merge the most frequent pair into one symbol
+  * everywhere. The learned merge list IS the tokenizer.
+  *
+  * Distributed shape — the key fact is that after the first pass the
+  * working set is the VOCABULARY, not the corpus:
+  *  - one corpus pass + one shuffle builds {word → count} with
+  *    map-side combine (the q30 token-count shape); at 100 TB the
+  *    corpus is read once, ever;
+  *  - each merge step is a pair-explode + sum aggregate over the
+  *    (cached) vocabulary — millions of rows, not corpus rows — and a
+  *    distributed TakeOrdered(1) for the argmax: the only thing the
+  *    driver ever holds is ONE (pair, count) row per step, which is
+  *    bounded state exactly like a real BPE trainer's merge list;
+  *  - the merge rewrite is a literal string replace on the spaced
+  *    symbol encoding (below) — a map-only projection, no shuffle.
+  *
+  * Symbol encoding and determinism (oracle-replayable): a word's
+  * symbol sequence is kept as the string " c h a r s " (symbols
+  * space-joined, one leading/trailing space). Merging pair (a, b)
+  * is `replace(s, " a b ", " ab ")` — both Spark and DuckDB replace
+  * literal occurrences LEFT-TO-RIGHT without overlap, which is
+  * precisely BPE's greedy left-to-right merge of overlapping
+  * occurrences ("a a a" → "aa a", not "a aa"). Pair counts weight
+  * every adjacent occurrence (the classic count; the count/merge
+  * overlap mismatch is part of the original algorithm). Argmax
+  * tie-break: highest total, then lexicographically smallest pair —
+  * a total order, so the merge sequence is unique. Symbols never
+  * contain spaces (they are concatenations of non-space characters),
+  * so the spaced encoding is unambiguous.
+  */
+object Bpe {
+
+  /** {word → count} over the corpus, empty tokens dropped. */
+  def wordVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** The spaced character-symbol encoding of a word:
+    * "abc" → " a b c ". */
+  private[ops] def spacedChars(w: Column): Column =
+    concat(lit(" "),
+      concat_ws(" ", transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1)))),
+      lit(" "))
+
+  /** Adjacent symbol pairs of a spaced encoding, as "a b" strings —
+    * one entry per occurrence (overlaps counted, the classic BPE
+    * statistic). Empty for single-symbol words. */
+  private[ops] def adjacentPairs(s: Column): Column = {
+    val syms = split(trim(s), " ")
+    when(size(syms) > 1,
+      transform(sequence(lit(1), size(syms) - 1),
+        j => concat(element_at(syms, j), lit(" "),
+          element_at(syms, j + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train `steps` merges over the corpus's word vocabulary.
+    * Returns the merge table: (step 1-based, pair "a b", total
+    * weighted count) — the trained artifact, in merge order. Stops
+    * early if no pair remains (tiny corpora). */
+  def trainMerges(docs: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = wordVocab(docs)
+      .select(spacedChars(col("w")).as("s"), col("cnt"))
+    vocab.cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val best = vocab
+        .select(explode(adjacentPairs(col("s"))).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("pair")).limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val total = best(0).getLong(1)
+        merges += ((step, pair, total))
+        val Array(a, b) = pair.split(" ", 2)
+        val next = vocab.select(
+          call_function("replace", col("s"),
+            lit(s" $a $b "), lit(s" $a$b ")).as("s"),
+          col("cnt"))
+        next.cache()
+        next.count() // materialize before dropping the parent cache
+        vocab.unpersist()
+        vocab = next
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("step", "pair", "total")
+      .select(col("step").cast("int").as("step"), col("pair"),
+        col("total").cast("long").as("total"))
+  }
+}

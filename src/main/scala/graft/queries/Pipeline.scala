@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Tables, TableStore}
-import graft.ops.{Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Sampling, Sharding, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h60bSql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -1682,7 +1682,18 @@ object Pipeline {
       Some(referenceOverlapOracle(refSource = "src0", minDf = 2)),
       (s, dir) => TextAnalysis.referenceOverlapScore(
         docsF(s, dir), refSource = "src0", minDf = 2)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── distributed BPE merge training (tokenizer training): after
+    // ONE corpus pass collapses to {word -> count}, every merge step
+    // works the cached vocabulary only — pair-explode + sum agg +
+    // distributed TakeOrdered(1); the driver holds one (pair, count)
+    // row per step, which is the merge list a real trainer keeps
+    // anyway. The oracle unrolls the same six steps as CTE stages.
+    Q("q92_bpe_merges", "pipeline:bpe-train",
+      Some(bpeMergesOracle(steps = 6)),
+      (s, dir) => Bpe.trainMerges(docsF(s, dir), steps = 6)
+        .orderBy("step")))
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).
@@ -1894,6 +1905,48 @@ object Pipeline {
       |       WHEN score_x1000 >= 334 THEN 'middle'
       |       ELSE 'tail' END AS bucket
       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** q92: [[graft.ops.Bpe.trainMerges]] replayed — the driver loop
+    * unrolled into `steps` CTE stages. Each stage: adjacent-pair
+    * counts over the spaced symbol encoding, the (total DESC, pair)
+    * argmax via ORDER BY LIMIT 1, and the literal left-to-right
+    * `replace` merge both engines implement identically (which IS
+    * BPE's greedy overlap rule). Early exhaustion matches by
+    * construction: an empty argmax CTE contributes no output row and
+    * empties every later stage through its cross join. */
+  private def bpeMergesOracle(steps: Int): String = {
+    val header =
+      s"""wv AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        |    FROM documents) t(w) WHERE w <> '' GROUP BY w),
+        |v0 AS (
+        |  SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+        |    i -> w[i]), ' ') || ' ' AS s, cnt FROM wv)""".stripMargin
+    val stages = (1 to steps).map { i =>
+      s"""p$i AS (
+        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS total FROM (
+        |    SELECT unnest(list_transform(range(1, len(sy)),
+        |      j -> sy[j] || ' ' || sy[j + 1])) AS pair, cnt
+        |    FROM (SELECT regexp_split_to_array(trim(s), ' ') AS sy, cnt
+        |          FROM v${i - 1}))
+        |  GROUP BY pair),
+        |b$i AS (SELECT pair, total FROM p$i ORDER BY total DESC, pair LIMIT 1),
+        |v$i AS (
+        |  SELECT replace(v.s,
+        |      ' ' || split_part(b.pair, ' ', 1) || ' ' || split_part(b.pair, ' ', 2) || ' ',
+        |      ' ' || split_part(b.pair, ' ', 1) || split_part(b.pair, ' ', 2) || ' ') AS s,
+        |    v.cnt
+        |  FROM v${i - 1} v CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to steps).map(i =>
+      s"SELECT CAST($i AS INT) AS step, pair, total FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $header,
+      |$stages
+      |SELECT step, pair, total FROM (
+      |$union) ORDER BY step""".stripMargin
+  }
 
   /** The IVF-PQ CTE chain on top of [[pqCodesCtes]] (needs its `e`,
     * `cb`, `codes`), ending in `irr (query_id, vec_id, l2_x1e6)`:

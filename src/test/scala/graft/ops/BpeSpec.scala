@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training: hand-worked merge sequences,
+  * the greedy left-to-right overlap rule, argmax tie-break, early
+  * exhaustion, and the spaced-encoding helpers. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("hand-worked merge sequence with greedy overlap: 'aaa' merges " +
+    "left-to-right, training stops when no pair remains") {
+    // vocab: {aaa: 2, ab: 1}
+    // step 1: pairs 'a a' x4 (two overlapping occurrences per 'aaa'),
+    //         'a b' x1 -> merge 'a a'; greedy: ' a a a ' -> ' aa a '
+    // step 2: pairs 'aa a' x2, 'a b' x1 -> merge 'aa a' -> ' aaa '
+    // step 3: only 'a b' x1 remains -> merge it
+    // step 4: no pairs anywhere -> early stop at 3 rows
+    val got = Bpe.trainMerges(docs("aaa aaa ab"), steps = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1, "a a", 4L),
+      (2, "aa a", 2L),
+      (3, "a b", 1L)))
+  }
+
+  test("argmax ties break on the lexicographically smaller pair") {
+    // {ab: 2, cd: 2}: 'a b' and 'c d' both total 2 -> 'a b' first
+    val got = Bpe.trainMerges(docs("ab cd", "ab cd"), steps = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "a b", 2L)))
+  }
+
+  test("word counts weight the pairs: a frequent word's pair beats a " +
+    "longer rare word's") {
+    // {to: 3, xyz: 1}: 't o' total 3 beats 'x y'/'y z' total 1
+    val got = Bpe.trainMerges(docs("to to to xyz"), steps = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("t o", 3L)))
+  }
+
+  test("spacedChars and adjacentPairs helpers") {
+    val df = Seq("abc", "x").toDF("w")
+      .select(Bpe.spacedChars(col("w")).as("s"))
+    val rows = df.select(col("s"), Bpe.adjacentPairs(col("s")).as("p"))
+      .collect()
+    assert(rows(0).getString(0) == " a b c ")
+    assert(rows(0).getSeq[String](1) == Seq("a b", "b c"))
+    assert(rows(1).getString(0) == " x ")
+    assert(rows(1).getSeq[String](1) == Seq.empty)
+  }
+}
