@@ -71,6 +71,43 @@ object Bpe {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Apply a trained merge list to the corpus and count subwords per
+    * document — the tokenizer APPLIED, closing the train→tokenize
+    * loop (and the number a data pipeline actually bills by: tokens
+    * under the learned vocabulary, not whitespace words).
+    *
+    * The merges are a driver-held Seq of "a b" pairs in training
+    * order — bounded state (the merge list IS the tokenizer; real
+    * vocabularies are ~30k entries). Applying them is a fold of
+    * literal replaces over the VOCABULARY's spaced encodings (the
+    * same left-to-right-greedy semantics as training — one map-only
+    * projection with `steps` replaces fused by codegen), after which
+    * each word's subword count joins back to the corpus word stream
+    * and sums per document. Two exchanges total at any corpus size:
+    * the vocab groupBy and the per-doc sum; the merge application
+    * itself never touches corpus rows.
+    *
+    * Output: (doc_id, n_words, n_subwords) — wordless docs at (0, 0). */
+  def subwordCounts(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val vocab = wordVocab(docs)
+    val merged = merges.foldLeft(spacedChars(col("w"))) { (s, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val vmap = vocab.select(col("w"),
+      size(split(trim(merged), " ")).cast("long").as("n_sub"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(vmap, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+  }
+
   /** Train `steps` merges over the corpus's word vocabulary.
     * Returns the merge table: (step 1-based, pair "a b", total
     * weighted count) — the trained artifact, in merge order. Stops

@@ -1693,7 +1693,23 @@ object Pipeline {
     Q("q92_bpe_merges", "pipeline:bpe-train",
       Some(bpeMergesOracle(steps = 6)),
       (s, dir) => Bpe.trainMerges(docsF(s, dir), steps = 6)
-        .orderBy("step")))
+        .orderBy("step")),
+
+    // ── the tokenizer APPLIED: per-doc subword counts under the
+    // 6-merge vocabulary q92 just learned — train → tokenize closed
+    // end-to-end, data-derived on both sides (the oracle re-learns
+    // the merges in its own CTE stages, then applies them to the
+    // vocabulary and joins the per-word subword counts back to the
+    // corpus word stream). Two exchanges at any corpus size: the
+    // vocab groupBy and the per-doc sum.
+    Q("q93_bpe_subwords", "pipeline:bpe-tokenize",
+      Some(bpeSubwordsOracle(steps = 6)),
+      (s, dir) => {
+        val d = docsF(s, dir)
+        val merges = Bpe.trainMerges(d, steps = 6)
+          .orderBy("step").collect().map(_.getString(1)).toSeq
+        Bpe.subwordCounts(d, merges).orderBy("doc_id")
+      }))
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).
@@ -1914,14 +1930,17 @@ object Pipeline {
     * BPE's greedy overlap rule). Early exhaustion matches by
     * construction: an empty argmax CTE contributes no output row and
     * empties every later stage through its cross join. */
-  private def bpeMergesOracle(steps: Int): String = {
+  /** The shared BPE CTE chain: wv (word vocab), v0 (spaced chars) and
+    * `steps` (p_i, b_i, v_i) stages; v_i carries the word column so
+    * q93 can join subword counts back to the corpus. */
+  private def bpeCtes(steps: Int): String = {
     val header =
       s"""wv AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
         |    FROM documents) t(w) WHERE w <> '' GROUP BY w),
         |v0 AS (
-        |  SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+        |  SELECT w, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
         |    i -> w[i]), ' ') || ' ' AS s, cnt FROM wv)""".stripMargin
     val stages = (1 to steps).map { i =>
       s"""p$i AS (
@@ -1933,20 +1952,49 @@ object Pipeline {
         |  GROUP BY pair),
         |b$i AS (SELECT pair, total FROM p$i ORDER BY total DESC, pair LIMIT 1),
         |v$i AS (
-        |  SELECT replace(v.s,
+        |  SELECT v.w, replace(v.s,
         |      ' ' || split_part(b.pair, ' ', 1) || ' ' || split_part(b.pair, ' ', 2) || ' ',
         |      ' ' || split_part(b.pair, ' ', 1) || split_part(b.pair, ' ', 2) || ' ') AS s,
         |    v.cnt
         |  FROM v${i - 1} v CROSS JOIN b$i b)""".stripMargin
     }.mkString(",\n")
+    s"$header,\n$stages"
+  }
+
+  private def bpeMergesOracle(steps: Int): String = {
     val union = (1 to steps).map(i =>
       s"SELECT CAST($i AS INT) AS step, pair, total FROM b$i")
       .mkString("\nUNION ALL ")
-    s"""WITH $header,
-      |$stages
+    s"""WITH ${bpeCtes(steps)}
       |SELECT step, pair, total FROM (
       |$union) ORDER BY step""".stripMargin
   }
+
+  /** q93: the learned merges applied — per-word subword counts from
+    * the final v_steps encodings, joined back to the corpus word
+    * stream, summed per doc; wordless docs at (0, 0) via the left
+    * join. */
+  private def bpeSubwordsOracle(steps: Int): String =
+    s"""WITH ${bpeCtes(steps)},
+      |vm AS (
+      |  SELECT w, CAST(len(regexp_split_to_array(trim(s), ' ')) AS BIGINT)
+      |    AS n_sub
+      |  FROM v$steps),
+      |dw AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |agg AS (
+      |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(vm.n_sub) AS BIGINT) AS n_subwords
+      |  FROM dw JOIN vm ON vm.w = dw.w
+      |  GROUP BY dw.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** The IVF-PQ CTE chain on top of [[pqCodesCtes]] (needs its `e`,
     * `cb`, `codes`), ending in `irr (query_id, vec_id, l2_x1e6)`:

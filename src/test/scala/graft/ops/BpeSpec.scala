@@ -45,6 +45,22 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq(("t o", 3L)))
   }
 
+  test("subwordCounts: learned merges applied per word, summed per doc; " +
+    "wordless docs at (0, 0)") {
+    val d = docs("aaa aaa ab", "")
+    // after 1 merge ('a a'): aaa -> [aa, a] (2 subwords), ab -> [a, b] (2)
+    val one = Bpe.subwordCounts(d, Seq("a a")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == Seq((0L, 3L, 6L), (1L, 0L, 0L)))
+    // after the full 3-merge training both words are single subwords
+    val merges = Bpe.trainMerges(d, steps = 5).orderBy("step")
+      .collect().map(_.getString(1)).toSeq
+    assert(merges == Seq("a a", "aa a", "a b"))
+    val full = Bpe.subwordCounts(d, merges).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == Seq((0L, 3L, 3L), (1L, 0L, 0L)))
+  }
+
   test("spacedChars and adjacentPairs helpers") {
     val df = Seq("abc", "x").toDF("w")
       .select(Bpe.spacedChars(col("w")).as("s"))
