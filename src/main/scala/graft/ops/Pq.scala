@@ -235,7 +235,61 @@ object Pq {
       kEstimate = Some(kCells))
     val indexed = encode(embeddings, cb, cfg.bitsPerCode)
       .join(placed, "vec_id")
-    val qbase = base.filter(col("vec_id") < nQueries)
+    serveFromIndexed(indexed, embeddings, cents, kCells, cb, cfg,
+      nProbe, nQueries, k, shortlist)
+  }
+
+  /** Persist the IVF-PQ serving index: (cell, vec_id, pq_code)
+    * BUCKETED BY cell — [[IvfIndex.buildCellIndex]]'s layout with the
+    * packed code as the payload instead of the float vector, i.e. the
+    * ~36×-smaller artifact a search tier actually memory-maps. Build
+    * once (the n·k placement assignment is paid HERE, not per query);
+    * serve many via [[ivfPqTopKFromIndex]]. Returns the catalog table
+    * name. */
+  def buildIvfPqIndex(embeddings: DataFrame, cfg: PqConfig, cellSize: Int,
+                      warehouse: String, table: String,
+                      nBuckets: Int): String = {
+    val (cents, kCells) = IvfIndex.sampleQuantizerDf(embeddings, cellSize)
+    val cb = sampleCodebooks(embeddings, cfg)
+    val base = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val placed = IvfIndex.assignViaJoin(base, cents, nProbe = 1,
+      kEstimate = Some(kCells))
+    val indexed = encode(embeddings, cb, cfg.bitsPerCode)
+      .join(placed, "vec_id")
+      .select("cell", "vec_id", "pq_code")
+    graft.engine.TableStore.writeBucketed(indexed, warehouse, table,
+      nBuckets, Seq("cell"))
+  }
+
+  /** Serve top-k from a PERSISTED index ([[buildIvfPqIndex]]): the
+    * query-time plan is the index scan + broadcast probe join + ADC +
+    * rerank — no encode, no placement assignment, no corpus pass
+    * except the bounded rerank fetch. Centroids and codebooks are
+    * re-derived from the corpus by the same deterministic sampling
+    * (cheap: a TakeOrdered and a ksub-row collect), which is the
+    * faiss-style contract that index and query sides share one pinned
+    * quantizer. Result ≡ [[ivfPqTopK]] row-for-row (PqSpec). */
+  def ivfPqTopKFromIndex(index: DataFrame, embeddings: DataFrame,
+                         cfg: PqConfig, cellSize: Int, nProbe: Int,
+                         nQueries: Int, k: Int,
+                         shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist smaller than k=$k")
+    val (cents, kCells) = IvfIndex.sampleQuantizerDf(embeddings, cellSize)
+    val cb = sampleCodebooks(embeddings, cfg)
+    serveFromIndexed(index, embeddings, cents, kCells, cb, cfg,
+      nProbe, nQueries, k, shortlist)
+  }
+
+  /** The shared query-time tail: probe assignment for the (tiny) query
+    * side, broadcast of (probes, LUTs), ADC over cell-co-resident
+    * codes, shortlist window, exact rerank. */
+  private def serveFromIndexed(indexed: DataFrame, embeddings: DataFrame,
+                               cents: DataFrame, kCells: Long,
+                               cb: Array[Array[Array[Double]]],
+                               cfg: PqConfig, nProbe: Int, nQueries: Int,
+                               k: Int, shortlist: Int): DataFrame = {
+    val qbase = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").as("v"))
     val qprobes = IvfIndex.assignViaJoin(qbase, cents, nProbe = nProbe,
         kEstimate = Some(kCells))
       .select(col("vec_id").as("query_id"), col("cell"))

@@ -1684,6 +1684,25 @@ object Pipeline {
         docsF(s, dir), refSource = "src0", minDf = 2)
         .orderBy("doc_id")),
 
+    // ── the IVF-PQ index PERSISTED and served (q78's "same truth,
+    // second plan" pattern): the (cell, vec_id, pq_code) placement is
+    // written bucketed-by-cell — the ~36x-smaller artifact a search
+    // tier memory-maps — and the query runs against the table: index
+    // scan + broadcast probe join + ADC + rerank, no encode and no
+    // placement assignment at query time. Same oracle SQL as q89,
+    // because the index IS q89's intermediate, materialized.
+    Q("q94_ivfpq_indexed", "pipeline:ivfpq-indexed",
+      Some(ivfPqTopKOracle(PqDefault, cellSize = 64, nProbe = 4,
+        nQ = 20, k = 5, shortlist = 50)),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val idx = Pq.buildIvfPqIndex(e, PqDefault, cellSize = 64,
+          wh, "q94_pqcells", nBuckets = 8)
+        Pq.ivfPqTopKFromIndex(s.table(idx), e, PqDefault, cellSize = 64,
+          nProbe = 4, nQueries = 20, k = 5, shortlist = 50)
+      }),
+
     // ── distributed BPE merge training (tokenizer training): after
     // ONE corpus pass collapses to {word -> count}, every merge step
     // works the cached vocabulary only — pair-explode + sum agg +

@@ -238,6 +238,24 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ index serves identically to the direct path") {
+    val base = corpus(80)
+    val nQ = 4
+    val planted = base ++ (0 until nQ).map(i => (1000L + i, base(i)._2))
+    val d = df(planted)
+    val wh = tmpDir("pq-index-wh")
+    val idx = Pq.buildIvfPqIndex(d, cfg, cellSize = 8, wh, "pqcells",
+      nBuckets = 4)
+    val direct = Pq.ivfPqTopK(d, cfg, cellSize = 8, nProbe = 2, nQ,
+      k = 3, shortlist = 10).orderBy("query_id", "rank").collect()
+    val served = Pq.ivfPqTopKFromIndex(spark.table(idx), d, cfg,
+      cellSize = 8, nProbe = 2, nQ, k = 3, shortlist = 10)
+      .orderBy("query_id", "rank").collect()
+    assert(direct.map(_.toString).toSeq == served.map(_.toString).toSeq,
+      "indexed serving diverges from the direct path")
+    assert(direct.nonEmpty)
+  }
+
   test("config guards: indivisible dim, overflowing pack, oversized ksub") {
     intercept[IllegalArgumentException](Pq.PqConfig(m = 7, dim = 64))
     intercept[IllegalArgumentException](          // 8 x 8 = 64 bits: sign bit

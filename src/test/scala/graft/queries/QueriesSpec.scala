@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 92, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 93, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -81,8 +81,9 @@ class QueriesSpec extends SparkSpec {
       "q85_pq_adc_topk", "q86_pq_adc_recall",
       "q87_pq_rerank_topk", "q88_pq_rerank_recall",
       // IVF-PQ runs the broadcast-chunk assignment join (q78's BNLJ)
-      // for placement/probes plus the broadcast rerank fetch
-      "q89_ivfpq_topk", "q90_ivfpq_recall")
+      // for placement/probes plus the broadcast rerank fetch; q94
+      // keeps the probe-side assignment join over the persisted index
+      "q89_ivfpq_topk", "q90_ivfpq_recall", "q94_ivfpq_indexed")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
