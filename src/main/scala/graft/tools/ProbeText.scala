@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.ops.{Bpe, TextAnalysis}
+
+/** Scale ladder for the round-11 text operators (q91/q92/q93 shapes):
+  * reference-overlap scoring, BPE merge training, and the tokenizer
+  * applied, over a ScaleGen corpus ladder.
+  *
+  * Usage: ProbeText [dir]  (default /root/testdata/sf0.1)
+  *
+  * What to read from the output: q91's reference slice grows WITH the
+  * corpus (source = src0 is 1/20th of it), so the broadcast vocabulary
+  * grows linearly but stays tiny in absolute terms; BPE's per-merge
+  * cost is vocabulary-sized (ScaleGen's per-replica token suffixes
+  * grow the vocab ~linearly with replicas — the honest worst case,
+  * since a real corpus's vocab grows sublinearly by Heaps' law). */
+object ProbeText {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = graft.engine.Tables.floored(spark, dir, "documents", "doc_id")
+    println(s"docs=${d.count()}")
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$tag: rows=$rows%d t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    time("referenceOverlap")(
+      TextAnalysis.referenceOverlapScore(d, "src0", minDf = 2).count())
+    var merges: Seq[String] = Nil
+    time("bpeTrain(6)") {
+      merges = Bpe.trainMerges(d, steps = 6)
+        .orderBy("step").collect().map(_.getString(1)).toSeq
+      merges.size.toLong
+    }
+    time("bpeApply")(Bpe.subwordCounts(d, merges).count())
+    spark.stop()
+  }
+}
