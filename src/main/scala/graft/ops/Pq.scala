@@ -280,9 +280,24 @@ object Pq {
       nProbe, nQueries, k, shortlist)
   }
 
-  /** The shared query-time tail: probe assignment for the (tiny) query
-    * side, broadcast of (probes, LUTs), ADC over cell-co-resident
-    * codes, shortlist window, exact rerank. */
+  /** The query-time tail with the quantizer PINNED by the caller —
+    * public because the add-many lifecycle requires it: once an index
+    * holds vectors placed by a given quantizer, every later query and
+    * every later delta batch must use those SAME centroids/codebooks
+    * (the faiss contract; see [[graft.streaming.StreamingVectorIngest]]).
+    * [[ivfPqTopK]]/[[ivfPqTopKFromIndex]] wrap this with the
+    * corpus-derived sample quantizer for the static-corpus case.
+    * Probe assignment for the (tiny) query side, broadcast of
+    * (probes, LUTs), ADC over cell-co-resident codes, shortlist
+    * window, exact rerank. */
+  def ivfPqServe(indexed: DataFrame, embeddings: DataFrame,
+                 cents: DataFrame, kCells: Long,
+                 cb: Array[Array[Array[Double]]],
+                 cfg: PqConfig, nProbe: Int, nQueries: Int,
+                 k: Int, shortlist: Int): DataFrame =
+    serveFromIndexed(indexed, embeddings, cents, kCells, cb, cfg,
+      nProbe, nQueries, k, shortlist)
+
   private def serveFromIndexed(indexed: DataFrame, embeddings: DataFrame,
                                cents: DataFrame, kCells: Long,
                                cb: Array[Array[Array[Double]]],
