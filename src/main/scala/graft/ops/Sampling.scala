@@ -104,6 +104,32 @@ object Sampling {
     * key); input must not already carry `rate_ppm`. Plan: tiny
     * per-group agg + 1-row min + broadcast thresholds — the corpus is
     * never shuffled, acceptance is a pushed per-row predicate. */
+  /** Fixed-rate resampling by a categorical quality bucket — the
+    * CCNet output stage: keep the reference-like head, thin the
+    * middle, drop most of the tail. `ratesPpm` maps bucket value →
+    * acceptance rate in parts-per-million; buckets absent from the
+    * map get rate 0 (dropped). Acceptance is the family's salted-hash
+    * predicate `h60(salt + ":" + doc_id) % 1e6 < rate` — per-row,
+    * deterministic, stable under corpus growth, ZERO shuffles (the
+    * rate is a literal when-chain, not a join). Output: input rows
+    * that survive, plus their `rate_ppm`. */
+  def bucketSample(docs: DataFrame, bucketCol: String,
+                   ratesPpm: Map[String, Long],
+                   salt: String = "bucketmix"): DataFrame = {
+    require(ratesPpm.nonEmpty, "need at least one bucket rate")
+    require(ratesPpm.values.forall(r => r >= 0 && r <= 1000000L),
+      "rates are parts-per-million: [0, 1000000]")
+    require(!docs.columns.contains("rate_ppm"),
+      "bucketSample input must not already carry rate_ppm")
+    val rate = ratesPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (b, r)) =>
+        when(col(bucketCol) === b, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("rate_ppm", rate)
+      .filter(pmod(h60(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("rate_ppm"))
+  }
+
   def withMix(docs: DataFrame, exponent: Double = 0.5,
               byCol: String = "lang"): DataFrame = {
     require(exponent >= 0 && exponent <= 1, s"bad exponent $exponent")

@@ -1684,6 +1684,22 @@ object Pipeline {
         docsF(s, dir), refSource = "src0", minDf = 2)
         .orderBy("doc_id")),
 
+    // ── the CCNet OUTPUT stage: bucket-rated resampling of the
+    // reference-scored corpus — keep the head, halve the middle, keep
+    // 10% of the tail. Acceptance is the family's salted-hash per-row
+    // predicate (zero shuffles; the rate is a literal when-chain, not
+    // a join), so the whole scored-then-thinned pipe adds nothing to
+    // q91's plan but a pushed filter.
+    Q("q95_reference_sample", "pipeline:reference-sample",
+      Some(referenceSampleOracle(refSource = "src0", minDf = 2,
+        headPpm = 1000000L, middlePpm = 500000L, tailPpm = 100000L)),
+      (s, dir) => Sampling.bucketSample(
+          TextAnalysis.referenceOverlapScore(docsF(s, dir), "src0", 2),
+          "bucket", Map("head" -> 1000000L, "middle" -> 500000L,
+            "tail" -> 100000L))
+        .select("doc_id", "score_x1000", "bucket", "rate_ppm")
+        .orderBy("doc_id")),
+
     // ── the IVF-PQ index PERSISTED and served (q78's "same truth,
     // second plan" pattern): the (cell, vec_id, pq_code) placement is
     // written bucketed-by-cell — the ~36x-smaller artifact a search
@@ -1913,9 +1929,12 @@ object Pipeline {
     * (1000.0 · hits) / n IEEE division under floor, fixed bucket
     * thresholds. Docs with < 3 tokens come back through the left
     * join with n_tri = 0, score 0, bucket 'tail'. */
-  private def referenceOverlapOracle(refSource: String,
-                                     minDf: Int): String =
-    s"""WITH refsh AS (
+  /** The q91 CTE chain ending in
+    * `scb (doc_id, n_tri, ref_hits, score_x1000, bucket)` — shared
+    * with q95, which filters it through the bucket-rate acceptance. */
+  private def referenceOverlapCtes(refSource: String,
+                                   minDf: Int): String =
+    s"""refsh AS (
       |  SELECT s FROM (
       |    SELECT doc_id, unnest(${shingles3Sql("text")}) AS s
       |    FROM documents WHERE source = '$refSource')
@@ -1934,12 +1953,38 @@ object Pipeline {
       |    CAST(CASE WHEN coalesce(a.n_tri, 0) > 0
       |      THEN floor(1000.0 * a.ref_hits / a.n_tri) ELSE 0 END AS BIGINT)
       |      AS score_x1000
-      |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id)
-      |SELECT doc_id, n_tri, ref_hits, score_x1000,
-      |  CASE WHEN score_x1000 >= 667 THEN 'head'
-      |       WHEN score_x1000 >= 334 THEN 'middle'
-      |       ELSE 'tail' END AS bucket
-      |FROM sc ORDER BY doc_id""".stripMargin
+      |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id),
+      |scb AS (
+      |  SELECT doc_id, n_tri, ref_hits, score_x1000,
+      |    CASE WHEN score_x1000 >= 667 THEN 'head'
+      |         WHEN score_x1000 >= 334 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM sc)""".stripMargin
+
+  private def referenceOverlapOracle(refSource: String,
+                                     minDf: Int): String =
+    s"""WITH ${referenceOverlapCtes(refSource, minDf)}
+      |SELECT doc_id, n_tri, ref_hits, score_x1000, bucket
+      |FROM scb ORDER BY doc_id""".stripMargin
+
+  /** q95: [[graft.ops.Sampling.bucketSample]] over the q91 buckets —
+    * the same salted-hash acceptance as q75's mix (h60 is
+    * non-negative, so `%` equals pmod). */
+  private def referenceSampleOracle(refSource: String, minDf: Int,
+                                    headPpm: Long, middlePpm: Long,
+                                    tailPpm: Long): String = {
+    val h = graft.ops.Hashing.h60Sql(
+      "'bucketmix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH ${referenceOverlapCtes(refSource, minDf)}
+      |SELECT doc_id, score_x1000, bucket,
+      |  CAST(CASE bucket WHEN 'head' THEN $headPpm
+      |       WHEN 'middle' THEN $middlePpm
+      |       ELSE $tailPpm END AS BIGINT) AS rate_ppm
+      |FROM scb
+      |WHERE $h % 1000000 < CASE bucket WHEN 'head' THEN $headPpm
+      |  WHEN 'middle' THEN $middlePpm ELSE $tailPpm END
+      |ORDER BY doc_id""".stripMargin
+  }
 
   /** q92: [[graft.ops.Bpe.trainMerges]] replayed — the driver loop
     * unrolled into `steps` CTE stages. Each stage: adjacent-pair

@@ -310,6 +310,27 @@ class PipelineOpsSpec extends SparkSpec {
       (13L, 0L, 0L, 0L, "tail")))
   }
 
+  test("bucketSample: acceptance equals the h60 driver model exactly; " +
+    "rate 1e6 keeps all, rate 0 / unmapped buckets drop all") {
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 3 == 0) "keep" else if (i % 3 == 1) "half" else "gone"))
+      .toDF("doc_id", "bucket")
+    val rates = Map("keep" -> 1000000L, "half" -> 500000L)
+    val got = Sampling.bucketSample(docs, "bucket", rates)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = (0L until 200L).filter { i =>
+      val b = if (i % 3 == 0) "keep" else if (i % 3 == 1) "half" else "gone"
+      val r = rates.getOrElse(b, 0L)
+      Hashing.h60Scala(s"bucketmix:$i") % 1000000L < r
+    }.toSet
+    assert(got == expect)
+    assert((0L until 200L).filter(_ % 3 == 0).forall(got.contains),
+      "rate 1e6 must keep every row")
+    assert(got.forall(_ % 3 != 2), "unmapped bucket must drop every row")
+    intercept[IllegalArgumentException](
+      Sampling.bucketSample(docs, "bucket", Map("keep" -> 2000000L)))
+  }
+
   test("topShingles: df counts distinct docs, rank breaks ties by " +
     "shingle string, k truncates") {
     val docs = Seq(
