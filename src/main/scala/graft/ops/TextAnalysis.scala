@@ -589,8 +589,17 @@ object TextAnalysis {
   def referenceOverlapScore(docs: DataFrame, refSource: String = "src0",
                             minDf: Int = 2): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
-    val sh = docs
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    // every doc emits its trigrams PLUS one null sentinel row: count(s)
+    // then equals the trigram count, a null s matches nothing in the
+    // vocab join (SQL null equality), and — the point — every doc is
+    // present in the per-doc aggregate, so no corpus-sized left
+    // join-back of the doc list is needed afterwards. The ONE exchange
+    // in the whole operator is the (doc_id) count aggregation.
+    val sh = docs.select(col("doc_id"),
+      explode(concat(
+        coalesce(shingles3(col("text")),
+          array().cast("array<string>")),
+        array(lit(null).cast("string")))).as("s"))
     // (doc_id, s) rows are per-doc distinct (shingles3), so count(*)
     // per shingle IS the reference document frequency
     val refVocab = docs.filter(col("source") === refSource)
@@ -600,15 +609,11 @@ object TextAnalysis {
       .select(col("s"), lit(1).as("hit"))
     val agg = sh.join(broadcast(refVocab), Seq("s"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"), count(col("hit")).as("ref_hits"))
+      .agg(count(col("s")).as("n_tri"), count(col("hit")).as("ref_hits"))
     val score = when(col("n_tri") > 0,
       floor(lit(1000.0) * col("ref_hits") / col("n_tri")))
       .otherwise(lit(0L)).cast("long")
-    docs.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        coalesce(col("ref_hits"), lit(0L)).as("ref_hits"),
+    agg.select(col("doc_id"), col("n_tri"), col("ref_hits"),
         score.as("score_x1000"))
       .withColumn("bucket",
         when(col("score_x1000") >= 667, lit("head"))

@@ -1939,21 +1939,21 @@ object Pipeline {
       |    SELECT doc_id, unnest(${shingles3Sql("text")}) AS s
       |    FROM documents WHERE source = '$refSource')
       |  GROUP BY s HAVING count(*) >= $minDf),
-      |sh AS (SELECT doc_id, unnest(${shingles3Sql("text")}) AS s
-      |       FROM documents),
+      |sh AS (SELECT doc_id,
+      |    unnest(list_concat(coalesce(${shingles3Sql("text")},
+      |      []::VARCHAR[]), [CAST(NULL AS VARCHAR)])) AS s
+      |  FROM documents),
       |agg AS (
-      |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |  SELECT sh.doc_id, CAST(count(sh.s) AS BIGINT) AS n_tri,
       |    CAST(count(r.s) AS BIGINT) AS ref_hits
       |  FROM sh LEFT JOIN refsh r ON r.s = sh.s
       |  GROUP BY sh.doc_id),
       |sc AS (
-      |  SELECT d.doc_id,
-      |    CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
-      |    CAST(coalesce(a.ref_hits, 0) AS BIGINT) AS ref_hits,
-      |    CAST(CASE WHEN coalesce(a.n_tri, 0) > 0
-      |      THEN floor(1000.0 * a.ref_hits / a.n_tri) ELSE 0 END AS BIGINT)
+      |  SELECT doc_id, n_tri, ref_hits,
+      |    CAST(CASE WHEN n_tri > 0
+      |      THEN floor(1000.0 * ref_hits / n_tri) ELSE 0 END AS BIGINT)
       |      AS score_x1000
-      |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id),
+      |  FROM agg),
       |scb AS (
       |  SELECT doc_id, n_tri, ref_hits, score_x1000,
       |    CASE WHEN score_x1000 >= 667 THEN 'head'

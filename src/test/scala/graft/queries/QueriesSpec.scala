@@ -94,6 +94,19 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q91 never shuffles the corpus for a join: the vocabulary joins " +
+    "broadcast, and the null-sentinel trick leaves no sort-merge " +
+    "join-back of the doc list") {
+    val plan = Registry.queries("q91_reference_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"q91 plans a corpus-sized sort-merge join:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin"),
+      s"q91 plans a shuffled join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q91's vocabulary join is not broadcast")
+  }
+
   test("ANN recall vs brute force at k=5: LSH >= 0.5, IVF >= 0.5") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, 20, 5)
