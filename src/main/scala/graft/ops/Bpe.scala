@@ -96,16 +96,21 @@ object Bpe {
     }
     val vmap = vocab.select(col("w"),
       size(split(trim(merged), " ")).cast("long").as("n_sub"))
-    val perDoc = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .join(vmap, "w")
+    // one null sentinel word per doc (the q91 trick): every doc is
+    // present in the per-doc aggregate — count(w) skips the sentinel
+    // and a null w matches nothing in the vocab join — so no
+    // corpus-sized join-back of the doc list is needed. Exchanges:
+    // the vocab-keyed word join and the per-doc sum, nothing else.
+    val dw = docs.select(col("doc_id"),
+      explode(concat(
+        filter(coalesce(tokens(col("text")),
+          array().cast("array<string>")), _ =!= ""),
+        array(lit(null).cast("string")))).as("w"))
+    dw.join(vmap, Seq("w"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+      .agg(count(col("w")).as("n_words"),
+        coalesce(sum(col("n_sub")), lit(0L)).as("n_subwords"))
+      .select("doc_id", "n_words", "n_subwords")
   }
 
   /** Train `steps` merges over the corpus's word vocabulary.

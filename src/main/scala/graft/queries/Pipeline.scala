@@ -2045,20 +2045,19 @@ object Pipeline {
       |    AS n_sub
       |  FROM v$steps),
       |dw AS (
-      |  SELECT doc_id, w FROM (
-      |    SELECT doc_id,
-      |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-      |    FROM documents) WHERE w <> ''),
+      |  SELECT doc_id, unnest(list_concat(
+      |    coalesce(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |      x -> x <> ''), []::VARCHAR[]),
+      |    [CAST(NULL AS VARCHAR)])) AS w
+      |  FROM documents),
       |agg AS (
-      |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-      |    CAST(sum(vm.n_sub) AS BIGINT) AS n_subwords
-      |  FROM dw JOIN vm ON vm.w = dw.w
+      |  SELECT dw.doc_id, CAST(count(dw.w) AS BIGINT) AS n_words,
+      |    CAST(coalesce(sum(vm.n_sub), 0) AS BIGINT) AS n_subwords
+      |  FROM dw LEFT JOIN vm ON vm.w = dw.w
       |  GROUP BY dw.doc_id)
-      |SELECT d.doc_id,
-      |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
-      |  CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords
-      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |SELECT doc_id, n_words, n_subwords FROM agg
+      |ORDER BY doc_id""".stripMargin
 
   /** The IVF-PQ CTE chain on top of [[pqCodesCtes]] (needs its `e`,
     * `cb`, `codes`), ending in `irr (query_id, vec_id, l2_x1e6)`:
