@@ -269,12 +269,26 @@ object IvfIndex {
     * on the same centroid set the assignment — and any pair result
     * built on it — is equal row-for-row (IvfAssignJoinSpec).
     *
-    * Returns (vec_id, cell): up to nProbe rows per input vector. */
+    * Returns (vec_id, cell, keepCols*): up to nProbe rows per input
+    * vector. `keepCols` names narrow payload columns of `vectors` to
+    * carry through the assignment (the [[Packing.packChunks]] keepCols
+    * pattern): they ride the existing chunk join and per-vector merge
+    * — `first()` per vec_id, exact since the input has one row per
+    * vec_id — instead of costing a corpus-sized join-back afterwards.
+    * Keep them NARROW (ids, codes): each keep column is replicated
+    * across the ⌈k/chunkSize⌉ chunk rows before the merge, which is
+    * free for an 8-byte code and the reason the float-vector payload
+    * of [[buildCellIndex]] deliberately joins back instead. */
   def assignViaJoin(vectors: DataFrame, centroidsDf: DataFrame,
                     nProbe: Int, chunkSize: Int = 4096,
-                    kEstimate: Option[Long] = None): DataFrame = {
+                    kEstimate: Option[Long] = None,
+                    keepCols: Seq[String] = Nil): DataFrame = {
     require(nProbe >= 1, "nProbe must be positive")
     require(chunkSize >= 1, "chunkSize must be positive")
+    val reserved = Set("vec_id", "v", "chunk", "tops", "top", "cell")
+    val bad = keepCols.filter(reserved)
+    require(bad.isEmpty,
+      s"keepCols collide with assignment-internal names: ${bad.mkString(", ")}")
     // nChunks only needs an ORDER-OF-MAGNITUDE k: the grouping key is
     // pmod(hash(cid), nChunks), correct for any nChunks >= 1 — a wrong
     // estimate only unbalances chunk sizes. At 100 TB the quantizer is
@@ -296,13 +310,18 @@ object IvfIndex {
         .as("chunk"))
       .select("chunk")
     val perChunk = vectors.join(broadcast(chunks))
-      .select(col("vec_id"),
+      .select(col("vec_id") +:
         graft.functions.VectorFunctions.nearestCellsInChunk(
-          col("v"), col("chunk"), nProbe).as("tops"))
+          col("v"), col("chunk"), nProbe).as("tops") +:
+        keepCols.map(col): _*)
+    val topAgg = slice(array_sort(flatten(collect_list(col("tops")))),
+      1, nProbe).as("top")
+    val keepAggs = keepCols.map(c => first(col(c)).as(c))
     perChunk.groupBy("vec_id")
-      .agg(slice(array_sort(flatten(collect_list(col("tops")))), 1, nProbe)
-        .as("top"))
-      .select(col("vec_id"), explode(col("top").getField("cid")).as("cell"))
+      .agg(topAgg, keepAggs: _*)
+      .select(col("vec_id") +:
+        explode(col("top").getField("cid")).as("cell") +:
+        keepCols.map(col): _*)
   }
 
   /** Fixed-point Lloyd sufficient statistics for one refinement step

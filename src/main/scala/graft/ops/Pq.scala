@@ -230,14 +230,24 @@ object Pq {
     require(shortlist >= k, s"shortlist=$shortlist smaller than k=$k")
     val (cents, kCells) = IvfIndex.sampleQuantizerDf(embeddings, cellSize)
     val cb = sampleCodebooks(embeddings, cfg)
-    val base = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val placed = IvfIndex.assignViaJoin(base, cents, nProbe = 1,
-      kEstimate = Some(kCells))
-    val indexed = encode(embeddings, cb, cfg.bitsPerCode)
-      .join(placed, "vec_id")
-    serveFromIndexed(indexed, embeddings, cents, kCells, cb, cfg,
-      nProbe, nQueries, k, shortlist)
+    serveFromIndexed(placeAndEncode(embeddings, cents, kCells, cb, cfg),
+      embeddings, cents, kCells, cb, cfg, nProbe, nQueries, k, shortlist)
   }
+
+  /** One-pass (cell, vec_id, pq_code) placement: the code is computed
+    * in the SAME projection as the assignment input and rides the
+    * chunk join / per-vector merge as an assignViaJoin keepCol — no
+    * corpus-sized encode⋈assignment join, no extra exchange beyond
+    * the assignment's own merge. */
+  private[graft] def placeAndEncode(embeddings: DataFrame, cents: DataFrame,
+                             kCells: Long,
+                             cb: Array[Array[Array[Double]]],
+                             cfg: PqConfig): DataFrame =
+    IvfIndex.assignViaJoin(
+      embeddings.select(col("vec_id"), col("embedding").as("v"),
+        pqEncode(col("embedding"), cb, cfg.bitsPerCode).as("pq_code")),
+      cents, nProbe = 1, kEstimate = Some(kCells),
+      keepCols = Seq("pq_code"))
 
   /** Persist the IVF-PQ serving index: (cell, vec_id, pq_code)
     * BUCKETED BY cell — [[IvfIndex.buildCellIndex]]'s layout with the
@@ -251,11 +261,7 @@ object Pq {
                       nBuckets: Int): String = {
     val (cents, kCells) = IvfIndex.sampleQuantizerDf(embeddings, cellSize)
     val cb = sampleCodebooks(embeddings, cfg)
-    val base = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val placed = IvfIndex.assignViaJoin(base, cents, nProbe = 1,
-      kEstimate = Some(kCells))
-    val indexed = encode(embeddings, cb, cfg.bitsPerCode)
-      .join(placed, "vec_id")
+    val indexed = placeAndEncode(embeddings, cents, kCells, cb, cfg)
       .select("cell", "vec_id", "pq_code")
     graft.engine.TableStore.writeBucketed(indexed, warehouse, table,
       nBuckets, Seq("cell"))

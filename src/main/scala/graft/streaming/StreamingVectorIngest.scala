@@ -56,11 +56,9 @@ object StreamingVectorIngest {
                    cb: Array[Array[Array[Double]]],
                    cfg: Pq.PqConfig): Unit = {
     if (!batch.isEmpty) {
-      val base = batch.select(col("vec_id"), col("embedding").as("v"))
-      val placed = IvfIndex.assignViaJoin(base, cents, nProbe = 1,
-        kEstimate = Some(kCells))
-      val rows = Pq.encode(batch, cb, cfg.bitsPerCode)
-        .join(placed, "vec_id")
+      // one-pass place+encode: the code rides the assignment's own
+      // exchange as a keepCol — no batch-sized encode⋈assignment join
+      val rows = Pq.placeAndEncode(batch, cents, kCells, cb, cfg)
         .select(col("cell"), col("vec_id"), col("pq_code"))
         .withColumn("batch_id", lit(batchId))
       TableStore.overwritePartitions(rows, warehouse, stagingTable,

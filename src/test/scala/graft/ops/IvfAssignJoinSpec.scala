@@ -49,6 +49,31 @@ class IvfAssignJoinSpec extends SparkSpec {
     }
   }
 
+  test("assignViaJoin keepCols: payload rides the merge unchanged at " +
+    "single- and multi-chunk, assignment itself unaffected; reserved " +
+    "names rejected") {
+    val cents = IvfIndex.sampleCentroids(emb, 64)
+    val base = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("payload", col("vec_id") * 1000L + 7L)
+    for (chunkSize <- Seq(100000, 7)) {
+      val got = IvfIndex.assignViaJoin(base, asDf(cents), 2, chunkSize,
+          keepCols = Seq("payload"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.nonEmpty)
+      got.foreach { case (vid, _, p) =>
+        assert(p == vid * 1000L + 7L, s"payload mangled for vec $vid")
+      }
+      val withKeep = got.map(t => (t._1, t._2)).toSet
+      val without = IvfIndex.assignViaJoin(
+          base.select("vec_id", "v"), asDf(cents), 2, chunkSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(withKeep == without, "keepCols changed the assignment")
+    }
+    intercept[IllegalArgumentException](
+      IvfIndex.assignViaJoin(base, asDf(cents), 2,
+        keepCols = Seq("cell")))
+  }
+
   test("nearDupPairsViaJoin equals nearDupPairs pair-for-pair (ids AND " +
     "sim_x1e6) on the same centroid set") {
     val planted = Similarity.plantNearDups(emb, 50)
