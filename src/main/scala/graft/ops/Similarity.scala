@@ -129,6 +129,67 @@ object Similarity {
     if (minSim < LshCrossoverSim) allPairsBlocked(embeddings, minSim, nBlocks)
     else nearDupPairsLsh(embeddings, minSim, nPlanes, bitsPerBand, dim, seed)
 
+  /** The SemDeDup keep policy, paper-faithful (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): within each near-duplicate cluster keep the
+    * member CLOSEST TO THE CLUSTER CENTROID — not the lowest-id member
+    * the generic `keep` flag marks — because the centroid-nearest
+    * point is the cluster's least-noisy representative.
+    *
+    * Determinism at any parallelism (the q82 trick): a float centroid
+    * mean is a sum whose value depends on partial-aggregation order,
+    * so the mean is computed from FIXED-POINT member sums —
+    * floor(x·2^scaleBits + 0.5) summed as longs (order-independent),
+    * then ONE double division s/(n·2^scaleBits) per dimension (an
+    * exact-IEEE op both engines perform identically). Distances use
+    * the family's sequential-fold form
+    * ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩, floor-scaled before the (d, vec_id)
+    * tie-broken rank, so the whole policy replays in SQL.
+    *
+    * Plan shape: pairs → connected components (the shared RDD
+    * min-label kernel) → per-(cluster, dim) integer sums via
+    * posexplode with map-side combine (what moves is cluster-count·d,
+    * not corpus·d) → centroid arrays → ONE members⋈centroids join
+    * keyed on cluster_root → per-cluster rank. Singletons (and
+    * zero-norm vectors, which pair with nothing) are their own
+    * centroid at distance 0 and keep themselves.
+    *
+    * Output: (vec_id, cluster_root, d_x1e6, keep). */
+  def semDedupKeep(embeddings: DataFrame, minSim: Double,
+                   scaleBits: Int = 20): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    val pairs = nearDupPairs(embeddings, minSim)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val labels = Dedup.componentLabels(
+        embeddings.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("cluster_root"))
+    val members = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(labels, "vec_id")
+    val sums = members
+      .select(col("cluster_root"), posexplode(col("v")))
+      .select(col("cluster_root"), col("pos"),
+        floor(col("col") * lit(scale) + lit(0.5)).cast("long").as("q"))
+      .groupBy("cluster_root", "pos")
+      .agg(sum(col("q")).as("s_fp"), count(lit(1)).as("nm"))
+    val cents = sums.groupBy("cluster_root")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s_fp"),
+          col("nm")))),
+        x => x.getField("s_fp").cast("double") /
+          (x.getField("nm").cast("double") * lit(scale))).as("c"))
+    val scored = members.join(cents, "cluster_root")
+      .select(col("vec_id"), col("cluster_root"),
+        floor((dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("v"), col("c"))
+          + dot(col("c"), col("c"))) * 1e6)
+          .cast("long").as("d_x1e6"))
+    val w = Window.partitionBy("cluster_root")
+      .orderBy(col("d_x1e6"), col("vec_id"))
+    scored.withColumn("keep", row_number().over(w) === 1)
+      .select("vec_id", "cluster_root", "d_x1e6", "keep")
+  }
+
   /** Per-block byte budget for [[deriveNBlocks]]: two blocks of packed
     * double vectors at this size (~0.5 GiB) fit comfortably inside a
     * standard 4–8 GiB executor with headroom for the emitted pairs. */

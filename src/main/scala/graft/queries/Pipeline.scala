@@ -1684,6 +1684,18 @@ object Pipeline {
         docsF(s, dir), refSource = "src0", minDf = 2)
         .orderBy("doc_id")),
 
+    // ── the SemDeDup keep policy, paper-faithful: within each
+    // near-dup cluster keep the member CLOSEST TO THE CENTROID (the
+    // least-noisy representative), not the lowest id. The centroid
+    // mean is fixed-point-exact (q82's integer-sum trick — a float
+    // mean would be partial-aggregation-order-dependent and could
+    // never hash-match), distances the sequential-fold
+    // ⟨v,v⟩−2⟨v,c⟩+⟨c,c⟩ form, rank tie-broken on (d, vec_id).
+    Q("q96_semdedup_keep", "pipeline:dedup-embedding-semdedup",
+      Some(semDedupKeepOracle(minSim = 0.4, scaleBits = 20)),
+      (s, dir) => Similarity.semDedupKeep(t(s, dir, "embeddings"), 0.4)
+        .orderBy("vec_id")),
+
     // ── the CCNet OUTPUT stage: bucket-rated resampling of the
     // reference-scored corpus — keep the head, halve the middle, keep
     // 10% of the tail. Acceptance is the family's salted-hash per-row
@@ -2058,6 +2070,62 @@ object Pipeline {
       |  GROUP BY dw.doc_id)
       |SELECT doc_id, n_words, n_subwords FROM agg
       |ORDER BY doc_id""".stripMargin
+
+  /** q96: [[Similarity.semDedupKeep]] replayed — q46's recursive-reach
+    * component roots, per-(cluster, dim) fixed-point integer sums
+    * (order-independent, so hash-stable), the pos-ORDERED centroid
+    * list with the identical s/(n·2^b) division, and the
+    * sequential-fold distance under floor before the (d, vec_id)
+    * rank. */
+  private def semDedupKeepOracle(minSim: Double, scaleBits: Int): String = {
+    val scale = (1L << scaleBits).toDouble
+    s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |pairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $minSim),
+      |edges AS (SELECT va AS a, vb AS b FROM pairs
+      |          UNION SELECT vb, va FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e2.b FROM reach r JOIN edges e2 ON e2.a = r.y),
+      |roots AS (
+      |  SELECT d.vec_id,
+      |    CAST(least(d.vec_id, coalesce(min(r.y), d.vec_id)) AS BIGINT)
+      |      AS cluster_root
+      |  FROM embeddings d LEFT JOIN reach r ON r.x = d.vec_id
+      |  GROUP BY d.vec_id),
+      |mem AS (SELECT e.vec_id, r.cluster_root, e.v
+      |        FROM e JOIN roots r ON r.vec_id = e.vec_id),
+      |dims AS (
+      |  SELECT cluster_root, i.i AS pos,
+      |    CAST(floor(v[i.i] * $scale + 0.5) AS BIGINT) AS q
+      |  FROM mem CROSS JOIN range(1, 65) i(i)),
+      |sums AS (
+      |  SELECT cluster_root, pos, CAST(sum(q) AS BIGINT) AS s_fp,
+      |    CAST(count(*) AS BIGINT) AS nm
+      |  FROM dims GROUP BY 1, 2),
+      |cents AS (
+      |  SELECT cluster_root,
+      |    list_transform(list(struct_pack(p := pos, s := s_fp, n := nm)
+      |        ORDER BY pos),
+      |      x -> CAST(x.s AS DOUBLE) / (CAST(x.n AS DOUBLE) * $scale))
+      |      AS c
+      |  FROM sums GROUP BY cluster_root),
+      |scored AS (
+      |  SELECT m.vec_id, m.cluster_root,
+      |    CAST(floor((${dotSql("m.v", "m.v")}
+      |      - 2.0 * ${dotSql("m.v", "c.c")}
+      |      + ${dotSql("c.c", "c.c")}) * 1000000) AS BIGINT) AS d_x1e6
+      |  FROM mem m JOIN cents c ON c.cluster_root = m.cluster_root)
+      |SELECT vec_id, cluster_root, d_x1e6,
+      |  (row_number() OVER (PARTITION BY cluster_root
+      |    ORDER BY d_x1e6, vec_id) = 1) AS keep
+      |FROM scored ORDER BY vec_id""".stripMargin
+  }
 
   /** The IVF-PQ CTE chain on top of [[pqCodesCtes]] (needs its `e`,
     * `cb`, `codes`), ending in `irr (query_id, vec_id, l2_x1e6)`:
