@@ -104,4 +104,52 @@ object Packing {
       (lastChunk - firstChunk).as("chunks_crossed") +:
       keepCols.map(col): _*)
   }
+
+  /** Sliding-window document chunking — the RAG/retrieval-corpus prep
+    * that [[packChunks]]'s boundary-crossing concat deliberately is
+    * not: each document is cut into overlapping windows of `width`
+    * tokens every `stride` tokens (stride < width ⇒ overlap preserves
+    * context across cuts; the last windows may be short), document
+    * boundaries are never crossed, and every (doc_id, chunk_idx)
+    * addresses a stable retrievable unit.
+    *
+    * Map-only: the window list is built per row with higher-order
+    * functions and exploded — no shuffle anywhere, embarrassingly
+    * parallel at any corpus size. Chunk text is reconstructed from
+    * the NORMALIZED token stream ([[Hashing.tokens]]: trim, lower,
+    * split on whitespace — empty tokens dropped), which is what makes
+    * it byte-replayable cross-engine; a byte-offset variant over raw
+    * text would carry the raw whitespace instead.
+    *
+    * Output: (doc_id, chunk_idx 0-based, n_tokens, chunk_text); docs
+    * with no tokens emit no window. */
+  def slidingWindows(docs: DataFrame, width: Int,
+                     stride: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width], got $stride")
+    val toks = filter(coalesce(tokens(col("text")),
+      array().cast("array<string>")), _ =!= "")
+    val t = size(toks)
+    // windows start at 0, stride, 2·stride, ... while start < T
+    val nWin = when(t > 0,
+      floor((t - 1).cast("double") / lit(stride)).cast("int") + 1)
+      .otherwise(lit(0))
+    // sequence(0, -1) would run DESCENDING; greatest-guard the top end
+    // and drop the one empty window a token-less doc would emit
+    docs.select(col("doc_id"), toks.as("toks"), nWin.as("n_win"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), greatest(col("n_win") - 1, lit(0))),
+        i => {
+          val start = i * stride
+          val len = least(lit(width), size(col("toks")) - start)
+          struct(i.cast("long").as("chunk_idx"),
+            len.cast("long").as("n_tokens"),
+            array_join(slice(col("toks"), start + 1, len), " ")
+              .as("chunk_text"))
+        })).as("w"))
+      .filter(col("w.n_tokens") > 0)
+      .select(col("doc_id"), col("w.chunk_idx"), col("w.n_tokens"),
+        col("w.chunk_text"))
+  }
 }

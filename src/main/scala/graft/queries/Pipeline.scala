@@ -1684,6 +1684,17 @@ object Pipeline {
         docsF(s, dir), refSource = "src0", minDf = 2)
         .orderBy("doc_id")),
 
+    // ── RAG-corpus chunking: overlapping sliding token windows
+    // (width 32, stride 16 — 50% overlap), document boundaries never
+    // crossed, (doc_id, chunk_idx) a stable retrievable address.
+    // Map-only: window lists built per row and exploded, no shuffle
+    // at any corpus size — the complement of q49's boundary-crossing
+    // concat-and-chunk.
+    Q("q97_sliding_chunks", "pipeline:rag-chunking",
+      Some(slidingChunksOracle(width = 32, stride = 16)),
+      (s, dir) => Packing.slidingWindows(docsF(s, dir), width = 32,
+        stride = 16).orderBy("doc_id", "chunk_idx")),
+
     // ── the SemDeDup keep policy, paper-faithful: within each
     // near-dup cluster keep the member CLOSEST TO THE CENTROID (the
     // least-noisy representative), not the lowest id. The centroid
@@ -2070,6 +2081,30 @@ object Pipeline {
       |  GROUP BY dw.doc_id)
       |SELECT doc_id, n_words, n_subwords FROM agg
       |ORDER BY doc_id""".stripMargin
+
+  /** q97: [[Packing.slidingWindows]] replayed — the same normalized
+    * token stream, window count floor((T−1)/stride)+1, inclusive-end
+    * list_slice mirroring Spark's length-based slice, and the
+    * space-rejoined chunk text. Token-less docs emit no window
+    * (range(0, 0) is empty). */
+  private def slidingChunksOracle(width: Int, stride: Int): String =
+    s"""WITH tk AS (
+      |  SELECT doc_id,
+      |    coalesce(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |      x -> x <> ''), []::VARCHAR[]) AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, CASE WHEN len(toks) > 0
+      |      THEN CAST(floor((len(toks) - 1) / $stride.0) AS BIGINT) + 1
+      |      ELSE 0 END)) AS i
+      |  FROM tk)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(least($width, len(toks) - i * $stride) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(toks, i * $stride + 1,
+      |    least(i * $stride + $width, len(toks))), ' ') AS chunk_text
+      |FROM w ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** q96: [[Similarity.semDedupKeep]] replayed — q46's recursive-reach
     * component roots, per-(cluster, dim) fixed-point integer sums

@@ -310,6 +310,22 @@ class PipelineOpsSpec extends SparkSpec {
       (13L, 0L, 0L, 0L, "tail")))
   }
 
+  test("slidingWindows: overlap, short trailing windows, token-less " +
+    "docs emit nothing, stride guard") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val got = Packing.slidingWindows(docs, width = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 3L, "a b c"),
+      (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 1L, "e"),
+      (2L, 0L, 1L, "x")))
+    intercept[IllegalArgumentException](
+      Packing.slidingWindows(docs, width = 3, stride = 4))
+  }
+
   test("bucketSample: acceptance equals the h60 driver model exactly; " +
     "rate 1e6 keeps all, rate 0 / unmapped buckets drop all") {
     val docs = (0L until 200L).map(i =>
