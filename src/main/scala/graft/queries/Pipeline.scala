@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Tables, TableStore}
-import graft.ops.{Bpe, Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Covariance, Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Sampling, Sharding, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h60bSql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -1684,6 +1684,18 @@ object Pipeline {
         docsF(s, dir), refSource = "src0", minDf = 2)
         .orderBy("doc_id")),
 
+    // ── the distributed second-moment (Gram) matrix — the input to
+    // PCA / whitening / OPQ rotation: a typed Aggregator folds the
+    // d·(d+1)/2 upper triangle as FIXED-POINT longs per partition
+    // (order-independent, so hash-stable at any parallelism — the q82
+    // discipline) and the one exchange carries partitions·2080 longs
+    // at d=64, corpus size nowhere. The eigensolver stage stays a
+    // driver-side constant-size artifact (CovarianceSpec pins it).
+    Q("q98_gram_matrix", "pipeline:embedding-gram",
+      Some(gramMatrixOracle(scaleBits = 20)),
+      (s, dir) => Covariance.gramFixedPoint(t(s, dir, "embeddings"),
+        dim = 64, scaleBits = 20)),
+
     // ── RAG-corpus chunking: overlapping sliding token windows
     // (width 32, stride 16 — 50% overlap), document boundaries never
     // crossed, (doc_id, chunk_idx) a stable retrievable address.
@@ -2081,6 +2093,23 @@ object Pipeline {
       |  GROUP BY dw.doc_id)
       |SELECT doc_id, n_words, n_subwords FROM agg
       |ORDER BY doc_id""".stripMargin
+
+  /** q98: [[Covariance.gramFixedPoint]] replayed — per (vector,
+    * i<=j) the identical floor(v_i·v_j·2^b + 0.5) quantization, then
+    * integer sums (associative in any order, so however Spark's
+    * Aggregator partitioned the fold, the totals match). */
+  private def gramMatrixOracle(scaleBits: Int): String = {
+    val scale = (1L << scaleBits).toDouble
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cells AS (
+      |  SELECT i.i AS i, j.j AS j,
+      |    CAST(floor(v[i.i] * v[j.j] * $scale + 0.5) AS BIGINT) AS q
+      |  FROM e CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+      |  WHERE j.j >= i.i)
+      |SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+      |  CAST(count(*) AS BIGINT) AS n_vec, CAST(sum(q) AS BIGINT) AS s_fp
+      |FROM cells GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+  }
 
   /** q97: [[Packing.slidingWindows]] replayed — the same normalized
     * token stream, window count floor((T−1)/stride)+1, inclusive-end

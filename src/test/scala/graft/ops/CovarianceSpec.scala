@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The distributed Gram aggregator (exactness + partitioning
+  * invariance) and the driver-side Jacobi eigensolver contract. */
+class CovarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(31)
+  private val dim = 64
+  private val scaleBits = 20
+  private val scale = (1L << scaleBits).toDouble
+
+  private def corpus(n: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+
+  private def refGram(rows: Seq[(Long, Seq[Float])]): Map[(Int, Int), Long] = {
+    val acc = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      .withDefaultValue(0L)
+    rows.foreach { case (_, v) =>
+      val x = v.map(_.toDouble)
+      for (i <- 0 until dim; j <- i until dim)
+        acc((i, j)) += math.floor(x(i) * x(j) * scale + 0.5).toLong
+    }
+    acc.toMap
+  }
+
+  test("gramFixedPoint equals the driver reference and is invariant " +
+    "under repartitioning (order-independent integer sums)") {
+    val rows = corpus(150)
+    val expect = refGram(rows)
+    for (parts <- Seq(1, 8)) {
+      val got = Covariance.gramFixedPoint(
+          rows.toDF("vec_id", "embedding").repartition(parts),
+          dim, scaleBits)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      assert(got.size == dim * (dim + 1) / 2)
+      got.foreach { case ((i, j), (n, s)) =>
+        assert(n == 150L)
+        assert(s == expect((i, j)), s"entry ($i, $j) at parts=$parts")
+      }
+    }
+  }
+
+  test("eigenSym: reconstruction and orthonormality on a random " +
+    "symmetric matrix; eigenvalues descending") {
+    val d = 16
+    val a = Array.tabulate(d, d)((_, _) => rnd.nextDouble() * 2 - 1)
+    val sym = Array.tabulate(d, d)((i, j) => (a(i)(j) + a(j)(i)) / 2)
+    val (vals, vecs) = Covariance.eigenSym(sym)
+    assert(vals.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "eigenvalues not descending")
+    // reconstruction: A ≈ Σ λ_k q_k q_kᵀ
+    val rec = Array.ofDim[Double](d, d)
+    for (k <- 0 until d; i <- 0 until d; j <- 0 until d)
+      rec(i)(j) += vals(k) * vecs(k)(i) * vecs(k)(j)
+    var err = 0.0; var nrm = 0.0
+    for (i <- 0 until d; j <- 0 until d) {
+      err += math.pow(rec(i)(j) - sym(i)(j), 2)
+      nrm += sym(i)(j) * sym(i)(j)
+    }
+    assert(math.sqrt(err / nrm) < 1e-7, s"reconstruction error $err")
+    // orthonormality
+    for (k <- 0 until d; l <- 0 until d) {
+      val dot = (0 until d).map(i => vecs(k)(i) * vecs(l)(i)).sum
+      val want = if (k == l) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"q$k · q$l = $dot")
+    }
+  }
+
+  test("covarianceMatrix is translation-invariant to quantization " +
+    "tolerance (mean-free)") {
+    val rows = corpus(100)
+    val shifted = rows.map { case (id, v) => (id, v.map(x => x + 0.5f)) }
+    def cov(rs: Seq[(Long, Seq[Float])]): Array[Array[Double]] = {
+      val gram = Covariance.gramFixedPoint(rs.toDF("vec_id", "embedding"),
+          dim, scaleBits)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val mean = new Array[Long](dim)
+      rs.foreach { case (_, v) =>
+        for (i <- 0 until dim)
+          mean(i) += math.floor(v(i).toDouble * scale + 0.5).toLong
+      }
+      Covariance.covarianceMatrix(gram, dim, mean, rs.size, scaleBits)
+    }
+    val c0 = cov(rows); val c1 = cov(shifted)
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(math.abs(c0(i)(j) - c1(i)(j)) < 1e-3,
+        s"covariance moved under translation at ($i, $j)")
+  }
+}
