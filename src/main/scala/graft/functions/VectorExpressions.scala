@@ -481,6 +481,89 @@ case class NearestCellsChunkExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Dense matrix–vector product y = R·x with the matrix as a plan
+  * constant — the kernel that applies a learned linear preprocessing
+  * (PCA projection, whitening, an OPQ rotation) to an embedding
+  * column in one codegen pass. R is d_out×d_in doubles (64×64 = 32 KB
+  * — constant-size plan state at any corpus scale, the PQ-codebook
+  * argument). Row dots are the family's 0.0-init ascending folds.
+  * Null vector yields null; short vectors zero-pad. */
+case class MatVecExpr(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(matrix.nonEmpty && matrix.forall(_.length == matrix(0).length),
+    "matrix must be rectangular and non-empty")
+  private val dOut = matrix.length
+  private val dIn = matrix(0).length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mat_vec expects array<float|double>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dIn)
+    val x = new Array[Double](dIn)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val y = new Array[Double](dOut)
+    var r = 0
+    while (r < dOut) {
+      val row = matrix(r)
+      var acc = 0.0
+      var j = 0
+      while (j < dIn) { acc += row(j) * x(j); j += 1 }
+      y(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("matVec", matrix, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dIn);
+         |double[] $x = new double[$dIn];
+         |for (int $i = 0; $i < $n; $i++) { $x[$i] = (double) $v.$get($i); }
+         |double[] $y = new double[$dOut];
+         |for (int $r = 0; $r < $dOut; $r++) {
+         |  double[] $row = $matRef[$r];
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $dIn; $j++) { $acc += $row[$j] * $x[$j]; }
+         |  $y[$r] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($y);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused product-quantization encoder: one vector → one packed code
   * word, all m subspaces in a single kernel.
   *
@@ -816,6 +899,10 @@ object VectorFunctions {
   def nearestCellsInChunk(v: Column, chunk: Column, nProbe: Int): Column =
     ColumnBridge.column(NearestCellsChunkExpr(
       ColumnBridge.expression(v), ColumnBridge.expression(chunk), nProbe))
+
+  /** Column API for [[MatVecExpr]]. */
+  def matVec(v: Column, matrix: Array[Array[Double]]): Column =
+    ColumnBridge.column(MatVecExpr(ColumnBridge.expression(v), matrix))
 
   /** Column API for [[PqEncodeExpr]]. */
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]],

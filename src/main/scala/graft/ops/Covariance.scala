@@ -163,6 +163,60 @@ object Covariance {
       order.map(i => (0 until d).map(k => q(k)(i)).toArray).toArray)
   }
 
+  /** Fixed-point per-dimension sums (for the mean): one row of dim
+    * longs — same exactness discipline as [[gramFixedPoint]]. */
+  def meanFixedPoint(embeddings: DataFrame, dim: Int = 64,
+                     scaleBits: Int = 20): Array[Long] = {
+    val scale = (1L << scaleBits).toDouble
+    val sums = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(floor(col("x").cast("double") * scale + 0.5).cast("long"))
+        .as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Array.tabulate(dim)(i => sums.getOrElse(i, 0L))
+  }
+
+  /** OPQ-style rotation via eigenvalue allocation (the non-parametric
+    * OPQ initialization of Ge et al. 2013): PCA eigenvectors are dealt
+    * ROUND-ROBIN by descending eigenvalue across the m subspaces, so
+    * every subspace receives a comparable share of the corpus variance
+    * — plain PCA ordering would pile all the energy into the first
+    * subspace and starve the rest, which is exactly what caps PQ
+    * recall on anisotropic data. Returns the d×d rotation R (rows =
+    * reordered eigenvectors): apply `matVec(embedding, R)` before
+    * [[Pq]] coding; R is orthonormal, so exact L2 geometry — and the
+    * exact top-k — is preserved.
+    *
+    * Driver cost: one [[gramFixedPoint]] pass + one
+    * [[meanFixedPoint]] pass + a 64×64 Jacobi — all bounded state.
+    * The rotation is a learned artifact (like trained codebooks): it
+    * pins to the corpus it was derived from and has no SQL twin, so
+    * rotated-PQ paths are spec-verified rather than oracle rows. */
+  def pcaRotationRR(embeddings: DataFrame, m: Int, dim: Int = 64,
+                    scaleBits: Int = 20): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val n = embeddings.count()
+    require(n > 0, "empty corpus")
+    val gram = gramFixedPoint(embeddings, dim, scaleBits)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val mean = meanFixedPoint(embeddings, dim, scaleBits)
+    val cov = covarianceMatrix(gram, dim, mean, n, scaleBits)
+    val (_, vecs) = eigenSym(cov)   // rows = eigenvectors, descending
+    val dsub = dim / m
+    // deal eigvec k (variance rank k) to subspace k % m; subspace j's
+    // rows are its dealt vectors in rank order
+    val order = Array.ofDim[Int](dim)
+    val counts = new Array[Int](m)
+    for (k <- 0 until dim) {
+      val j = k % m
+      order(j * dsub + counts(j)) = k
+      counts(j) += 1
+    }
+    order.map(vecs(_))
+  }
+
   /** The dense mean-free covariance from [[gramFixedPoint]] rows plus
     * the fixed-point mean (for PCA) — driver-side assembly of the
     * constant-size artifact: cov = G/n − μμᵀ with G and μ both exact

@@ -71,6 +71,47 @@ class CovarianceSpec extends SparkSpec {
     }
   }
 
+  test("OPQ rotation: orthonormal, preserves exact L2 top-k, and lifts " +
+    "ADC recall on anisotropic data") {
+    // anisotropic corpus: 8 dominant directions at 10x the energy of
+    // the remaining 56 — the regime where un-rotated subspaces starve
+    val n = 400
+    val rows = (0 until n).map { id =>
+      val v = Array.tabulate(dim)(i =>
+        (rnd.nextGaussian() * (if (i % 8 == 0) 10.0 else 1.0)).toFloat)
+      (id.toLong, v.toSeq)
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val cfg = Pq.PqConfig(m = 8, ksub = 16, bitsPerCode = 4, dim = dim)
+    val r = Covariance.pcaRotationRR(d, cfg.m, dim, scaleBits)
+    // orthonormality of the learned rotation
+    for (k <- 0 until dim; l <- k until dim) {
+      val dot = (0 until dim).map(i => r(k)(i) * r(l)(i)).sum
+      val want = if (k == l) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"R row $k · row $l = $dot")
+    }
+    val rotated = d.select(col("vec_id"),
+      graft.functions.VectorFunctions.matVec(col("embedding"), r)
+        .as("embedding"))
+    // rotation preserves exact L2 geometry: same top-k hit counts
+    val exRaw = Pq.exactL2TopK(d, 20, 5)
+      .select("query_id", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exRot = Pq.exactL2TopK(rotated, 20, 5)
+      .select("query_id", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert((exRaw & exRot).size >= (exRaw.size * 9) / 10,
+      "orthonormal rotation should preserve nearly all exact top-k " +
+        "(float noise may flip near-ties)")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      Pq.adcRecall(df, cfg, 20, 5).agg(sum(col("adc_hits")))
+        .collect()(0).getLong(0)
+    val raw = recall(d)
+    val rot = recall(rotated)
+    assert(rot > raw,
+      s"rotated ADC recall $rot should beat raw $raw on anisotropic data")
+  }
+
   test("covarianceMatrix is translation-invariant to quantization " +
     "tolerance (mean-free)") {
     val rows = corpus(100)
