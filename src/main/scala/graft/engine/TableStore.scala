@@ -210,4 +210,56 @@ object TableStore {
     }
     if (hadOld) fs.delete(bak, true)
   }
+
+  /** JSONL delivery sink — the format training and annotation
+    * pipelines actually ingest. Rows serialize to one JSON object per
+    * line; when `shardBy` names an integer column (e.g. the shard of
+    * [[graft.ops.Sharding.epochShards]]), the table writes partitioned
+    * as `shard=<k>/` with rows ordered WITHIN each shard file by
+    * `orderBy` — the trainer-facing contract that a (shard, position)
+    * read order is reproducible. Atomic via the same temp-and-swap as
+    * [[write]]: readers never observe a half-written delivery. Uses
+    * `toJSON` (one pass, no driver collect); at 100 TB the write is
+    * embarrassingly parallel and each shard's local sort is bounded by
+    * its own rows. */
+  def writeJsonl(df: DataFrame, warehouse: String, name: String,
+                 shardBy: Option[String] = None,
+                 orderBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$warehouse/.tmp_$name")
+    val bak = new Path(s"$warehouse/.bak_$name")
+    val dst = new Path(tablePath(warehouse, name))
+    shardBy match {
+      case Some(s) =>
+        val sorted =
+          if (orderBy.nonEmpty)
+            df.repartition(org.apache.spark.sql.functions.col(s))
+              .sortWithinPartitions(s, orderBy: _*)
+          else df.repartition(org.apache.spark.sql.functions.col(s))
+        // toJSON would inline the shard column into every line; keep it
+        // as the partition dir only
+        val jsonCol = org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(
+            sorted.columns.filter(_ != s)
+              .map(org.apache.spark.sql.functions.col).toSeq: _*))
+        sorted.select(org.apache.spark.sql.functions.col(s),
+            jsonCol.as("value"))
+          .write.partitionBy(s).mode("overwrite").text(tmp.toString)
+      case None =>
+        val sorted = if (orderBy.nonEmpty)
+          df.sortWithinPartitions(orderBy.head, orderBy.tail: _*) else df
+        sorted.toJSON.write.mode("overwrite").text(tmp.toString)
+    }
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"could not move $dst aside to $bak")
+    if (!fs.rename(tmp, dst)) {
+      if (hadOld) fs.rename(bak, dst)
+      throw new java.io.IOException(s"could not swap $tmp into $dst")
+    }
+    if (hadOld) fs.delete(bak, true)
+  }
 }

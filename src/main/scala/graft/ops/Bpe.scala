@@ -116,7 +116,19 @@ object Bpe {
   /** Train `steps` merges over the corpus's word vocabulary.
     * Returns the merge table: (step 1-based, pair "a b", total
     * weighted count) — the trained artifact, in merge order. Stops
-    * early if no pair remains (tiny corpora). */
+    * early if no pair remains (tiny corpora).
+    *
+    * Step-count honesty: each merge is one distributed aggregate over
+    * the cached vocabulary — ~1.5 s of fixed job overhead per step at
+    * local[32] (ProbeText). Fine for the tens-to-hundreds of merges
+    * the oracle-checked q92 exercises; a production 30k-merge
+    * vocabulary wants the standard batching refinement (apply the
+    * top-B pairwise-DISJOINT pairs per round — symbols untouched by
+    * one accepted merge cannot have their counts invalidated by it),
+    * which cuts rounds ~B-fold at slightly different (documented,
+    * still deterministic) greedy semantics. The per-step DATA cost is
+    * already vocabulary-bounded either way; it is only the scheduler
+    * round-trips that batching amortizes. */
   def trainMerges(docs: DataFrame, steps: Int): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val spark = docs.sparkSession
