@@ -158,8 +158,22 @@ object Similarity {
   def semDedupKeep(embeddings: DataFrame, minSim: Double,
                    scaleBits: Int = 20): DataFrame = {
     val scale = (1L << scaleBits).toDouble
-    val pairs = nearDupPairs(embeddings, minSim)
-      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    // above the crossover use the AUTO-sized LSH path: the default
+    // fixed 2-bit bands admit nearly every pair once the corpus grows
+    // (ProbeSemDedup measured 114 s at 20k vectors / timeout at 60k
+    // against ~30 s with the sizing law — the exact failure mode
+    // lshBandConfig exists to prevent). This buys the q69/q76
+    // production trade: candidates are exactly verified, and the law
+    // sizes bands so near-clones (cos >= 0.99) are recovered with
+    // miss <= 1e-4, while borderline organic pairs near the threshold
+    // carry the documented higher miss (ProbeSemDedup: 9 of ~20k
+    // clusters differ at x10 vs the exhaustive 2-bit bands). Below
+    // the crossover (q96's registered 0.4) the blocked kernel is
+    // exhaustive and the oracle replay exact.
+    val rawPairs =
+      if (minSim >= LshCrossoverSim) nearDupPairsLshAuto(embeddings, minSim)
+      else nearDupPairs(embeddings, minSim)
+    val pairs = rawPairs.select(col("vec_a").as("a"), col("vec_b").as("b"))
     val labels = Dedup.componentLabels(
         embeddings.select(col("vec_id").as("id")), pairs)
       .select(col("id").as("vec_id"), col("cluster_root"))
