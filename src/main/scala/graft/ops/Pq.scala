@@ -74,7 +74,12 @@ object Pq {
                       cfg: PqConfig): Array[Array[Array[Double]]] = {
     val rows = embeddings.select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(cfg.ksub).collect()
-    require(rows.nonEmpty, "empty corpus: no codebook sample")
+    // a short sample would silently desynchronize from the cfg.ksub
+    // LUT stride every downstream kernel threads (pqAdcScore indexes
+    // j·ksub + c) — fail loud instead of reading the wrong entries
+    require(rows.length == cfg.ksub,
+      s"corpus has only ${rows.length} vectors; PQ codebook sampling " +
+        s"needs at least ksub=${cfg.ksub} (shrink cfg.ksub to fit)")
     val samples: Array[Array[Double]] = rows
       .sortBy(_.getLong(0))
       .map(_.getSeq[Any](1).map {

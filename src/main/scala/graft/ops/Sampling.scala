@@ -95,15 +95,6 @@ object Sampling {
     withMix(docs, exponent, byCol)
       .select(col("doc_id"), col(byCol), col("rate_ppm"))
 
-  /** [[temperatureMix]]'s acceptance appended to the input row (every
-    * input column retained, plus `rate_ppm`; accepted rows only) —
-    * the composition form, mirroring [[withSplit]]: a pipeline that
-    * continues past the mix (q77 packs the survivors) needs the text,
-    * and re-attaching it by doc_id would shuffle the corpus for rows
-    * this stage already held. The group column leads the output (join
-    * key); input must not already carry `rate_ppm`. Plan: tiny
-    * per-group agg + 1-row min + broadcast thresholds — the corpus is
-    * never shuffled, acceptance is a pushed per-row predicate. */
   /** Fixed-rate resampling by a categorical quality bucket — the
     * CCNet output stage: keep the reference-like head, thin the
     * middle, drop most of the tail. `ratesPpm` maps bucket value →
@@ -130,6 +121,15 @@ object Sampling {
         lit(1000000L)) < col("rate_ppm"))
   }
 
+  /** [[temperatureMix]]'s acceptance appended to the input row (every
+    * input column retained, plus `rate_ppm`; accepted rows only) —
+    * the composition form, mirroring [[withSplit]]: a pipeline that
+    * continues past the mix (q77 packs the survivors) needs the text,
+    * and re-attaching it by doc_id would shuffle the corpus for rows
+    * this stage already held. The group column leads the output (join
+    * key); input must not already carry `rate_ppm`. Plan: tiny
+    * per-group agg + 1-row min + broadcast thresholds — the corpus is
+    * never shuffled, acceptance is a pushed per-row predicate. */
   def withMix(docs: DataFrame, exponent: Double = 0.5,
               byCol: String = "lang"): DataFrame = {
     require(exponent >= 0 && exponent <= 1, s"bad exponent $exponent")

@@ -699,6 +699,11 @@ object Pipeline {
       (s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"))
         .orderBy("source", "lang")),
 
+    // q39 — TOMBSTONE: never registered. A round-5 numbering gap (the
+    // id was skipped when q40 landed), not a retired query; kept
+    // unassigned so every historical CORRECTNESS_r*.json id stays
+    // comparable. New queries continue from the top of the id space.
+
     // ── incremental dedup vs historical corpus (bloom prefilter +
     // exact rescue of false positives). The oracle expresses the final
     // SEMANTICS (exact anti-join on text): the bloom path must be

@@ -143,6 +143,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(om.exists(_ + shown == 151), s"shown=$shown om=$om: $line")
   }
 
+  test("the headline value is reprobe-settled: contended raw runs are " +
+    "replaced by the fresh-session reprobe in the `value` sum") {
+    // BENCH_r11's q96: runs [27.7, 127.5] in a loaded session, fresh
+    // reprobe 4.2 — the headline must charge the settled 4.2, not the
+    // contended raw minimum. `best` folds the reprobe into the same
+    // min the per-query dict reads, so value and the dict can never
+    // disagree about a reprobed query.
+    val reprobed = ("q96_semdedup_keep",
+      Bench.Probe(27.0, 127.0, Some(4.2), hist = Some(2.9)))
+    assert(reprobed._2.best == 4.2,
+      "a settled reprobe must replace the contended raw min")
+    val line = Bench.compactLine(Seq(reprobed), "/sf")
+    assert(line.contains(""""value":4.20"""), line)
+    assert(line.contains(""""q96_semdedup_keep":4.2"""), line)
+    // history still only feeds best_total, never value: the
+    // value/best_total gap stays the in-band contention signal
+    assert(line.contains(""""best_total":2.90"""), line)
+  }
+
   test("best_total sums per-query best-knowns: a contended query " +
     "contributes its history minimum, never its contended raw") {
     // BENCH_r10's q24: recorded 7.2 s where every fresh-session
