@@ -6,6 +6,9 @@ set -e
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 OUT=target/verify_out
+# narrow both Verify and check.py to names containing $2 (they honor
+# the same env var), e.g. `scripts/verify.sh /root/testdata/sf0.01 bpe`
+if [ -n "${2:-}" ]; then export SPARK_GRAFT_VERIFY_ONLY="$2"; fi
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
 --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
 --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \

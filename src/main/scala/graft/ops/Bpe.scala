@@ -32,16 +32,20 @@ import Hashing.tokens
   * Symbol encoding and determinism (oracle-replayable): a word's
   * symbol sequence is kept as the string " c h a r s " (symbols
   * space-joined, one leading/trailing space). Merging pair (a, b)
-  * is `replace(s, " a b ", " ab ")` — both Spark and DuckDB replace
-  * literal occurrences LEFT-TO-RIGHT without overlap, which is
-  * precisely BPE's greedy left-to-right merge of overlapping
-  * occurrences ("a a a" → "aa a", not "a aa"). Pair counts weight
-  * every adjacent occurrence (the classic count; the count/merge
-  * overlap mismatch is part of the original algorithm). Argmax
-  * tie-break: highest total, then lexicographically smallest pair —
-  * a total order, so the merge sequence is unique. Symbols never
-  * contain spaces (they are concatenations of non-space characters),
-  * so the spaced encoding is unambiguous.
+  * is `replace(s, " a b ", " ab ")` applied TWICE ([[mergePair]]) —
+  * both Spark and DuckDB replace literal occurrences left-to-right
+  * without overlap, which handles overlapping repeats greedily
+  * ("a a a" → "aa a", not "a aa") but misses the second of two
+  * back-to-back DISJOINT occurrences (the shared delimiter space:
+  * " a b a b " → " ab a b "); the second pass provably reaches the
+  * greedy fixpoint (see [[mergePair]]), so the rewrite is exact
+  * greedy BPE per Sennrich et al. Pair counts weight every adjacent
+  * occurrence (the classic count; the count/merge overlap mismatch
+  * is part of the original algorithm). Argmax tie-break: highest
+  * total, then lexicographically smallest pair — a total order, so
+  * the merge sequence is unique. Symbols never contain spaces (they
+  * are concatenations of non-space characters), so the spaced
+  * encoding is unambiguous.
   */
 object Bpe {
 
@@ -71,6 +75,29 @@ object Bpe {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** One BPE merge of pair (a, b) applied to a spaced encoding at the
+    * greedy-left-to-right FIXPOINT. A single literal `replace` scans
+    * its input, so of two back-to-back disjoint occurrences only the
+    * first matches — the match consumes the delimiter space the
+    * second needs (" a b a b " → " ab a b ", where reference BPE
+    * yields " ab ab "). Two passes are always enough: (1) a skipped
+    * occurrence regains its leading space in the output, because the
+    * replacement " ab " ends with one; (2) two skipped occurrences
+    * are never adjacent — a skipped occurrence's intact trailing
+    * space gives the NEXT occurrence its leading space, so that one
+    * matches; (3) merging (a, b) can never create a new " a b "
+    * occurrence, since the fused symbol "ab" differs from both "a"
+    * and "b" and carries no internal space. Hence after pass one all
+    * survivors sit space-isolated, pass two merges them all, and the
+    * result is the exact greedy merge of Sennrich et al.'s trainer.
+    * DuckDB's `replace` has the same non-overlapping left-to-right
+    * scan, so the oracle nests the same two calls. */
+  private[ops] def mergePair(s: Column, a: String, b: String): Column = {
+    def once(c: Column): Column =
+      call_function("replace", c, lit(s" $a $b "), lit(s" $a$b "))
+    once(once(s))
+  }
+
   /** Apply a trained merge list to the corpus and count subwords per
     * document — the tokenizer APPLIED, closing the train→tokenize
     * loop (and the number a data pipeline actually bills by: tokens
@@ -80,8 +107,8 @@ object Bpe {
     * order — bounded state (the merge list IS the tokenizer; real
     * vocabularies are ~30k entries). Applying them is a fold of
     * literal replaces over the VOCABULARY's spaced encodings (the
-    * same left-to-right-greedy semantics as training — one map-only
-    * projection with `steps` replaces fused by codegen), after which
+    * same fixpoint [[mergePair]] semantics as training — one map-only
+    * projection with 2·steps replaces fused by codegen), after which
     * each word's subword count joins back to the corpus word stream
     * and sums per document. Two exchanges total at any corpus size:
     * the vocab groupBy and the per-doc sum; the merge application
@@ -92,7 +119,7 @@ object Bpe {
     val vocab = wordVocab(docs)
     val merged = merges.foldLeft(spacedChars(col("w"))) { (s, pair) =>
       val Array(a, b) = pair.split(" ", 2)
-      call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+      mergePair(s, a, b)
     }
     val vmap = vocab.select(col("w"),
       size(split(trim(merged), " ")).cast("long").as("n_sub"))
@@ -152,9 +179,7 @@ object Bpe {
         merges += ((step, pair, total))
         val Array(a, b) = pair.split(" ", 2)
         val next = vocab.select(
-          call_function("replace", col("s"),
-            lit(s" $a $b "), lit(s" $a$b ")).as("s"),
-          col("cnt"))
+          mergePair(col("s"), a, b).as("s"), col("cnt"))
         next.cache()
         next.count() // materialize before dropping the parent cache
         vocab.unpersist()

@@ -2029,9 +2029,10 @@ object Pipeline {
   /** q92: [[graft.ops.Bpe.trainMerges]] replayed — the driver loop
     * unrolled into `steps` CTE stages. Each stage: adjacent-pair
     * counts over the spaced symbol encoding, the (total DESC, pair)
-    * argmax via ORDER BY LIMIT 1, and the literal left-to-right
-    * `replace` merge both engines implement identically (which IS
-    * BPE's greedy overlap rule). Early exhaustion matches by
+    * argmax via ORDER BY LIMIT 1, and the DOUBLE literal `replace`
+    * merge both engines implement identically (two non-overlapping
+    * left-to-right passes reach the greedy-BPE fixpoint — see
+    * [[graft.ops.Bpe.mergePair]]). Early exhaustion matches by
     * construction: an empty argmax CTE contributes no output row and
     * empties every later stage through its cross join. */
   /** The shared BPE CTE chain: wv (word vocab), v0 (spaced chars) and
@@ -2054,11 +2055,13 @@ object Pipeline {
         |    FROM (SELECT regexp_split_to_array(trim(s), ' ') AS sy, cnt
         |          FROM v${i - 1}))
         |  GROUP BY pair),
-        |b$i AS (SELECT pair, total FROM p$i ORDER BY total DESC, pair LIMIT 1),
+        |b$i AS (
+        |  SELECT pair, total,
+        |    ' ' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || ' ' AS pat,
+        |    ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ' AS rep
+        |  FROM p$i ORDER BY total DESC, pair LIMIT 1),
         |v$i AS (
-        |  SELECT v.w, replace(v.s,
-        |      ' ' || split_part(b.pair, ' ', 1) || ' ' || split_part(b.pair, ' ', 2) || ' ',
-        |      ' ' || split_part(b.pair, ' ', 1) || split_part(b.pair, ' ', 2) || ' ') AS s,
+        |  SELECT v.w, replace(replace(v.s, b.pat, b.rep), b.pat, b.rep) AS s,
         |    v.cnt
         |  FROM v${i - 1} v CROSS JOIN b$i b)""".stripMargin
     }.mkString(",\n")

@@ -61,6 +61,35 @@ class BpeSpec extends SparkSpec {
     assert(full.toSeq == Seq((0L, 3L, 3L), (1L, 0L, 0L)))
   }
 
+  test("back-to-back disjoint occurrences merge at the fixpoint: " +
+    "'abab' -> [ab, ab], 'murmur' -> [mur, mur]") {
+    // the single-replace bug: " a b a b " -> " ab a b " (the first
+    // match consumes the second's leading delimiter space). mergePair's
+    // second pass must finish the job: reference BPE yields [ab, ab].
+    val two = Bpe.subwordCounts(docs("abab"), Seq("a b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(two.toSeq == Seq((0L, 1L, 2L)))
+    // three merges m u -> mu, mu r -> mur; "murmur" must land at
+    // exactly [mur, mur] (2 subwords), not [mur, mu, r]
+    val mur = Bpe.subwordCounts(docs("murmur"), Seq("m u", "mu r"))
+      .collect().map(r => (r.getLong(2)))
+    assert(mur.toSeq == Seq(2L))
+    // and training sees the post-fixpoint pair statistics: after
+    // merging 'a b' in {abab: 1}, the remaining pair is 'ab ab'
+    // (count 1), NOT 'ab a'/'a b' from a half-merged encoding
+    val got = Bpe.trainMerges(docs("abab"), steps = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "a b", 2L), (2, "ab ab", 1L)))
+  }
+
+  test("a run of five alternating symbols reaches the greedy fixpoint " +
+    "in mergePair's two passes: 'ababababab' -> [ab x5]") {
+    val n = Bpe.subwordCounts(docs("ababababab"), Seq("a b"))
+      .collect().map(_.getLong(2))
+    assert(n.toSeq == Seq(5L))
+  }
+
   test("spacedChars and adjacentPairs helpers") {
     val df = Seq("abc", "x").toDF("w")
       .select(Bpe.spacedChars(col("w")).as("s"))
