@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused BPE tokenizer application: spaced-encode one word (optional)
+  * and apply a whole trained merge list with the exact greedy
+  * left-to-right scan of Sennrich et al.'s trainer.
+  *
+  * Why a kernel and not a fold of `replace` Columns (the original
+  * [[graft.ops.Bpe.subwordCounts]] shape):
+  *
+  *  1. '''Scale.''' Each merge as a Catalyst StringReplace node makes
+  *     a production tokenizer's ~30k merges a 30k+-deep expression
+  *     tree: analyzer/transform recursion walks every node per rule,
+  *     and the single generated method for one fused projection blows
+  *     Janino's 64 KB limit, dropping the stage to interpreted eval.
+  *     Here the merge list is DATA (two token arrays riding along as
+  *     codegen reference objects); the generated code is one static
+  *     call whatever the merge count.
+  *  2. '''Semantics.''' A literal `replace(s, " a b ", " ab ")` scans
+  *     non-overlapping occurrences and CONSUMES the delimiter spaces,
+  *     so it both misses the second of two back-to-back disjoint
+  *     occurrences (" a b a b " → " ab a b ") and mispairs self-pair
+  *     runs (" a a a a a " → " aa a aa " where reference BPE pairs
+  *     greedily adjacent: " aa aa a "). The scan here IS the
+  *     reference merge — walk tokens left to right, fuse (a, b) when
+  *     both match, skip past what was fused — so downstream merge
+  *     statistics match a standard BPE trainer's.
+  *  3. '''Codegen health.''' `spacedChars` is built on `transform`
+  *     (a HigherOrderFunction, i.e. CodegenFallback); any projection
+  *     containing it is ejected from whole-stage codegen. The kernel
+  *     owns the spacing too (a Unicode code-point walk, identical to
+  *     `substr(w, i, 1)` and DuckDB's `w[i]`), keeping the stage
+  *     fused.
+  *
+  * Interpreted eval and codegen share the same JVM method. Null input
+  * produces null. The DuckDB oracle replays the same greedy scan with
+  * a windowed gaps-and-islands selection (see the q92/q93 CTEs in
+  * `graft.queries.Pipeline`): for a≠b, occurrence positions are never
+  * adjacent and every occurrence merges; for a=b, greedy keeps every
+  * other occurrence within each island of consecutive positions.
+  */
+case class BpeApplyExpr(child: Expression,
+                        merges: Array[String],
+                        spaceInput: Boolean)
+    extends UnaryExpression {
+
+  override def prettyName: String =
+    if (spaceInput) "bpe_encode" else "bpe_merge_spaced"
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  // the merge list split once into left/right token arrays; the
+  // arrays (not the expression) ride into generated code as
+  // reference objects
+  @transient private lazy val (lefts, rights) = BpeApplyExpr.split(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeApplyExpr.run(input.asInstanceOf[UTF8String], lefts, rights,
+      spaceInput)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.BpeApplyExpr.run(
+      |  $c, $lRef, $rRef, $spaceInput);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeApplyExpr {
+  private[functions] def split(merges: Array[String]): (Array[String], Array[String]) = {
+    val l = new Array[String](merges.length)
+    val r = new Array[String](merges.length)
+    var i = 0
+    while (i < merges.length) {
+      val pair = merges(i)
+      val sp = pair.indexOf(' ')
+      require(sp > 0 && sp < pair.length - 1, s"bad merge pair '$pair'")
+      l(i) = pair.substring(0, sp)
+      r(i) = pair.substring(sp + 1)
+      i += 1
+    }
+    (l, r)
+  }
+
+  /** The shared eval/codegen kernel. `spaceInput=true`: `input` is a
+    * raw word, symbol-split per Unicode code point first;
+    * `spaceInput=false`: `input` is already a spaced encoding
+    * " t o k s ". Output is the spaced encoding after every merge's
+    * greedy left-to-right scan. */
+  def run(input: UTF8String, lefts: Array[String], rights: Array[String],
+          spaceInput: Boolean): UTF8String = {
+    val s = input.toString
+    // tokenize
+    var toks = new java.util.ArrayList[String]()
+    if (spaceInput) {
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val n = Character.charCount(cp)
+        toks.add(s.substring(i, i + n))
+        i += n
+      }
+    } else {
+      val t = s.trim
+      if (t.nonEmpty) {
+        var from = 0
+        var sp = t.indexOf(' ')
+        while (sp >= 0) {
+          toks.add(t.substring(from, sp))
+          from = sp + 1
+          sp = t.indexOf(' ', from)
+        }
+        toks.add(t.substring(from))
+      }
+    }
+    // greedy scan per merge, in training order
+    var m = 0
+    while (m < lefts.length) {
+      val a = lefts(m)
+      val b = rights(m)
+      val n = toks.size
+      if (n > 1) {
+        val out = new java.util.ArrayList[String](n)
+        var i = 0
+        while (i < n) {
+          if (i + 1 < n && toks.get(i) == a && toks.get(i + 1) == b) {
+            out.add(a + b)
+            i += 2
+          } else {
+            out.add(toks.get(i))
+            i += 1
+          }
+        }
+        toks = out
+      }
+      m += 1
+    }
+    // re-space
+    val sb = new java.lang.StringBuilder(s.length + toks.size + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < toks.size) {
+      sb.append(toks.get(i)).append(' ')
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+object TextFunctions {
+  /** Column API for [[BpeApplyExpr]] over a raw word: spaced-encode
+    * `word`, then apply `merges` ("a b" pairs in training order). */
+  def bpeEncode(word: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(BpeApplyExpr(
+      ColumnBridge.expression(word), merges.toArray, spaceInput = true))
+
+  /** Column API for [[BpeApplyExpr]] over an existing spaced
+    * encoding — the trainer's per-step rewrite. */
+  def bpeMergeSpaced(spaced: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(BpeApplyExpr(
+      ColumnBridge.expression(spaced), merges.toArray, spaceInput = false))
+}

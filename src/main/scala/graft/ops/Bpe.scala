@@ -31,15 +31,16 @@ import Hashing.tokens
   *
   * Symbol encoding and determinism (oracle-replayable): a word's
   * symbol sequence is kept as the string " c h a r s " (symbols
-  * space-joined, one leading/trailing space). Merging pair (a, b)
-  * is `replace(s, " a b ", " ab ")` applied TWICE ([[mergePair]]) —
-  * both Spark and DuckDB replace literal occurrences left-to-right
-  * without overlap, which handles overlapping repeats greedily
-  * ("a a a" → "aa a", not "a aa") but misses the second of two
-  * back-to-back DISJOINT occurrences (the shared delimiter space:
-  * " a b a b " → " ab a b "); the second pass provably reaches the
-  * greedy fixpoint (see [[mergePair]]), so the rewrite is exact
-  * greedy BPE per Sennrich et al. Pair counts weight every adjacent
+  * space-joined, one leading/trailing space). Merging pair (a, b) is
+  * the reference trainer's greedy left-to-right token scan — walk the
+  * symbols, fuse (a, b) wherever both match, skip past what was just
+  * fused ("a a a" → "aa a"; "a a a a a" → "aa aa a"; "abab" →
+  * "ab ab") — implemented as the data-driven
+  * [[graft.functions.BpeApplyExpr]] kernel on the Spark side and as a
+  * windowed gaps-and-islands selection in the DuckDB oracle (a
+  * literal string `replace` CANNOT express this scan: it consumes the
+  * delimiter spaces, so it misses back-to-back disjoint occurrences
+  * and mispairs self-pair runs). Pair counts weight every adjacent
   * occurrence (the classic count; the count/merge overlap mismatch
   * is part of the original algorithm). Argmax tie-break: highest
   * total, then lexicographically smallest pair — a total order, so
@@ -75,29 +76,6 @@ object Bpe {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** One BPE merge of pair (a, b) applied to a spaced encoding at the
-    * greedy-left-to-right FIXPOINT. A single literal `replace` scans
-    * its input, so of two back-to-back disjoint occurrences only the
-    * first matches — the match consumes the delimiter space the
-    * second needs (" a b a b " → " ab a b ", where reference BPE
-    * yields " ab ab "). Two passes are always enough: (1) a skipped
-    * occurrence regains its leading space in the output, because the
-    * replacement " ab " ends with one; (2) two skipped occurrences
-    * are never adjacent — a skipped occurrence's intact trailing
-    * space gives the NEXT occurrence its leading space, so that one
-    * matches; (3) merging (a, b) can never create a new " a b "
-    * occurrence, since the fused symbol "ab" differs from both "a"
-    * and "b" and carries no internal space. Hence after pass one all
-    * survivors sit space-isolated, pass two merges them all, and the
-    * result is the exact greedy merge of Sennrich et al.'s trainer.
-    * DuckDB's `replace` has the same non-overlapping left-to-right
-    * scan, so the oracle nests the same two calls. */
-  private[ops] def mergePair(s: Column, a: String, b: String): Column = {
-    def once(c: Column): Column =
-      call_function("replace", c, lit(s" $a $b "), lit(s" $a$b "))
-    once(once(s))
-  }
-
   /** Apply a trained merge list to the corpus and count subwords per
     * document — the tokenizer APPLIED, closing the train→tokenize
     * loop (and the number a data pipeline actually bills by: tokens
@@ -105,10 +83,11 @@ object Bpe {
     *
     * The merges are a driver-held Seq of "a b" pairs in training
     * order — bounded state (the merge list IS the tokenizer; real
-    * vocabularies are ~30k entries). Applying them is a fold of
-    * literal replaces over the VOCABULARY's spaced encodings (the
-    * same fixpoint [[mergePair]] semantics as training — one map-only
-    * projection with 2·steps replaces fused by codegen), after which
+    * vocabularies are ~30k entries). Applying them runs the same
+    * greedy token scan as training over the VOCABULARY's words, fused
+    * into ONE data-driven codegen kernel by
+    * [[graft.functions.BpeApplyExpr]] — constant plan size whether
+    * the tokenizer has 6 merges or 30k — after which
     * each word's subword count joins back to the corpus word stream
     * and sums per document. Two exchanges total at any corpus size:
     * the vocab groupBy and the per-doc sum; the merge application
@@ -117,10 +96,7 @@ object Bpe {
     * Output: (doc_id, n_words, n_subwords) — wordless docs at (0, 0). */
   def subwordCounts(docs: DataFrame, merges: Seq[String]): DataFrame = {
     val vocab = wordVocab(docs)
-    val merged = merges.foldLeft(spacedChars(col("w"))) { (s, pair) =>
-      val Array(a, b) = pair.split(" ", 2)
-      mergePair(s, a, b)
-    }
+    val merged = graft.functions.TextFunctions.bpeEncode(col("w"), merges)
     val vmap = vocab.select(col("w"),
       size(split(trim(merged), " ")).cast("long").as("n_sub"))
     // one null sentinel word per doc (the q91 trick): every doc is
@@ -149,20 +125,28 @@ object Bpe {
     * the cached vocabulary — ~1.5 s of fixed job overhead per step at
     * local[32] (ProbeText). Fine for the tens-to-hundreds of merges
     * the oracle-checked q92 exercises; a production 30k-merge
-    * vocabulary wants the standard batching refinement (apply the
-    * top-B pairwise-DISJOINT pairs per round — symbols untouched by
-    * one accepted merge cannot have their counts invalidated by it),
-    * which cuts rounds ~B-fold at slightly different (documented,
-    * still deterministic) greedy semantics. The per-step DATA cost is
-    * already vocabulary-bounded either way; it is only the scheduler
-    * round-trips that batching amortizes. */
+    * vocabulary trains through [[trainMergesBatched]], which amortizes
+    * the scheduler round-trips ~batch-fold. This strict form is the
+    * batch=1 special case, kept as the exact-Sennrich regression
+    * anchor. */
   def trainMerges(docs: DataFrame, steps: Int): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val spark = docs.sparkSession
     import spark.implicits._
+    // localCheckpoint, not cache: an iterative trainer's per-round
+    // DataFrame otherwise NESTS the whole prior lineage — the logical
+    // plan (and AQE's per-job explain string) grows quadratically
+    // with rounds and OOMs the DRIVER long before data is a problem
+    // (measured: 24 strict rounds at sf0.1 blew an 8 GB heap in
+    // AdaptiveSparkPlanExec.onUpdatePlan). Eager local checkpoint
+    // materializes the round AND truncates the plan to a LogicalRDD;
+    // superseded checkpoints are freed by the ContextCleaner once
+    // unreferenced. (Local = executor-resident blocks: right for a
+    // driver-looped trainer; a multi-day 100 TB train would swap in
+    // reliable checkpointing to survive executor loss.)
     var vocab = wordVocab(docs)
       .select(spacedChars(col("w")).as("s"), col("cnt"))
-    vocab.cache()
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var step = 1
     var done = false
@@ -177,19 +161,108 @@ object Bpe {
         val pair = best(0).getString(0)
         val total = best(0).getLong(1)
         merges += ((step, pair, total))
-        val Array(a, b) = pair.split(" ", 2)
-        val next = vocab.select(
-          mergePair(col("s"), a, b).as("s"), col("cnt"))
-        next.cache()
-        next.count() // materialize before dropping the parent cache
-        vocab.unpersist()
-        vocab = next
+        vocab = vocab.select(
+          graft.functions.TextFunctions.bpeMergeSpaced(
+            col("s"), Seq(pair)).as("s"), col("cnt"))
+          .localCheckpoint(true)
         step += 1
       }
     }
-    vocab.unpersist()
     merges.toSeq.toDF("step", "pair", "total")
       .select(col("step").cast("int").as("step"), col("pair"),
+        col("total").cast("long").as("total"))
+  }
+
+  /** Batched BPE training: up to `batch` pairwise-DISJOINT merges per
+    * distributed round — the standard step-count refinement that
+    * makes a 30k-merge production vocabulary trainable. Strict
+    * one-merge-per-job training ([[trainMerges]]) pays ~1.5 s of
+    * fixed scheduler overhead per merge at local[32]; at 30k merges
+    * that is ~12 h of pure driver round-trips even though each
+    * round's DATA cost is vocabulary-bounded. Batching divides the
+    * round count by ~batch at slightly different — documented, still
+    * deterministic, still oracle-replayable — greedy semantics.
+    *
+    * Why disjoint batching is sound: merging pair (a, b) only
+    * destroys adjacencies that involve symbol a or b and only creates
+    * adjacencies involving the fused symbol "ab" — the weighted count
+    * of any pair sharing NO symbol with (a, b) is untouched. So the
+    * top-`batch` pairs that are mutually symbol-disjoint all still
+    * have their exact pre-round counts when applied together; only
+    * the (documented) interleaving with merges a strict trainer would
+    * have discovered mid-round differs.
+    *
+    * Deterministic, SQL-replayable selection: rank the round's pairs
+    * by (total DESC, pair); restrict to the top-`candPool` candidates
+    * (bounded driver state — the only thing collected per round, like
+    * the strict trainer's single argmax row); walk the ranking,
+    * keeping a pair iff it shares no symbol with an already-kept
+    * pair, until `batch` are kept or candidates run out. The round
+    * structure is FIXED up front — ceil(steps/batch) rounds, round r
+    * capped at min(batch, steps − (r−1)·batch) — so a conflict-heavy
+    * round that keeps fewer merges does NOT shift later rounds, and
+    * the oracle can replay the schedule as a static CTE chain. Kept
+    * merges apply in rank order in ONE kernel projection
+    * ([[graft.functions.BpeApplyExpr]]); disjointness makes the
+    * sequential scans commute with the simultaneous application.
+    *
+    * Returns (step 1-based global, round 1-based, pair, total) with
+    * totals measured at the ROUND start (exact for every kept pair,
+    * per the disjointness argument). May return fewer than `steps`
+    * rows when conflicts or exhaustion shrink rounds. */
+  def trainMergesBatched(docs: DataFrame, steps: Int, batch: Int,
+                         candPool: Int = 0): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val pool = if (candPool > 0) candPool else 8 * batch
+    require(pool >= batch, s"candPool $pool < batch $batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // localCheckpoint per round, not cache: see trainMerges — plan
+    // lineage must stay constant-size across rounds or the driver
+    // OOMs on plan strings at production round counts
+    var vocab = wordVocab(docs)
+      .select(spacedChars(col("w")).as("s"), col("cnt"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, Long)]
+    val rounds = (steps + batch - 1) / batch
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val cap = math.min(batch, steps - (round - 1) * batch)
+      val cand = vocab
+        .select(explode(adjacentPairs(col("s"))).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("pair")).limit(pool)
+        .collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        while (i < cand.length && kept.size < cap) {
+          val pair = cand(i).getString(0)
+          val Array(a, b) = pair.split(" ", 2)
+          if (!used(a) && !used(b)) {
+            kept += ((pair, cand(i).getLong(1)))
+            used += a
+            used += b
+          }
+          i += 1
+        }
+        kept.foreach { case (p, t) =>
+          out += ((out.size + 1, round, p, t))
+        }
+        vocab = vocab.select(
+          graft.functions.TextFunctions.bpeMergeSpaced(
+            col("s"), kept.map(_._1).toSeq).as("s"), col("cnt"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    out.toSeq.toDF("step", "round", "pair", "total")
+      .select(col("step").cast("int").as("step"),
+        col("round").cast("int").as("round"), col("pair"),
         col("total").cast("long").as("total"))
   }
 }

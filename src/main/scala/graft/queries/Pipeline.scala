@@ -1784,7 +1784,21 @@ object Pipeline {
         val merges = Bpe.trainMerges(d, steps = 6)
           .orderBy("step").collect().map(_.getString(1)).toSeq
         Bpe.subwordCounts(d, merges).orderBy("doc_id")
-      }))
+      }),
+
+    // ── batched BPE training: up to `batch` pairwise-disjoint merges
+    // per distributed round — the step-count refinement that makes a
+    // 30k-merge vocabulary trainable (strict training pays ~1.5 s of
+    // scheduler overhead PER merge; batching divides the round count
+    // by ~batch). 8 steps in 3-merge rounds = 3 rounds instead of 8.
+    // The oracle replays the fixed round schedule, the bounded
+    // top-pool candidate ranking, the greedy symbol-disjoint
+    // selection walk, and the in-rank-order scan rewrites — all as
+    // static CTEs, so the hash gate pins batching end to end.
+    Q("q100_bpe_batched", "pipeline:bpe-train-batched",
+      Some(bpeBatchedOracle(steps = 8, batch = 3, pool = 24)),
+      (s, dir) => Bpe.trainMergesBatched(docsF(s, dir), steps = 8,
+        batch = 3).orderBy("step")))
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).
@@ -2029,43 +2043,107 @@ object Pipeline {
   /** q92: [[graft.ops.Bpe.trainMerges]] replayed — the driver loop
     * unrolled into `steps` CTE stages. Each stage: adjacent-pair
     * counts over the spaced symbol encoding, the (total DESC, pair)
-    * argmax via ORDER BY LIMIT 1, and the DOUBLE literal `replace`
-    * merge both engines implement identically (two non-overlapping
-    * left-to-right passes reach the greedy-BPE fixpoint — see
-    * [[graft.ops.Bpe.mergePair]]). Early exhaustion matches by
+    * argmax via ORDER BY LIMIT 1, and reference BPE's greedy
+    * left-to-right token-scan merge. The scan is sequential per word,
+    * which SQL can't loop — but its SELECTION is closed-form: an
+    * occurrence (t[i], t[i+1]) = (a, b) merges iff it is at an even
+    * offset within its island of consecutive occurrence positions
+    * (for a ≠ b occurrences are never adjacent — that would force
+    * b = a — so every occurrence merges; for a = b, greedy keeps
+    * every other one per run). Windows express that exactly:
+    * lead() flags occurrences, a cumulative-count gaps-and-islands
+    * id groups them, min-per-island gives the offset parity, lag()
+    * drops the consumed right halves, and string_agg (NULLs skipped)
+    * rebuilds the spaced encoding. Early exhaustion matches by
     * construction: an empty argmax CTE contributes no output row and
     * empties every later stage through its cross join. */
   /** The shared BPE CTE chain: wv (word vocab), v0 (spaced chars) and
     * `steps` (p_i, b_i, v_i) stages; v_i carries the word column so
     * q93 can join subword counts back to the corpus. */
+  /** The shared BPE header: wv (word vocab) and v0 (spaced chars).
+    * lazy: referenced (via the oracle defs) from the `queries` Seq,
+    * which this object initializes FIRST. */
+  private lazy val bpeHeaderCtes: String =
+    s"""wv AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      |    FROM documents) t(w) WHERE w <> '' GROUP BY w),
+      |v0 AS (
+      |  SELECT w, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+      |    i -> w[i]), ' ') || ' ' AS s, cnt FROM wv)""".stripMargin
+
   private def bpeCtes(steps: Int): String = {
-    val header =
-      s"""wv AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-        |    FROM documents) t(w) WHERE w <> '' GROUP BY w),
-        |v0 AS (
-        |  SELECT w, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
-        |    i -> w[i]), ' ') || ' ' AS s, cnt FROM wv)""".stripMargin
+    val header = bpeHeaderCtes
     val stages = (1 to steps).map { i =>
       s"""p$i AS (
-        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS total FROM (
-        |    SELECT unnest(list_transform(range(1, len(sy)),
-        |      j -> sy[j] || ' ' || sy[j + 1])) AS pair, cnt
-        |    FROM (SELECT regexp_split_to_array(trim(s), ' ') AS sy, cnt
-        |          FROM v${i - 1}))
-        |  GROUP BY pair),
+        |  ${bpePairCountsSql(s"v${i - 1}")}),
         |b$i AS (
-        |  SELECT pair, total,
-        |    ' ' || split_part(pair, ' ', 1) || ' ' || split_part(pair, ' ', 2) || ' ' AS pat,
-        |    ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ' AS rep
+        |  SELECT pair, total, split_part(pair, ' ', 1) AS a,
+        |    split_part(pair, ' ', 2) AS b
         |  FROM p$i ORDER BY total DESC, pair LIMIT 1),
-        |v$i AS (
-        |  SELECT v.w, replace(replace(v.s, b.pat, b.rep), b.pat, b.rep) AS s,
-        |    v.cnt
-        |  FROM v${i - 1} v CROSS JOIN b$i b)""".stripMargin
+        |${bpeScanStage(i.toString, s"v${i - 1}", s"v$i", s"b$i",
+             leftJoin = false)}""".stripMargin
     }.mkString(",\n")
     s"$header,\n$stages"
+  }
+
+  /** Weighted adjacent-pair counts of a vocab CTE (w, s, cnt). */
+  private def bpePairCountsSql(inV: String): String =
+    s"""SELECT pair, CAST(sum(cnt) AS BIGINT) AS total FROM (
+      |    SELECT unnest(list_transform(range(1, len(sy)),
+      |      j -> sy[j] || ' ' || sy[j + 1])) AS pair, cnt
+      |    FROM (SELECT regexp_split_to_array(trim(s), ' ') AS sy, cnt
+      |          FROM $inV))
+      |  GROUP BY pair""".stripMargin
+
+  /** One greedy token-scan merge as a CTE chain: `selCte` holds the
+    * (a, b) pair (one row, or zero), `inV`(w, s, cnt) is rewritten to
+    * `outV`. Emits t/g/e/r$tag + $outV. See the q92 scaladoc for why
+    * the windowed gaps-and-islands selection IS the sequential scan.
+    * `leftJoin=false`: an empty selCte empties the vocab (the strict
+    * trainer's early-exhaustion contract). `leftJoin=true`: an empty
+    * selCte passes the vocab through unchanged (a batched round that
+    * kept fewer than `batch` merges). */
+  private def bpeScanStage(tag: String, inV: String, outV: String,
+                           selCte: String, leftJoin: Boolean): String = {
+    val join =
+      if (leftJoin) s"LEFT JOIN $selCte k ON TRUE"
+      else s"CROSS JOIN $selCte k"
+    s"""t$tag AS (
+      |  SELECT w, cnt, tok, pos,
+      |    coalesce(tok = k.a AND
+      |      lead(tok) OVER (PARTITION BY w ORDER BY pos) = k.b,
+      |      FALSE) AS is_occ
+      |  FROM (SELECT w, cnt, unnest(sy) AS tok,
+      |          unnest(range(1, len(sy) + 1)) AS pos
+      |        FROM (SELECT w, cnt, regexp_split_to_array(trim(s), ' ') AS sy
+      |              FROM $inV))
+      |  $join),
+      |g$tag AS (
+      |  SELECT w, cnt, tok, pos, is_occ,
+      |    pos - count(*) FILTER (WHERE is_occ) OVER
+      |      (PARTITION BY w ORDER BY pos
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM t$tag),
+      |e$tag AS (
+      |  SELECT w, cnt, tok, pos,
+      |    is_occ AND (pos - min(pos) FILTER (WHERE is_occ) OVER
+      |      (PARTITION BY w, isl)) % 2 = 0 AS sel
+      |  FROM g$tag),
+      |r$tag AS (
+      |  SELECT w, cnt, tok, pos, sel,
+      |    coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+      |      FALSE) AS prev_sel
+      |  FROM e$tag),
+      |$outV AS (
+      |  SELECT r.w,
+      |    ' ' || string_agg(
+      |      CASE WHEN r.sel THEN k.a || k.b
+      |           WHEN r.prev_sel THEN NULL
+      |           ELSE r.tok END, ' ' ORDER BY r.pos) || ' ' AS s,
+      |    r.cnt
+      |  FROM r$tag r $join
+      |  GROUP BY r.w, r.cnt)""".stripMargin
   }
 
   private def bpeMergesOracle(steps: Int): String = {
@@ -2075,6 +2153,64 @@ object Pipeline {
     s"""WITH ${bpeCtes(steps)}
       |SELECT step, pair, total FROM (
       |$union) ORDER BY step""".stripMargin
+  }
+
+  /** q100: [[graft.ops.Bpe.trainMergesBatched]] replayed as a static
+    * CTE schedule. Round structure is fixed up front (ceil(steps/
+    * batch) rounds, round r capped at min(batch, steps−(r−1)·batch)),
+    * so the whole train unrolls: per round, one pair-count CTE, one
+    * top-`pool` candidate CTE (the same bounded ranking the driver
+    * collects), `cap` chained greedy-selection CTEs (s_j = the
+    * best-ranked candidate sharing no symbol with s_1..s_{j−1} — a
+    * NOT EXISTS over the kept union, exactly the driver's walk), and
+    * `cap` LEFT-JOIN scan stages applying the kept merges in rank
+    * order (LEFT so an empty slot — conflict-shrunk round — passes
+    * the vocab through). Output: (step, round, pair, total) with
+    * step = row_number over (round, slot). */
+  private def bpeBatchedOracle(steps: Int, batch: Int, pool: Int): String = {
+    val rounds = (steps + batch - 1) / batch
+    val roundSql = (1 to rounds).map { r =>
+      val cap = math.min(batch, steps - (r - 1) * batch)
+      val prevV = if (r == 1) "v0" else s"v${r - 1}"
+      val sel = (1 to cap).map { j =>
+        val guard = if (j == 1) "" else {
+          val kept = (1 until j)
+            .map(x => s"SELECT a, b FROM s${r}_$x")
+            .mkString(" UNION ALL ")
+          s"""
+            |  WHERE NOT EXISTS (SELECT 1 FROM ($kept) kk
+            |    WHERE c.a IN (kk.a, kk.b) OR c.b IN (kk.a, kk.b))""".stripMargin
+        }
+        s"""s${r}_$j AS (
+          |  SELECT pair, total, a, b FROM c$r c$guard
+          |  ORDER BY total DESC, pair LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val scans = (1 to cap).map { j =>
+        val inV = if (j == 1) prevV else s"u${r}_${j - 1}"
+        val outV = if (j == cap) s"v$r" else s"u${r}_$j"
+        bpeScanStage(s"${r}_$j", inV, outV, s"s${r}_$j", leftJoin = true)
+      }.mkString(",\n")
+      s"""pb$r AS (
+        |  ${bpePairCountsSql(prevV)}),
+        |c$r AS (
+        |  SELECT pair, total, split_part(pair, ' ', 1) AS a,
+        |    split_part(pair, ' ', 2) AS b
+        |  FROM pb$r ORDER BY total DESC, pair LIMIT $pool),
+        |$sel,
+        |$scans""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).flatMap { r =>
+      val cap = math.min(batch, steps - (r - 1) * batch)
+      (1 to cap).map(j =>
+        s"SELECT $r AS rnd, $j AS slot, pair, total FROM s${r}_$j")
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeHeaderCtes},
+      |$roundSql
+      |SELECT CAST(row_number() OVER (ORDER BY rnd, slot) AS INT) AS step,
+      |  CAST(rnd AS INT) AS round, pair, total
+      |FROM (
+      |$union)
+      |ORDER BY step""".stripMargin
   }
 
   /** q93: the learned merges applied — per-word subword counts from

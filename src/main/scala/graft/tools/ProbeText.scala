@@ -33,15 +33,31 @@ object ProbeText {
       val rows = f
       println(f"$tag: rows=$rows%d t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    time("referenceOverlap")(
-      TextAnalysis.referenceOverlapScore(d, "src0", minDf = 2).count())
-    var merges: Seq[String] = Nil
-    time("bpeTrain(6)") {
-      merges = Bpe.trainMerges(d, steps = 6)
-        .orderBy("step").collect().map(_.getString(1)).toSeq
-      merges.size.toLong
+    val batchedOnly = args.contains("batched-only")
+    if (!batchedOnly) {
+      time("referenceOverlap")(
+        TextAnalysis.referenceOverlapScore(d, "src0", minDf = 2).count())
+      var merges: Seq[String] = Nil
+      time("bpeTrain(6)") {
+        merges = Bpe.trainMerges(d, steps = 6)
+          .orderBy("step").collect().map(_.getString(1)).toSeq
+        merges.size.toLong
+      }
+      time("bpeApply")(Bpe.subwordCounts(d, merges).count())
     }
-    time("bpeApply")(Bpe.subwordCounts(d, merges).count())
+    // batching amortization: same merge budget, strict (batch=1,
+    // 24 scheduler rounds) vs batched (batch=8, 3 rounds). Read the
+    // per-merge amortized cost: total/merges — the batched number
+    // should drop ~batch-fold, since each round's data cost is
+    // vocabulary-bounded either way and only the fixed per-round
+    // scheduler overhead divides.
+    for (b <- Seq(1, 8)) {
+      val t0 = System.nanoTime()
+      val n = Bpe.trainMergesBatched(d, steps = 24, batch = b).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"bpeTrainBatched(steps=24,batch=$b): merges=$n%d " +
+        f"t=$t%.2fs per-merge=${t / math.max(n, 1)}%.3fs")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,120 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The fused BPE-apply kernel: equivalence with a driver-side
+  * reference scan, survival at production merge counts (where a
+  * per-merge Column fold cannot even be planned), and codegen
+  * health. */
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: Sennrich's greedy left-to-right scan,
+    * merge by merge, in plain Scala collections. */
+  private def ref(w: String, merges: Seq[String]): String = {
+    var toks: List[String] = w.map(_.toString).toList
+    merges.foreach { pair =>
+      val Array(a, b) = pair.split(" ", 2)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = toks
+      while (rest.nonEmpty) {
+        rest match {
+          case x :: y :: tail if x == a && y == b =>
+            out += a + b; rest = tail
+          case x :: tail =>
+            out += x; rest = tail
+          case Nil =>
+        }
+      }
+      toks = out.toList
+    }
+    toks.mkString(" ", " ", " ")
+  }
+
+  test("bpeEncode matches the driver-side reference scan on hand " +
+    "cases including back-to-back disjoint and self-pair runs") {
+    val words = Seq("abab", "aaa", "aaaaa", "murmur", "banana", "x",
+      "abcabcabc")
+    val merges = Seq("a b", "ab c", "m u", "mu r", "a n", "an an", "a a")
+    val got = words.toDF("w")
+      .select(TextFunctions.bpeEncode(col("w"), merges).as("s"))
+      .collect().map(_.getString(0))
+    val want = words.map(w => ref(w, merges))
+    assert(got.toSeq == want)
+    // the two shapes a delimiter-consuming replace gets wrong:
+    assert(ref("abab", Seq("a b")) == " ab ab ")
+    assert(ref("aaaaa", Seq("a a")) == " aa aa a ")
+  }
+
+  test("a production-scale merge list (1,200 merges) plans, stays in " +
+    "whole-stage codegen, and evaluates correctly") {
+    // doubling chain: merge 'a a', 'aa aa', ... 'a128 a128', so a
+    // 256-run collapses to ONE symbol through 8 dependent merges,
+    // plus disjoint pairs padding the list to 1,200 — the fold form
+    // at this size is a deep expression tree that cannot be planned,
+    // let alone compiled into one 64 KB Janino method.
+    val chain = (1 to 8).scanLeft("a") { (s, _) => s + s }
+    val chainMerges = chain.init.map(s => s"$s $s") // a a, aa aa, ...
+    val pad = (1 to 1192).map(i => s"x$i y$i")
+    val merges = chainMerges ++ pad
+    assert(merges.size == 1200)
+    // route through parquet: a LocalRelation project is evaluated
+    // eagerly by ConvertToLocalRelation and never reaches codegen —
+    // the assertion below needs a real scan stage
+    val dir = tmpDir("bpe-kernel-scale")
+    Seq("a" * 256, "a" * 255, "x1y1", "b").toDF("w")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(col("w"), TextFunctions.bpeEncode(col("w"), merges).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' is the whole-stage-codegen marker in SparkPlan.toString;
+    // the Project carrying the kernel must sit inside a codegen stage
+    assert(plan.split("\n").exists(l =>
+      l.trim.matches("""\*\(\d+\) Project .*bpe_encode.*""")), plan.take(2000))
+    assert(!plan.contains("CodegenFallback"), plan.take(2000))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 'a'*256 = 2^8: the chain collapses it to a single symbol —
+    // every level pairs cleanly (the shape a delimiter-consuming
+    // replace breaks at level one)
+    assert(got("a" * 256) == " " + "a" * 256 + " ")
+    // 'a'*255 = 2^8-1: binary decomposition, biggest first
+    assert(got("a" * 255) ==
+      (7 to 0 by -1).map(k => "a" * (1 << k)).mkString(" ", " ", " "))
+    assert(got("a" * 255) == ref("a" * 255, merges))
+    assert(got("x1y1") == " x 1 y 1 ") // pads never match spaced chars
+    assert(got("b") == " b ")
+  }
+
+  test("null input produces null; empty merge list is identity " +
+    "spacing; code points space per character like substr") {
+    val got = Seq(Some("ab"), None).toDF("w")
+      .select(TextFunctions.bpeEncode(col("w"), Seq.empty).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some(" a b "), None))
+    // non-ASCII: spacing must count code points, not UTF-16 units —
+    // identical to substr(w, i, 1) (what Bpe.spacedChars walks) and
+    // DuckDB's w[i]
+    val wide = Seq("é日😀a").toDF("w")
+    val kernel = wide.select(TextFunctions.bpeEncode(col("w"), Seq.empty))
+      .collect()(0).getString(0)
+    val column = wide.select(concat(lit(" "), concat_ws(" ",
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))), lit(" ")))
+      .collect()(0).getString(0)
+    assert(kernel == column)
+    assert(kernel == " é 日 😀 a ")
+  }
+
+  test("bpeMergeSpaced applies merges to an existing spaced encoding " +
+    "(the trainer's per-step rewrite)") {
+    val got = Seq(" a b a b ", " a a a a a ", " x ").toDF("s")
+      .select(TextFunctions.bpeMergeSpaced(col("s"), Seq("a b")).as("m"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq(" ab ab ", " a a a a a ", " x "))
+    val self = Seq(" a a a a a ").toDF("s")
+      .select(TextFunctions.bpeMergeSpaced(col("s"), Seq("a a")))
+      .collect()(0).getString(0)
+    assert(self == " aa aa a ")
+  }
+}

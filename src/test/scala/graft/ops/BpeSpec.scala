@@ -63,9 +63,10 @@ class BpeSpec extends SparkSpec {
 
   test("back-to-back disjoint occurrences merge at the fixpoint: " +
     "'abab' -> [ab, ab], 'murmur' -> [mur, mur]") {
-    // the single-replace bug: " a b a b " -> " ab a b " (the first
-    // match consumes the second's leading delimiter space). mergePair's
-    // second pass must finish the job: reference BPE yields [ab, ab].
+    // the string-replace bug this kernel replaced: " a b a b " ->
+    // " ab a b " (the first match consumes the second's leading
+    // delimiter space). The greedy token scan merges both:
+    // reference BPE yields [ab, ab].
     val two = Bpe.subwordCounts(docs("abab"), Seq("a b")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(two.toSeq == Seq((0L, 1L, 2L)))
@@ -83,11 +84,73 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a b", 2L), (2, "ab ab", 1L)))
   }
 
-  test("a run of five alternating symbols reaches the greedy fixpoint " +
-    "in mergePair's two passes: 'ababababab' -> [ab x5]") {
+  test("a run of five alternating symbols merges everywhere: " +
+    "'ababababab' -> [ab x5]") {
     val n = Bpe.subwordCounts(docs("ababababab"), Seq("a b"))
       .collect().map(_.getLong(2))
     assert(n.toSeq == Seq(5L))
+  }
+
+  test("self-pair runs pair greedily adjacent like reference BPE: " +
+    "'aaaaa' -> [aa, aa, a], so the next merge is 'aa a' not 'a aa'") {
+    // a delimiter-consuming string replace mispairs the run as
+    // [aa, a, aa], whose pair stats then rank 'a aa' first — the
+    // token-scan kernel must see [aa, aa, a] and rank 'aa a' first
+    // (tie at total 1, lexicographic break)
+    val got = Bpe.trainMerges(docs("aaaaa"), steps = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "a a", 4L), (2, "aa a", 1L)))
+    // and the applied tokenizer agrees: 5 chars -> 3 subwords after
+    // merge one, 2 after both ([aaa, aa])
+    assert(Bpe.subwordCounts(docs("aaaaa"), Seq("a a"))
+      .collect().map(_.getLong(2)).toSeq == Seq(3L))
+    assert(Bpe.subwordCounts(docs("aaaaa"), Seq("a a", "aa a"))
+      .collect().map(_.getLong(2)).toSeq == Seq(2L))
+  }
+
+  test("batched training keeps the top pairwise-disjoint pairs per " +
+    "round with pre-round counts, on a fixed round schedule") {
+    // vocab {ab: 2, cd: 3, ef: 1}: pairs 'c d'(3) > 'a b'(2) > 'e f'(1)
+    // steps=3 batch=2 -> rounds [cap 2, cap 1]:
+    //   round 1 keeps 'c d' and 'a b' (disjoint), both at pre-round
+    //   totals; round 2 keeps 'e f'
+    val got = Bpe.trainMergesBatched(
+        docs("ab ab cd cd cd ef"), steps = 3, batch = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1, "c d", 3L),
+      (2, 1, "a b", 2L),
+      (3, 2, "e f", 1L)))
+  }
+
+  test("batched training skips a candidate sharing a symbol with a " +
+    "better kept pair; a conflict-shrunk round does not backfill") {
+    // vocab {aa: 1, ab: 1}: pairs 'a a'(1) and 'a b'(1) tie, 'a a'
+    // wins the lexicographic break; 'a b' shares symbol a -> skipped.
+    // steps=2 batch=2 is ONE round, so only one merge lands even
+    // though 'a b' would have been mergeable in a later round.
+    val got = Bpe.trainMergesBatched(docs("aa ab"), steps = 2, batch = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq((1, 1, "a a")))
+    // the same steps at batch=1 (strict schedule) merges both
+    val strict = Bpe.trainMergesBatched(docs("aa ab"), steps = 2,
+        batch = 1)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getString(2)))
+    assert(strict.toSeq == Seq((1, "a a"), (2, "a b")))
+  }
+
+  test("batched batch=1 reproduces the strict trainer's merge " +
+    "sequence exactly") {
+    val d = docs("aaa aaa ab", "to to to xyz")
+    val strict = Bpe.trainMerges(d, steps = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val batched = Bpe.trainMergesBatched(d, steps = 4, batch = 1)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3)))
+    assert(batched.toSeq == strict.toSeq)
   }
 
   test("spacedChars and adjacentPairs helpers") {
