@@ -203,10 +203,17 @@ object Covariance {
         r.getLong(3))).toSeq
     val mean = meanFixedPoint(embeddings, dim, scaleBits)
     val cov = covarianceMatrix(gram, dim, mean, n, scaleBits)
+    rrFromCovariance(cov, m, dim)
+  }
+
+  /** The eigendecompose + round-robin-allocate tail shared by the
+    * distributed ([[pcaRotationRR]]) and local ([[pcaRotationRRLocal]])
+    * learners: deal eigvec k (variance rank k) to subspace k % m, so
+    * subspace j's rows are its dealt vectors in rank order. */
+  private def rrFromCovariance(cov: Array[Array[Double]], m: Int,
+                               dim: Int): Array[Array[Double]] = {
     val (_, vecs) = eigenSym(cov)   // rows = eigenvectors, descending
     val dsub = dim / m
-    // deal eigvec k (variance rank k) to subspace k % m; subspace j's
-    // rows are its dealt vectors in rank order
     val order = Array.ofDim[Int](dim)
     val counts = new Array[Int](m)
     for (k <- 0 until dim) {
@@ -215,6 +222,44 @@ object Covariance {
       counts(j) += 1
     }
     order.map(vecs(_))
+  }
+
+  /** Plain-Scala twin of [[pcaRotationRR]] over an in-memory float
+    * corpus: the SAME fixed-point Gram and mean sums ([[GramAgg]]'s
+    * exact arithmetic — float→double widening, one multiply, one
+    * power-of-two scale, floor; integer sums are order-independent),
+    * then the shared [[rrFromCovariance]] tail. Because every stage
+    * is exact, the result is BIT-IDENTICAL to running the distributed
+    * learner on a DataFrame of the same vectors — which is what lets
+    * q99 embed this R as oracle literals while the Spark side learns
+    * it through the real distributed path: any divergence in the
+    * distributed Gram/mean fold breaks the q99 hash. */
+  def pcaRotationRRLocal(corpus: Array[Array[Float]], m: Int,
+                         dim: Int = 64,
+                         scaleBits: Int = 20): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val n = corpus.length
+    require(n > 0, "empty corpus")
+    val scale = (1L << scaleBits).toDouble
+    val gram = for (i <- 0 until dim; j <- i until dim) yield {
+      var s = 0L
+      corpus.foreach { v =>
+        val xi = if (i < v.length) v(i).toDouble else 0.0
+        val xj = if (j < v.length) v(j).toDouble else 0.0
+        s += math.floor(xi * xj * scale + 0.5).toLong
+      }
+      (i, j, n.toLong, s)
+    }
+    val mean = Array.tabulate(dim) { i =>
+      var s = 0L
+      corpus.foreach { v =>
+        val xi = if (i < v.length) v(i).toDouble else 0.0
+        s += math.floor(xi * scale + 0.5).toLong
+      }
+      s
+    }
+    val cov = covarianceMatrix(gram, dim, mean, n.toLong, scaleBits)
+    rrFromCovariance(cov, m, dim)
   }
 
   /** The dense mean-free covariance from [[gramFixedPoint]] rows plus

@@ -372,4 +372,41 @@ object Pq {
       .agg(count(lit(1)).as("exact_k"), count(col("av")).as("adc_hits"))
       .orderBy("query_id")
   }
+
+  /** Rotated-vs-unrotated ADC recall — OPQ's rotation priced against
+    * the same exact baseline in one frame. The corpus is rotated by
+    * the orthonormal `rotation` (one [[graft.functions.MatVecExpr]]
+    * projection fused into the encode scan — rotation at serving
+    * time is a free rider on the read), the FULL PQ pipeline
+    * (codebook sample, encode, LUT, ADC top-k) reruns in rotated
+    * space, and each query reports hits against the unrotated exact
+    * top-k alongside the unrotated ADC hits. Orthonormality preserves
+    * exact L2, so the unrotated exact set is the right baseline for
+    * both columns. Output: (query_id, exact_k, adc_hits, rot_hits).
+    *
+    * Scale: identical to [[adcRecall]] — the rotation adds d² fused
+    * multiply-adds per row to the one encode scan and nothing to the
+    * shuffle; R itself is d² doubles of plan state, like the
+    * codebooks. */
+  def adcRecallRotated(embeddings: DataFrame, cfg: PqConfig,
+                       rotation: Array[Array[Double]],
+                       nQueries: Int, k: Int): DataFrame = {
+    val ex = exactL2TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val adc = adcTopK(embeddings, cfg, nQueries, k)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    val rotated = embeddings.select(col("vec_id"),
+      graft.functions.VectorFunctions.matVec(col("embedding"), rotation)
+        .as("embedding"))
+    val rot = adcTopK(rotated, cfg, nQueries, k)
+      .select(col("query_id").as("rq"), col("vec_id").as("rv"))
+    ex.join(adc, ex("query_id") === adc("aq") && ex("vec_id") === adc("av"),
+        "left")
+      .join(rot, ex("query_id") === rot("rq") && ex("vec_id") === rot("rv"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("exact_k"), count(col("av")).as("adc_hits"),
+        count(col("rv")).as("rot_hits"))
+      .orderBy("query_id")
+  }
 }

@@ -1701,6 +1701,32 @@ object Pipeline {
       (s, dir) => Covariance.gramFixedPoint(t(s, dir, "embeddings"),
         dim = 64, scaleBits = 20)),
 
+    // ── the OPQ rotation under the hash gate: the Spark side LEARNS
+    // R through the real distributed path (gramFixedPoint +
+    // meanFixedPoint + Jacobi + eigenvalue allocation) over the
+    // deterministic anisotropic fixture corpus, applies it with
+    // MatVecExpr, and reruns the full PQ pipeline in rotated space;
+    // the oracle embeds R from the plain-Scala fixed-point twin as
+    // 64x64 literals (bit-identical by the integer-sum discipline —
+    // any divergence in the distributed Gram/mean fold breaks this
+    // hash) and replays the rotation as literal mat-vec. Rotated and
+    // unrotated ADC hits against the same exact baseline ride as
+    // hash-checked columns; the recall>=unrotated LIFT claim lives in
+    // CovarianceSpec on the anisotropic corpus, where rotation has
+    // variance to balance (the driver's embeddings are uniform).
+    Q("q99_pq_rotated_recall", "pipeline:pq-opq-recall",
+      Some(pqRotRecallOracle(PqDefault, nQ = 20, k = 5)),
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val fixture = opqFixture.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+          .toDF("vec_id", "embedding")
+        val r = Covariance.pcaRotationRR(fixture, m = PqDefault.m)
+        Pq.adcRecallRotated(t(s, dir, "embeddings"), PqDefault, r,
+          nQueries = 20, k = 5)
+      }),
+
     // ── RAG-corpus chunking: overlapping sliding token windows
     // (width 32, stride 16 — 50% overlap), document boundaries never
     // crossed, (doc_id, chunk_idx) a stable retrievable address.
@@ -1833,26 +1859,28 @@ object Pipeline {
     * (bit-identical d both engines, so the rn=1 row IS the kernel's
     * strict-< winner), then the little-endian integer pack — exact
     * arithmetic end-to-end from the argmin on. */
-  private def pqCodesCtes(cfg: Pq.PqConfig): String = {
+  private def pqCodesCtes(cfg: Pq.PqConfig, pfx: String = "",
+      eDef: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+      : String = {
     val dsub = cfg.dsub
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |cb AS (
+    s"""${pfx}e AS ($eDef),
+      |${pfx}cb AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
-      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT ${cfg.ksub})),
-      |enc_d AS (
+      |  FROM (SELECT vec_id, v FROM ${pfx}e ORDER BY vec_id LIMIT ${cfg.ksub})),
+      |${pfx}enc_d AS (
       |  SELECT e.vec_id, j.j, cb.code,
       |    ${pqSliceC2("cb.cv", "j.j", dsub)}
       |      - 2.0 * ${pqSliceDot("e.v", "cb.cv", "j.j", dsub)} AS d
-      |  FROM e CROSS JOIN range(0, ${cfg.m}) j(j) CROSS JOIN cb),
-      |enc AS (
+      |  FROM ${pfx}e e CROSS JOIN range(0, ${cfg.m}) j(j) CROSS JOIN ${pfx}cb cb),
+      |${pfx}enc AS (
       |  SELECT vec_id, j, code FROM (
       |    SELECT vec_id, j, code,
       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
-      |    FROM enc_d) WHERE rn = 1),
-      |codes AS (
+      |    FROM ${pfx}enc_d) WHERE rn = 1),
+      |${pfx}codes AS (
       |  SELECT vec_id,
       |    CAST(sum(code * (CAST(1 AS BIGINT) << (${cfg.bitsPerCode} * j))) AS BIGINT) AS pq_code
-      |  FROM enc GROUP BY vec_id)""".stripMargin
+      |  FROM ${pfx}enc GROUP BY vec_id)""".stripMargin
   }
 
   /** q84: the packed PQ codes themselves — pure integers. */
@@ -1866,21 +1894,23 @@ object Pipeline {
     * on the shifted/masked code), folded in ascending-j order via the
     * j-ORDERED list aggregate — the exact fold
     * [[graft.functions.PqAdcScoreExpr]] runs — then floor-scaled. */
-  private def pqAdcCtes(cfg: Pq.PqConfig, nQ: Int): String = {
+  private def pqAdcCtes(cfg: Pq.PqConfig, nQ: Int,
+                        pfx: String = ""): String = {
     val mask = (1 << cfg.bitsPerCode) - 1
-    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
-      |adc_d AS (
+    s"""${pfx}q AS (SELECT vec_id AS query_id, v AS qv FROM ${pfx}e
+      |  WHERE vec_id < $nQ),
+      |${pfx}adc_d AS (
       |  SELECT q.query_id, c.vec_id, j.j,
       |    ${pqSliceC2("cb.cv", "j.j", cfg.dsub)}
       |      - 2.0 * ${pqSliceDot("q.qv", "cb.cv", "j.j", cfg.dsub)} AS d
-      |  FROM codes c CROSS JOIN range(0, ${cfg.m}) j(j)
-      |  JOIN q ON c.vec_id <> q.query_id
-      |  JOIN cb ON cb.code = (c.pq_code >> (${cfg.bitsPerCode} * j.j)) & $mask),
-      |adc_s AS (
+      |  FROM ${pfx}codes c CROSS JOIN range(0, ${cfg.m}) j(j)
+      |  JOIN ${pfx}q q ON c.vec_id <> q.query_id
+      |  JOIN ${pfx}cb cb ON cb.code = (c.pq_code >> (${cfg.bitsPerCode} * j.j)) & $mask),
+      |${pfx}adc_s AS (
       |  SELECT query_id, vec_id,
       |    CAST(floor(list_reduce(list(d ORDER BY j), (x, y) -> x + y)
       |      * 1000000) AS BIGINT) AS adc_x1e6
-      |  FROM adc_d GROUP BY query_id, vec_id)""".stripMargin
+      |  FROM ${pfx}adc_d GROUP BY query_id, vec_id)""".stripMargin
   }
 
   /** q85: ADC top-k, ranked on the floor-scaled score with vec_id
@@ -1920,6 +1950,75 @@ object Pipeline {
       |FROM ex LEFT JOIN adc ON adc.query_id = ex.query_id
       |  AND adc.vec_id = ex.vec_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** q99's OPQ learning fixture: a deterministic ANISOTROPIC float
+    * corpus — 256 vectors, dim 64, seeded java.util.Random(11),
+    * coordinate i scaled by 1/(1+i/8) so variance decays across
+    * dimensions (the shape OPQ's eigenvalue allocation exists to
+    * balance; the driver's test embeddings are uniform, where a
+    * rotation has nothing to do). Data-independent like the q45
+    * planes and q58 centroids, so it survives a testdata
+    * regeneration; floats, because the distributed Gram folds
+    * Seq[Float]. lazy: referenced from the `queries` Seq. */
+  private lazy val opqFixture: Array[Array[Float]] = {
+    val rnd = new java.util.Random(11L)
+    Array.fill(256)(Array.tabulate(64)(i =>
+      ((rnd.nextDouble() * 2 - 1) / (1.0 + i / 8.0)).toFloat))
+  }
+
+  /** q99: rotated-vs-unrotated ADC recall with the LEARNED rotation
+    * pinned as literals. R comes from
+    * [[graft.ops.Covariance.pcaRotationRRLocal]] over [[opqFixture]]
+    * — the exact plain-Scala twin of the distributed learner the
+    * Spark side runs, bit-identical by the fixed-point discipline —
+    * and the rotated corpus is the literal mat-vec
+    * Σ_t v[t]·R[i][t] per output coordinate (ascending-t fold, the
+    * same sequential sum MatVecExpr generates). Both PQ chains (raw
+    * and rotated, CTE prefix `r`) then replay identically, and both
+    * hit counts against the unrotated exact top-k ride the hash. */
+  private def pqRotRecallOracle(cfg: Pq.PqConfig, nQ: Int,
+                                k: Int): String = {
+    val r = Covariance.pcaRotationRRLocal(opqFixture, m = cfg.m)
+    def rowLit(row: Array[Double]): String =
+      row.map(_.toString).mkString("[", ", ", "]")
+    val comps = r.map(row =>
+      s"""list_reduce(list_transform(range(1, 65),
+         |      t -> v[t] * (${rowLit(row)})[t]), (x, y) -> x + y)""".stripMargin)
+      .mkString(",\n    ")
+    val rotDef = s"SELECT vec_id, [$comps] AS v FROM e"
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${pqAdcCtes(cfg, nQ)},
+      |${pqCodesCtes(cfg, pfx = "r", eDef = rotDef)},
+      |${pqAdcCtes(cfg, nQ, pfx = "r")},
+      |adc AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_x1e6, vec_id) AS rn
+      |  FROM adc_s) WHERE rn <= $k),
+      |radc AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_x1e6, vec_id) AS rn
+      |  FROM radc_s) WHERE rn <= $k),
+      |ex_d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(floor((${dotSql("e.v", "e.v")}
+      |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS d
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+      |  FROM ex_d) WHERE rn <= $k)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(adc.vec_id) AS BIGINT) AS adc_hits,
+      |  CAST(count(radc.vec_id) AS BIGINT) AS rot_hits
+      |FROM ex
+      |LEFT JOIN adc ON adc.query_id = ex.query_id
+      |  AND adc.vec_id = ex.vec_id
+      |LEFT JOIN radc ON radc.query_id = ex.query_id
+      |  AND radc.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
 
   /** The ADC shortlist CTE (`cand`, rn <= shortlist) plus the exact
     * rerank of the finalists — shared by q87 (the reranked top-k) and

@@ -110,6 +110,32 @@ class CovarianceSpec extends SparkSpec {
     val rot = recall(rotated)
     assert(rot > raw,
       s"rotated ADC recall $rot should beat raw $raw on anisotropic data")
+    // the q99 operator composes the same comparison in one frame
+    // (both hit counts against the unrotated exact baseline)
+    val q99 = Pq.adcRecallRotated(d, cfg, r, 20, 5)
+      .agg(sum(col("adc_hits")).as("u"), sum(col("rot_hits")).as("r"))
+      .collect()(0)
+    assert(q99.getLong(1) > q99.getLong(0),
+      s"adcRecallRotated: rot_hits ${q99.getLong(1)} should beat " +
+        s"adc_hits ${q99.getLong(0)} on anisotropic data")
+  }
+
+  test("pcaRotationRRLocal is the bit-identical twin of the " +
+    "distributed learner (the q99 oracle contract)") {
+    // uniform corpus is fine here: the claim is exact-arithmetic
+    // equality of the two learning paths, not rotation quality.
+    // Fixed-point Gram/mean sums are integers (order-independent),
+    // covariance assembly and Jacobi are the same driver code — so
+    // the rotations must match to the BIT, which is what lets q99
+    // embed the local R as oracle literals against a Spark-learned R.
+    val rows = corpus(300)
+    val local = Covariance.pcaRotationRRLocal(
+      rows.map(_._2.toArray).toArray, m = 8, dim, scaleBits)
+    val dist = Covariance.pcaRotationRR(
+      rows.toDF("vec_id", "embedding"), m = 8, dim, scaleBits)
+    assert(local.length == dist.length)
+    for (i <- local.indices)
+      assert(local(i).sameElements(dist(i)), s"rotation row $i differs")
   }
 
   test("covarianceMatrix is translation-invariant to quantization " +
