@@ -223,6 +223,22 @@ object IvfIndex {
     (df, k)
   }
 
+  /** [[sampleQuantizerDf]] with the cell size DERIVED from the corpus
+    * by the √n/nProbe law ([[ivfCellConfig]]) — the same one corpus
+    * count serves both the law and the k = ⌈n/c⌉ centroid cut, so
+    * auto-sizing costs no extra scan over the pinned form. Returns
+    * (centroids, k, derived cell size). */
+  def sampleQuantizerAutoDf(embeddings: DataFrame,
+                            nProbe: Int): (DataFrame, Long, Int) = {
+    val nz = nonZeroBase(embeddings)
+    val n = nz.count()
+    val cell = ivfCellConfig(n, nProbe)
+    val k = math.max(1L, math.ceil(n.toDouble / cell).toLong)
+    val df = nz.orderBy("vec_id").limit(k.toInt)
+      .select(col("vec_id").cast("long").as("cid"), col("v"))
+    (df, k, cell)
+  }
+
   /** The past-driver-scale quantizer: a hash-gated corpus sample AS a
     * DataFrame — every nonzero-norm vector whose id hashes into the
     * 1/targetCellSize gate becomes a centroid, cid = vec_id. Expected
@@ -419,20 +435,128 @@ object IvfIndex {
       for (_ <- 0 until iters) {
         val stats = lloydCellStatsBase(base, cents, chunkSize, kEstimate,
           scaleBits)
-        val means = stats
-          .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("pos"),
-            ((col("s_fp").cast("double") / lit(scale)) /
-              col("n_members").cast("double")).as("m")))).as("pm"))
-          .select(col("cell").as("cid"), col("pm").getField("m").as("mv"))
-        val next = graft.engine.Checkpoints.materialize(
-          cents.join(means, Seq("cid"), "left")
-            .select(col("cid"), coalesce(col("mv"), col("v")).as("v")))
+        // pin, not materialize: an iterative loop's per-round lineage
+        // otherwise nests (plan strings grow quadratically with
+        // rounds and OOM the driver in AQE's explainString — the BPE
+        // trainer hit exactly this); pin truncates to the block RDD
+        // and upgrades to a reliable checkpoint when
+        // graft.checkpoint.dir is set (the cluster story)
+        val next = graft.engine.Checkpoints.pin(
+          lloydUpdate(cents, stats, scale))
         prev.foreach(_.unpersist(blocking = false))
         prev = Some(next)
         cents = next
       }
       cents
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** The Lloyd update step shared by [[refineCentroidsDf]] and
+    * [[lloydTrainStats]]: means = (s_fp / 2^scaleBits) / n_members
+    * (both operands exact, one IEEE division each), assembled in pos
+    * order; empty cells keep their prior centroid (the left-join
+    * coalesce — [[train]]'s retention rule). */
+  private def lloydUpdate(cents: DataFrame, stats: DataFrame,
+                          scale: Double): DataFrame = {
+    val means = stats
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"),
+        ((col("s_fp").cast("double") / lit(scale)) /
+          col("n_members").cast("double")).as("m")))).as("pm"))
+      .select(col("cell").as("cid"), col("pm").getField("m").as("mv"))
+    cents.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("mv"), col("v")).as("v"))
+  }
+
+  /** The multi-iteration Lloyd train with every iteration's
+    * sufficient statistics EXPOSED — the q102 shape: (iter, cell,
+    * pos, n_members, s_fp) for iterations 1..iters, each the exact
+    * integer rows q82 gates for one step, so the whole training
+    * trajectory sits under the hash check (the oracle replays the
+    * chain as static CTEs: assign to c_{i−1}, sum the quantized
+    * longs, divide into means, retain empty cells, repeat). The
+    * quantizer seeds from the lowest-k sample
+    * ([[sampleQuantizerDf]]'s cut, inlined so the corpus is counted
+    * once); iteration i's stats frame is materialized once and serves
+    * both as output rows and as the update input. State per
+    * iteration: k·dim stat rows and k centroids — executor-resident,
+    * corpus size nowhere past the assignment. */
+  def lloydTrainStats(embeddings: DataFrame, targetCellSize: Int,
+                      iters: Int, chunkSize: Int = 4096,
+                      scaleBits: Int = 20): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(targetCellSize >= 1, "targetCellSize must be positive")
+    val scale = (1L << scaleBits).toDouble
+    val base = nonZeroBase(embeddings).select("vec_id", "v").cache()
+    try {
+      val n = base.count()
+      val k = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)
+      var cents = base.orderBy("vec_id").limit(k.toInt)
+        .select(col("vec_id").cast("long").as("cid"),
+          transform(col("v"), x => x.cast("double")).as("v"))
+      var out: Option[DataFrame] = None
+      for (it <- 1 to iters) {
+        // stats are pinned too: the output union and the next
+        // iteration's update both read them, and pinning keeps every
+        // iteration's plan constant-size (see refineCentroidsDf)
+        val stats = graft.engine.Checkpoints.pin(
+          lloydCellStatsBase(base, cents, chunkSize, Some(k), scaleBits))
+        val tagged = stats.withColumn("iter", lit(it))
+        out = Some(out.map(_.unionByName(tagged)).getOrElse(tagged))
+        if (it < iters)
+          cents = graft.engine.Checkpoints.pin(
+            lloydUpdate(cents, stats, scale))
+      }
+      out.get.select(col("iter").cast("int").as("iter"), col("cell"),
+          col("pos"), col("n_members"), col("s_fp"))
+        .orderBy("iter", "cell", "pos")
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** [[refineCentroidsDf]] with a FIXED-POINT stop: iterate until the
+    * per-(cell, pos) integer statistics repeat exactly — assignments
+    * stabilized, so every further sweep is a no-op — or maxIters.
+    * The check is an exact anti-join on the bounded (k·dim)-row stats
+    * frames, which integer accumulation makes meaningful in the first
+    * place (float means would never repeat bit-for-bit). Returns the
+    * refined centroids and the number of assignment sweeps run.
+    * Registered queries use the fixed-iteration forms (a static CTE
+    * chain needs a static depth); the converged form is the training
+    * entry point and is spec-pinned. */
+  def refineCentroidsConverged(embeddings: DataFrame,
+                               centroidsDf: DataFrame, maxIters: Int,
+                               chunkSize: Int = 4096,
+                               kEstimate: Option[Long] = None,
+                               scaleBits: Int = 20): (DataFrame, Int) = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val scale = (1L << scaleBits).toDouble
+    val base = nonZeroBase(embeddings).select("vec_id", "v").cache()
+    try {
+      var cents = centroidsDf.select(col("cid"),
+        transform(col("v"), x => x.cast("double")).as("v"))
+      var prevStats: Option[DataFrame] = None
+      var it = 0
+      var converged = false
+      while (it < maxIters && !converged) {
+        val stats = graft.engine.Checkpoints.pin(
+          lloydCellStatsBase(base, cents, chunkSize, kEstimate,
+            scaleBits))
+        converged = prevStats.exists { ps =>
+          // exact frame equality: same row count and no row of one
+          // absent from the other (rows are unique on (cell, pos))
+          ps.count() == stats.count() &&
+            ps.join(stats, Seq("cell", "pos", "n_members", "s_fp"),
+              "left_anti").isEmpty
+        }
+        it += 1
+        if (!converged) {
+          cents = graft.engine.Checkpoints.pin(
+            lloydUpdate(cents, stats, scale))
+          prevStats.foreach(_.unpersist(blocking = false))
+          prevStats = Some(stats)
+        }
+      }
+      (cents, it)
     } finally base.unpersist(blocking = false)
   }
 

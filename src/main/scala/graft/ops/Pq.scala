@@ -239,6 +239,43 @@ object Pq {
       embeddings, cents, kCells, cb, cfg, nProbe, nQueries, k, shortlist)
   }
 
+  /** [[ivfPqTopK]] with the coarse cell size derived from the corpus
+    * by the √n/nProbe law ([[IvfIndex.ivfCellConfig]]) — the serving
+    * default, so a caller never has to guess the knob that balances
+    * assignment (n²/c) against rerank (n·c·p²): both terms then grow
+    * as n^1.5·p at any corpus size. The pinned-cellSize form stays
+    * for stable regression rows (q89/q90/q94) and experiments.
+    * Auto-sizing reuses the quantizer's own corpus count
+    * ([[IvfIndex.sampleQuantizerAutoDf]]) — no extra scan. */
+  def ivfPqTopKAuto(embeddings: DataFrame, cfg: PqConfig, nProbe: Int,
+                    nQueries: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist smaller than k=$k")
+    val (cents, kCells, _) =
+      IvfIndex.sampleQuantizerAutoDf(embeddings, nProbe)
+    val cb = sampleCodebooks(embeddings, cfg)
+    serveFromIndexed(placeAndEncode(embeddings, cents, kCells, cb, cfg),
+      embeddings, cents, kCells, cb, cfg, nProbe, nQueries, k, shortlist)
+  }
+
+  /** Recall of the auto-sized IVF-PQ top-k against the exact top-k —
+    * [[ivfPqRecall]] through [[ivfPqTopKAuto]], so the derived-cell
+    * law itself sits under the hash check (the oracle rederives
+    * c = max(1, round(√n/nProbe)) from its own corpus count,
+    * q81-style). Output: (query_id, exact_k, ivfpq_hits). */
+  def ivfPqRecallAuto(embeddings: DataFrame, cfg: PqConfig, nProbe: Int,
+                      nQueries: Int, k: Int, shortlist: Int): DataFrame = {
+    val ex = exactL2TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val iv = ivfPqTopKAuto(embeddings, cfg, nProbe, nQueries, k,
+        shortlist)
+      .select(col("query_id").as("iq"), col("vec_id").as("iv"))
+    ex.join(iv, ex("query_id") === iv("iq") && ex("vec_id") === iv("iv"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("exact_k"), count(col("iv")).as("ivfpq_hits"))
+      .orderBy("query_id")
+  }
+
   /** One-pass (cell, vec_id, pq_code) placement: the code is computed
     * in the SAME projection as the assignment input and rides the
     * chunk join / per-vector merge as an assignViaJoin keepCol — no

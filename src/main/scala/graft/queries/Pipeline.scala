@@ -1589,6 +1589,20 @@ object Pipeline {
           .orderBy("cell", "pos")
       }),
 
+    // ── the Lloyd loop CLOSED: a 3-iteration distributed train whose
+    // whole trajectory — every sweep's assignment and integer
+    // sufficient statistics, plus the exact-division mean updates
+    // between them — replays as chained static CTEs. q82 gates one
+    // sweep; this gates the iteration itself (update feeding the next
+    // assignment, empty-cell retention included). The convergence-
+    // stopped form (refineCentroidsConverged — iterate until the
+    // integer stats repeat exactly) is the training entry point and
+    // is spec-pinned; a static CTE chain needs a static depth.
+    Q("q102_lloyd_train", "pipeline:ivf-lloyd-train",
+      Some(lloydTrainOracle(cellSize = 64, scaleBits = 20, iters = 3)),
+      (s, dir) => IvfIndex.lloydTrainStats(t(s, dir, "embeddings"),
+        targetCellSize = 64, iters = 3, chunkSize = 16)),
+
     // ── deterministic epoch shuffle + sharding: what a trainer
     // actually reads — q49's packed chunks, permuted by the
     // epoch-salted h60 and dealt into shard files with dense in-shard
@@ -1675,6 +1689,20 @@ object Pipeline {
         nQ = 20, k = 5, shortlist = 50)),
       (s, dir) => Pq.ivfPqRecall(t(s, dir, "embeddings"), PqDefault,
         cellSize = 64, nProbe = 4, nQueries = 20, k = 5, shortlist = 50)),
+
+    // ── the IVF-PQ serving DEFAULT: cell size derived from the
+    // corpus by the √n/nProbe law (ivfCellConfig — the same balance
+    // q81 gates for the dedup path), so assignment (n²/c) and rerank
+    // (n·c·p²) both grow as n^1.5·p at any corpus size instead of a
+    // pinned c=64 going n²/64 at 1e9 vectors. One corpus count feeds
+    // the law AND the centroid cut; the oracle rederives c from its
+    // own count, so the sizing law itself is hash-checked. q89/q90
+    // keep the pinned c=64 as stable regression rows.
+    Q("q101_ivfpq_auto_recall", "pipeline:ivfpq-auto-recall",
+      Some(ivfPqRecallAutoOracle(PqDefault, nProbe = 4, nQ = 20, k = 5,
+        shortlist = 50)),
+      (s, dir) => Pq.ivfPqRecallAuto(t(s, dir, "embeddings"), PqDefault,
+        nProbe = 4, nQueries = 20, k = 5, shortlist = 50)),
 
     // ── CCNet-style reference-overlap quality scoring: grade every
     // document by its distinct-trigram overlap with a designated
@@ -2442,7 +2470,7 @@ object Pipeline {
     * nProbe, candidates by cell co-residence, ADC over candidates
     * only (the shifted/masked-code join + j-ordered fold, as q85),
     * shortlist, exact rerank. */
-  private def ivfPqCtes(cfg: Pq.PqConfig, cellSize: Int, nProbe: Int,
+  private def ivfPqCtes(cfg: Pq.PqConfig, cellSizeSql: String, nProbe: Int,
                         nQ: Int, shortlist: Int): String = {
     val mask = (1 << cfg.bitsPerCode) - 1
     s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
@@ -2452,7 +2480,7 @@ object Pipeline {
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
       |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
-      |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
+      |        LIMIT (SELECT CAST(ceil(count(*) / ($cellSizeSql)) AS BIGINT)
       |               FROM nz))),
       |cdist AS (
       |  SELECT z.vec_id, c.cid,
@@ -2500,7 +2528,7 @@ object Pipeline {
   private def ivfPqTopKOracle(cfg: Pq.PqConfig, cellSize: Int, nProbe: Int,
                               nQ: Int, k: Int, shortlist: Int): String =
     s"""WITH ${pqCodesCtes(cfg)},
-      |${ivfPqCtes(cfg, cellSize, nProbe, nQ, shortlist)}
+      |${ivfPqCtes(cfg, s"$cellSize.0", nProbe, nQ, shortlist)}
       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, l2_x1e6 FROM (
       |  SELECT query_id, vec_id, l2_x1e6,
       |    row_number() OVER (PARTITION BY query_id
@@ -2514,7 +2542,7 @@ object Pipeline {
                                 nProbe: Int, nQ: Int, k: Int,
                                 shortlist: Int): String =
     s"""WITH ${pqCodesCtes(cfg)},
-      |${ivfPqCtes(cfg, cellSize, nProbe, nQ, shortlist)},
+      |${ivfPqCtes(cfg, s"$cellSize.0", nProbe, nQ, shortlist)},
       |ivk AS (SELECT query_id, vec_id FROM (
       |  SELECT query_id, vec_id,
       |    row_number() OVER (PARTITION BY query_id
@@ -2534,6 +2562,40 @@ object Pipeline {
       |FROM ex LEFT JOIN ivk ON ivk.query_id = ex.query_id
       |  AND ivk.vec_id = ex.vec_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** q101: [[ivfPqRecallOracle]] with the cell size REDERIVED from
+    * the oracle's own corpus count — the q81 pattern:
+    * c = greatest(1, floor(√n/nProbe + 0.5)) is Spark's
+    * max(1, round(√n/nProbe)) ([[graft.ops.IvfIndex.ivfCellConfig]]),
+    * evaluated over the same nonzero-norm base the quantizer cut
+    * uses, so the serving default's sizing law itself is under the
+    * hash. */
+  private def ivfPqRecallAutoOracle(cfg: Pq.PqConfig, nProbe: Int,
+                                    nQ: Int, k: Int,
+                                    shortlist: Int): String = {
+    val cellSql = s"greatest(1, floor(sqrt(count(*)) / $nProbe + 0.5))"
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${ivfPqCtes(cfg, cellSql, nProbe, nQ, shortlist)},
+      |ivk AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY l2_x1e6, vec_id) AS rn
+      |  FROM irr) WHERE rn <= $k),
+      |ex_d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(floor((${dotSql("e.v", "e.v")}
+      |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS d
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+      |  FROM ex_d) WHERE rn <= $k)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(ivk.vec_id) AS BIGINT) AS ivfpq_hits
+      |FROM ex LEFT JOIN ivk ON ivk.query_id = ex.query_id
+      |  AND ivk.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
 
   /** DuckDB SQL replaying [[Packing.packChunks]]'s chunk ids (the q49
     * prefix-sum CTEs) then [[Sharding.epochShards]]: the same
@@ -2602,6 +2664,70 @@ object Pipeline {
       |SELECT cell, pos, CAST(count(*) AS BIGINT) AS n_members,
       |  CAST(sum(q) AS BIGINT) AS s_fp
       |FROM qv GROUP BY cell, pos ORDER BY cell, pos""".stripMargin
+  }
+
+  /** q102: [[IvfIndex.lloydTrainStats]] replayed — the whole Lloyd
+    * TRAJECTORY as chained static CTEs. Per iteration i: assignment
+    * to c_{i−1} (the q82 argmin replay — c2 − 2·dot fold, (d, cid)
+    * tie-break), the quantized integer sufficient statistics st_i,
+    * and the update c_i = means (one exact division per entry,
+    * list-assembled in pos order) with empty cells retaining their
+    * prior centroid through the left-join coalesce. Every st_i rides
+    * the output with its iteration number, so a divergence at ANY
+    * sweep — assignment, accumulation, or update — breaks the hash. */
+  private def lloydTrainOracle(cellSize: Int, scaleBits: Int,
+                               iters: Int): String = {
+    val scale = (1L << scaleBits).toDouble
+    def c2Of(v: String): String =
+      s"list_reduce(list_transform($v, x -> x * x), (a, b) -> a + b)"
+    val header =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+        |nz AS (SELECT vec_id, v FROM n WHERE nrm > 0),
+        |c0 AS (
+        |  SELECT vec_id AS cid, v AS cv, ${c2Of("v")} AS c2
+        |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
+        |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
+        |               FROM nz)))""".stripMargin
+    val stages = (1 to iters).map { i =>
+      val update = if (i == iters) "" else s""",
+        |c$i AS (
+        |  SELECT cid, cv, ${c2Of("cv")} AS c2
+        |  FROM (
+        |    SELECT c.cid, coalesce(m.mv, c.cv) AS cv
+        |    FROM c${i - 1} c LEFT JOIN (
+        |      SELECT cell AS cid,
+        |        list((CAST(s_fp AS DOUBLE) / $scale) /
+        |          CAST(n_members AS DOUBLE) ORDER BY pos) AS mv
+        |      FROM st$i GROUP BY cell) m USING (cid)))""".stripMargin
+      s"""d$i AS (
+        |  SELECT z.vec_id, c.cid,
+        |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
+        |      t -> z.v[t] * c.cv[t]), (x, y) -> x + y) AS d
+        |  FROM nz z CROSS JOIN c${i - 1} c),
+        |rk$i AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        |  FROM d$i),
+        |av$i AS (SELECT vec_id, cid AS cell FROM rk$i WHERE r = 1),
+        |st$i AS (
+        |  SELECT cell, pos, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(q) AS BIGINT) AS s_fp
+        |  FROM (
+        |    SELECT a.cell, CAST(p.i AS INT) AS pos,
+        |      CAST(floor(z.v[p.i] * $scale + 0.5) AS BIGINT) AS q
+        |    FROM av$i a JOIN nz z USING (vec_id)
+        |    CROSS JOIN range(1, 65) p(i))
+        |  GROUP BY cell, pos)$update""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to iters)
+      .map(i => s"SELECT CAST($i AS INT) AS iter, cell, pos, n_members, s_fp FROM st$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $header,
+      |$stages
+      |SELECT iter, cell, pos, n_members, s_fp FROM (
+      |$union)
+      |ORDER BY iter, cell, pos""".stripMargin
   }
 
   /** DuckDB SQL replaying [[TextAnalysis.piiScrub]] — the same pattern

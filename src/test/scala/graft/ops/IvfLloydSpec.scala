@@ -170,6 +170,66 @@ class IvfLloydSpec extends SparkSpec {
       "this corpus (sample init is far from the fixed point)")
   }
 
+  test("refineCentroidsConverged stops at the exact integer fixed " +
+    "point, before maxIters, and its result IS a fixed point") {
+    // well-separated clusters so Lloyd settles fast: 4 far centers,
+    // 25 tight members each, one low-id seed per cluster
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian() * 20))
+    val rows = (0 until 100).map { id =>
+      val c = centers(id % 4)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val (c0, k) = IvfIndex.sampleQuantizerDf(d, 25)
+    val (refined, iters) = IvfIndex.refineCentroidsConverged(d, c0,
+      maxIters = 25, chunkSize = 16, kEstimate = Some(k),
+      scaleBits = ScaleBits)
+    assert(iters < 25, "should converge well before maxIters")
+    assert(iters >= 2, "fixed-point detection needs at least two sweeps")
+    // the result is a genuine fixed point: one more refinement sweep
+    // reproduces the centroids bit-for-bit (integer stats + exact
+    // divisions make this equality exact, not approximate)
+    val again = IvfIndex.refineCentroidsDf(d, refined, iters = 1,
+      chunkSize = 16, kEstimate = Some(k), scaleBits = ScaleBits)
+    val a = refined.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val b = again.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((cid1, v1), (cid2, v2)) =>
+      assert(cid1 == cid2)
+      assert(v1.sameElements(v2), s"centroid $cid1 moved after the " +
+        "declared fixed point")
+    }
+  }
+
+  test("a converged-refined quantizer feeds the IVF-PQ index build " +
+    "and serves identically to the direct placement path") {
+    val cfg = Pq.PqConfig(m = 8, ksub = 16, bitsPerCode = 4, dim = 64)
+    val (c0, k) = IvfIndex.sampleQuantizerDf(emb, 64)
+    val (refined, _) = IvfIndex.refineCentroidsConverged(emb, c0,
+      maxIters = 5, chunkSize = 16, kEstimate = Some(k),
+      scaleBits = ScaleBits)
+    val cb = Pq.sampleCodebooks(emb, cfg)
+    // build the serving index from the REFINED quantizer (the q94
+    // layout with a trained coarse stage), write/read through the
+    // bucketed store, and serve
+    val indexed = Pq.placeAndEncode(emb, refined, k, cb, cfg)
+      .select("cell", "vec_id", "pq_code")
+    val wh = tmpDir("lloyd-ivfpq-wh")
+    val table = graft.engine.TableStore.writeBucketed(indexed, wh,
+      "lloyd_cells", 4, Seq("cell"))
+    val fromIndex = Pq.ivfPqServe(spark.table(table), emb, refined, k,
+        cb, cfg, nProbe = 2, nQueries = 10, k = 5, shortlist = 30)
+      .orderBy("query_id", "rank").collect()
+    val direct = Pq.ivfPqServe(indexed, emb, refined, k, cb, cfg,
+        nProbe = 2, nQueries = 10, k = 5, shortlist = 30)
+      .orderBy("query_id", "rank").collect()
+    assert(fromIndex.length == direct.length && fromIndex.length > 0)
+    fromIndex.zip(direct).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("refined centroids drop into nearDupPairsViaJoin and recover " +
     "every planted pair") {
     val planted = Similarity.plantNearDups(emb, 50)
