@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 97, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 101, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -83,7 +83,12 @@ class QueriesSpec extends SparkSpec {
       // IVF-PQ runs the broadcast-chunk assignment join (q78's BNLJ)
       // for placement/probes plus the broadcast rerank fetch; q94
       // keeps the probe-side assignment join over the persisted index
-      "q89_ivfpq_topk", "q90_ivfpq_recall", "q94_ivfpq_indexed")
+      "q89_ivfpq_topk", "q90_ivfpq_recall", "q94_ivfpq_indexed",
+      // q99 runs the q86 ADC shape TWICE (raw + rotated corpus);
+      // q101 is q90's IVF-PQ shape with the derived cell size;
+      // q102 chains three q82 broadcast-chunk assignment joins
+      "q99_pq_rotated_recall", "q101_ivfpq_auto_recall",
+      "q102_lloyd_train")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
