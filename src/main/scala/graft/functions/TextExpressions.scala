@@ -165,6 +165,75 @@ object BpeApplyExpr {
   }
 }
 
+/** Adjacent symbol pairs of a spaced encoding, as "a b" strings — one
+  * entry per occurrence (overlaps counted, the classic BPE pair
+  * statistic). The Column formulation (`transform` over
+  * `split`/`sequence`) is a HigherOrderFunction, i.e. CodegenFallback:
+  * it ejects the trainer's per-round pair-count projection — the loop
+  * a 30k-merge train runs thousands of times over the whole
+  * vocabulary — from whole-stage codegen and evaluates the lambda
+  * interpreted per element. This kernel walks the string once per
+  * row inside codegen; eval and codegen share the JVM method.
+  *
+  * Null input produces null; single-symbol encodings produce an empty
+  * array (matching `when(size > 1, ...).otherwise(array())`). */
+case class BpeAdjacentPairsExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def prettyName: String = "bpe_adjacent_pairs"
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    BpeAdjacentPairsExpr.pairs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.BpeAdjacentPairsExpr.pairs($c);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeAdjacentPairsExpr {
+  /** The shared eval/codegen kernel: split the trimmed spaced
+    * encoding on single spaces, emit "t_i t_{i+1}" per adjacency. */
+  def pairs(spaced: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val t = spaced.toString.trim
+    if (t.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val toks = new java.util.ArrayList[String]()
+    var from = 0
+    var sp = t.indexOf(' ')
+    while (sp >= 0) {
+      toks.add(t.substring(from, sp))
+      from = sp + 1
+      sp = t.indexOf(' ', from)
+    }
+    toks.add(t.substring(from))
+    val n = toks.size
+    if (n <= 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.fromString(toks.get(i) + " " + toks.get(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** Column API for [[BpeApplyExpr]] over a raw word: spaced-encode
     * `word`, then apply `merges` ("a b" pairs in training order). */
@@ -177,4 +246,9 @@ object TextFunctions {
   def bpeMergeSpaced(spaced: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeApplyExpr(
       ColumnBridge.expression(spaced), merges.toArray, spaceInput = false))
+
+  /** Column API for [[BpeAdjacentPairsExpr]]. */
+  def bpeAdjacentPairs(spaced: Column): Column =
+    ColumnBridge.column(BpeAdjacentPairsExpr(
+      ColumnBridge.expression(spaced)))
 }

@@ -66,15 +66,14 @@ object Bpe {
 
   /** Adjacent symbol pairs of a spaced encoding, as "a b" strings —
     * one entry per occurrence (overlaps counted, the classic BPE
-    * statistic). Empty for single-symbol words. */
-  private[ops] def adjacentPairs(s: Column): Column = {
-    val syms = split(trim(s), " ")
-    when(size(syms) > 1,
-      transform(sequence(lit(1), size(syms) - 1),
-        j => concat(element_at(syms, j), lit(" "),
-          element_at(syms, j + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * statistic). Empty for single-symbol words. Backed by the
+    * [[graft.functions.BpeAdjacentPairsExpr]] codegen kernel: the
+    * original `transform` formulation was a HigherOrderFunction
+    * (CodegenFallback), which ejected the trainer's per-round
+    * pair-count projection — its hot loop — from whole-stage
+    * codegen. */
+  private[ops] def adjacentPairs(s: Column): Column =
+    graft.functions.TextFunctions.bpeAdjacentPairs(s)
 
   /** Apply a trained merge list to the corpus and count subwords per
     * document — the tokenizer APPLIED, closing the train→tokenize

@@ -106,6 +106,39 @@ class TextExpressionsSpec extends SparkSpec {
     assert(kernel == " é 日 😀 a ")
   }
 
+  test("bpeAdjacentPairs matches the transform-based Column " +
+    "formulation and keeps the pair-count projection in codegen") {
+    val cases = Seq(" a b c ", " x ", " aa a aa ", " a b a b ", "  ")
+    val df = cases.toDF("s")
+    val kernel = df.select(TextFunctions.bpeAdjacentPairs(col("s")))
+      .collect().map(_.getSeq[String](0))
+    // the original higher-order formulation, verbatim
+    val syms = split(trim(col("s")), " ")
+    val legacy = df.select(
+      when(size(syms) > 1,
+        transform(sequence(lit(1), size(syms) - 1),
+          j => concat(element_at(syms, j), lit(" "),
+            element_at(syms, j + 1))))
+        .otherwise(array().cast("array<string>")))
+      .collect().map(_.getSeq[String](0))
+    assert(kernel.toSeq == legacy.toSeq)
+    assert(kernel(0) == Seq("a b", "b c"))
+    assert(kernel(1) == Seq.empty)
+    assert(kernel(2) == Seq("aa a", "a aa"))
+    // codegen: the trainer's pair-count shape (explode over the
+    // kernel) must sit in a whole-stage-codegen stage, which the
+    // transform formulation never could (HigherOrderFunction is
+    // CodegenFallback)
+    val dir = tmpDir("bpe-pairs-scan")
+    df.write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .select(explode(TextFunctions.bpeAdjacentPairs(col("s"))).as("pair"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.trim.matches("""\*\(\d+\) Generate explode.*""")), plan.take(1500))
+    assert(!plan.contains("CodegenFallback"), plan.take(1500))
+  }
+
   test("bpeMergeSpaced applies merges to an existing spaced encoding " +
     "(the trainer's per-step rewrite)") {
     val got = Seq(" a b a b ", " a a a a a ", " x ").toDF("s")
