@@ -234,6 +234,97 @@ object BpeAdjacentPairsExpr {
   }
 }
 
+/** Word n-gram shingles from a tokenized words array — the corpus-
+  * sized projection under the entire shingle-dedup family (MinHash,
+  * n-gram Jaccard, fingerprints, contamination, repetition stats).
+  * The Column formulation (`transform` over `sequence` with
+  * per-element `element_at`s) is a HigherOrderFunction, i.e.
+  * CodegenFallback: every shingle costs n interpreted lambda-frame
+  * evaluations on every corpus row. This kernel walks the array once
+  * inside whole-stage codegen; eval and codegen share the JVM method.
+  *
+  * Exact-equivalence contract with the legacy formulation (spec-
+  * pinned): shingle i joins words[i..i+n-1] with single spaces
+  * (`UTF8String.concatWs` — the same kernel Catalyst's ConcatWs
+  * evaluates, nulls skipped identically); fewer than n words yields
+  * an empty array; `distinct=true` keeps first occurrences in order
+  * like `array_distinct` (binary equality). A side benefit: the
+  * kernel evaluates its CHILD once per row, so the O(words²)
+  * inline-tokenize hazard the Column form documented (no CSE inside
+  * lambda bodies) cannot arise. */
+case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def prettyName: String =
+    if (distinct) "word_shingles_distinct" else "word_shingles"
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShinglesExpr.shingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} =
+      |  graft.functions.WordShinglesExpr.shingles($c, $n, $distinct);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShinglesExpr {
+  private val Space = UTF8String.fromString(" ")
+  private val Empty =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+
+  /** The shared eval/codegen kernel. */
+  def shingles(words: org.apache.spark.sql.catalyst.util.ArrayData,
+               n: Int, distinct: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = words.numElements()
+    if (m < n) return Empty
+    val parts = new Array[UTF8String](n)
+    if (!distinct) {
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i + n <= m) {
+        var j = 0
+        while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Space, parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i + n <= m) {
+        var j = 0
+        while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(Space, parts: _*))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 object TextFunctions {
   /** Column API for [[BpeApplyExpr]] over a raw word: spaced-encode
     * `word`, then apply `merges` ("a b" pairs in training order). */
@@ -251,4 +342,9 @@ object TextFunctions {
   def bpeAdjacentPairs(spaced: Column): Column =
     ColumnBridge.column(BpeAdjacentPairsExpr(
       ColumnBridge.expression(spaced)))
+
+  /** Column API for [[WordShinglesExpr]]. */
+  def wordShingles(words: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(WordShinglesExpr(
+      ColumnBridge.expression(words), n, distinct))
 }

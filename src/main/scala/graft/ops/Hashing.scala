@@ -65,27 +65,20 @@ object Hashing {
   /** Distinct lowercase word set. */
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Distinct word 3-gram shingles from an already-materialized words
-    * column. IMPORTANT: pass a bound column (from a prior select), not
-    * an inline `tokens(text)` expression — Catalyst does no CSE inside
-    * lambda bodies, so an inline split would re-tokenize the whole text
-    * for every element access (O(words^2), measured 20x slower). */
+  /** Distinct word 3-gram shingles from a words column. Backed by the
+    * [[graft.functions.WordShinglesExpr]] codegen kernel (the
+    * `transform`-based formulation was CodegenFallback on the
+    * corpus-sized projection under every shingle-dedup operator; the
+    * kernel also evaluates the words child ONCE per row, so the old
+    * O(words²) inline-tokenize hazard — no CSE inside lambda bodies —
+    * is gone). First-occurrence order, like array_distinct. */
   def shinglesFromWords(w: Column): Column =
-    array_distinct(shinglesAllFromWords(w))
+    graft.functions.TextFunctions.wordShingles(w, 3, distinct = true)
 
   /** Non-distinct word 3-gram shingles (for repetition statistics —
-    * duplicates are the signal). Same plan-shape caveat as
-    * [[shinglesFromWords]]. */
-  def shinglesAllFromWords(w: Column): Column = {
-    val n = size(w)
-    when(n >= 3,
-      transform(sequence(lit(0), n - lit(3)), i =>
-        concat_ws(" ",
-          element_at(w, i + lit(1)),
-          element_at(w, i + lit(2)),
-          element_at(w, i + lit(3)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * duplicates are the signal). */
+  def shinglesAllFromWords(w: Column): Column =
+    graft.functions.TextFunctions.wordShingles(w, 3, distinct = false)
 
   /** Distinct word 3-gram shingles; empty array for texts < 3 words.
     * Portable twin of the oracle's

@@ -300,11 +300,12 @@ object TextAnalysis {
     // cached: the df aggregate and the join-back both re-derive from
     // the exploded window stream (same reason contamination caches)
     val wins = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      // L-gram windows via the codegen shingle kernel (the transform/
+      // slice/concat_ws formulation was CodegenFallback on this
+      // corpus-sized projection)
       .select(col("doc_id"), posexplode(
-        when(size(col("w")) >= L,
-          transform(sequence(lit(0), size(col("w")) - lit(L)),
-            i => concat_ws(" ", slice(col("w"), i + lit(1), lit(L)))))
-          .otherwise(array().cast("array<string>"))))
+        graft.functions.TextFunctions.wordShingles(col("w"), L,
+          distinct = false)))
       .toDF("doc_id", "pos", "s")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         h60(col("s")).as("h"))
@@ -401,11 +402,12 @@ object TextAnalysis {
       .withColumn("pos", col("pos").cast("long"))
       .cache()
     val wins = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      // L-gram windows via the codegen shingle kernel (the transform/
+      // slice/concat_ws formulation was CodegenFallback on this
+      // corpus-sized projection)
       .select(col("doc_id"), posexplode(
-        when(size(col("w")) >= L,
-          transform(sequence(lit(0), size(col("w")) - lit(L)),
-            i => concat_ws(" ", slice(col("w"), i + lit(1), lit(L)))))
-          .otherwise(array().cast("array<string>"))))
+        graft.functions.TextFunctions.wordShingles(col("w"), L,
+          distinct = false)))
       .toDF("doc_id", "pos", "s")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         key1(col("s")).as("h"), key2(col("s")).as("h2"))

@@ -139,6 +139,56 @@ class TextExpressionsSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan.take(1500))
   }
 
+  test("wordShingles matches the legacy transform formulations " +
+    "exactly (3-gram distinct/all, L-gram windows) and stays in " +
+    "codegen") {
+    val texts = Seq(
+      "the cat sat on the mat the cat sat",
+      "a b", "", "x y z", "w w w w w w",
+      "one two three four five six seven")
+    val df = texts.toDF("text")
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+    def legacy3(all: Boolean) = {
+      val base = when(size(col("w")) >= 3,
+        transform(sequence(lit(0), size(col("w")) - lit(3)), i =>
+          concat_ws(" ",
+            element_at(col("w"), i + lit(1)),
+            element_at(col("w"), i + lit(2)),
+            element_at(col("w"), i + lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      if (all) base else array_distinct(base)
+    }
+    def legacyL(l: Int) =
+      when(size(col("w")) >= l,
+        transform(sequence(lit(0), size(col("w")) - lit(l)),
+          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(l)))))
+        .otherwise(array().cast("array<string>"))
+    for ((kernel, legacy) <- Seq(
+      (TextFunctions.wordShingles(col("w"), 3, distinct = true),
+        legacy3(all = false)),
+      (TextFunctions.wordShingles(col("w"), 3, distinct = false),
+        legacy3(all = true)),
+      (TextFunctions.wordShingles(col("w"), 5, distinct = false),
+        legacyL(5)),
+      (TextFunctions.wordShingles(col("w"), 1, distinct = false),
+        legacyL(1)))) {
+      val got = df.select(kernel).collect().map(_.getSeq[String](0))
+      val want = df.select(legacy).collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq)
+    }
+    // the corpus projection stays inside a whole-stage-codegen stage
+    val dir = tmpDir("shingle-scan")
+    texts.toDF("text").write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(explode(TextFunctions.wordShingles(col("w"), 3,
+        distinct = true)).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.trim.matches("""\*\(\d+\) Generate explode.*""")), plan.take(1500))
+    assert(!plan.contains("CodegenFallback"), plan.take(1500))
+  }
+
   test("bpeMergeSpaced applies merges to an existing spaced encoding " +
     "(the trainer's per-step rewrite)") {
     val got = Seq(" a b a b ", " a a a a a ", " x ").toDF("s")
