@@ -22,6 +22,22 @@ object ProbeLloydServe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // `ladder` mode: q102's 3-iteration train over ScaleGen corpora
+    // (args: ladder <dir1> <dir2> ...) — the scale-law row. Per-sweep
+    // work is the n·k assignment; stats/update state is k·dim rows.
+    if (args.headOption.contains("ladder")) {
+      args.drop(1).foreach { d =>
+        val emb = graft.engine.Tables(spark, d, "embeddings")
+        val t0 = System.nanoTime()
+        val rows = IvfIndex.lloydTrainStats(emb, targetCellSize = 64,
+          iters = 3).count()
+        println(f"ladder $d: stats_rows=$rows " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     val e = graft.engine.Tables(spark, dir, "embeddings")
     val cfg = Pq.PqConfig(m = 8, ksub = 128, bitsPerCode = 7, dim = 64)
     val (nQ, k, shortlist) = (50, 5, 50)
