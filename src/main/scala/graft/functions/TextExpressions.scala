@@ -119,37 +119,40 @@ object BpeApplyExpr {
         i += n
       }
     } else {
-      val t = s.trim
-      if (t.nonEmpty) {
-        var from = 0
-        var sp = t.indexOf(' ')
-        while (sp >= 0) {
-          toks.add(t.substring(from, sp))
-          from = sp + 1
-          sp = t.indexOf(' ', from)
-        }
-        toks.add(t.substring(from))
-      }
+      TextKernels.splitSpaced(s, toks)
     }
-    // greedy scan per merge, in training order
+    // greedy scan per merge, in training order. copy-on-first-match:
+    // at the 30k-merge design point almost no merge occurs in any
+    // given word, and allocating + re-copying the token list per
+    // merge would dominate the kernel — scan for the first occurrence
+    // first, allocate only when one exists
     var m = 0
     while (m < lefts.length) {
       val a = lefts(m)
       val b = rights(m)
       val n = toks.size
       if (n > 1) {
-        val out = new java.util.ArrayList[String](n)
+        var first = -1
         var i = 0
-        while (i < n) {
-          if (i + 1 < n && toks.get(i) == a && toks.get(i + 1) == b) {
-            out.add(a + b)
-            i += 2
-          } else {
-            out.add(toks.get(i))
-            i += 1
-          }
+        while (first < 0 && i < n - 1) {
+          if (toks.get(i) == a && toks.get(i + 1) == b) first = i
+          i += 1
         }
-        toks = out
+        if (first >= 0) {
+          val out = new java.util.ArrayList[String](n)
+          var j = 0
+          while (j < first) { out.add(toks.get(j)); j += 1 }
+          while (j < n) {
+            if (j + 1 < n && toks.get(j) == a && toks.get(j + 1) == b) {
+              out.add(a + b)
+              j += 2
+            } else {
+              out.add(toks.get(j))
+              j += 1
+            }
+          }
+          toks = out
+        }
       }
       m += 1
     }
@@ -162,6 +165,32 @@ object BpeApplyExpr {
       i += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+}
+
+private[functions] object TextKernels {
+  /** Split a spaced encoding into tokens, stripping ONLY space
+    * characters at the boundaries — NOT java's String.trim, which
+    * strips every char <= U+0020 and would silently drop boundary
+    * control-char symbols (tokens() splits on \\s+, so non-\\s control
+    * chars like U+0001 are legitimate symbol content; Spark's trim()
+    * and DuckDB's trim() both strip spaces only, and the kernels must
+    * agree with both). Consecutive spaces never occur in well-formed
+    * encodings; tokens are never empty. */
+  def splitSpaced(s: String, out: java.util.ArrayList[String]): Unit = {
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    if (lo >= hi) return
+    var from = lo
+    var sp = s.indexOf(' ', lo)
+    while (sp >= 0 && sp < hi) {
+      out.add(s.substring(from, sp))
+      from = sp + 1
+      sp = s.indexOf(' ', from)
+    }
+    out.add(s.substring(from, hi))
   }
 }
 
@@ -204,22 +233,13 @@ case class BpeAdjacentPairsExpr(child: Expression)
 }
 
 object BpeAdjacentPairsExpr {
-  /** The shared eval/codegen kernel: split the trimmed spaced
-    * encoding on single spaces, emit "t_i t_{i+1}" per adjacency. */
+  /** The shared eval/codegen kernel: split the spaced encoding on
+    * single spaces (space-only boundary strip —
+    * [[TextKernels.splitSpaced]]), emit "t_i t_{i+1}" per
+    * adjacency. */
   def pairs(spaced: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val t = spaced.toString.trim
-    if (t.isEmpty)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        new Array[Any](0))
     val toks = new java.util.ArrayList[String]()
-    var from = 0
-    var sp = t.indexOf(' ')
-    while (sp >= 0) {
-      toks.add(t.substring(from, sp))
-      from = sp + 1
-      sp = t.indexOf(' ', from)
-    }
-    toks.add(t.substring(from))
+    TextKernels.splitSpaced(spaced.toString, toks)
     val n = toks.size
     if (n <= 1)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(

@@ -185,30 +185,61 @@ object Bpe {
     * Why disjoint batching is sound: merging pair (a, b) only
     * destroys adjacencies that involve symbol a or b and only creates
     * adjacencies involving the fused symbol "ab" — the weighted count
-    * of any pair sharing NO symbol with (a, b) is untouched. So the
-    * top-`batch` pairs that are mutually symbol-disjoint all still
-    * have their exact pre-round counts when applied together; only
-    * the (documented) interleaving with merges a strict trainer would
-    * have discovered mid-round differs.
+    * of any pair touching NONE of {a, b, ab} is untouched. So kept
+    * pairs that are mutually disjoint on that closure all apply at
+    * their exact pre-round counts in rank order (blocking the FUSED
+    * symbol matters: "ab" can also arise from a different split, and
+    * a later kept pair touching it would merge occurrences this round
+    * creates); only the (documented) interleaving with merges a
+    * strict trainer would have discovered mid-round differs.
     *
     * Deterministic, SQL-replayable selection: rank the round's pairs
     * by (total DESC, pair); restrict to the top-`candPool` candidates
     * (bounded driver state — the only thing collected per round, like
     * the strict trainer's single argmax row); walk the ranking,
-    * keeping a pair iff it shares no symbol with an already-kept
-    * pair, until `batch` are kept or candidates run out. The round
+    * keeping a pair iff neither of its symbols is among any
+    * already-kept pair's {a, b, ab}, until `batch` are kept or
+    * candidates run out. The round
     * structure is FIXED up front — ceil(steps/batch) rounds, round r
     * capped at min(batch, steps − (r−1)·batch) — so a conflict-heavy
     * round that keeps fewer merges does NOT shift later rounds, and
     * the oracle can replay the schedule as a static CTE chain. Kept
     * merges apply in rank order in ONE kernel projection
-    * ([[graft.functions.BpeApplyExpr]]); disjointness makes the
-    * sequential scans commute with the simultaneous application.
+    * ([[graft.functions.BpeApplyExpr]]); the {a, b, ab} closure
+    * guarantees each kept pair's scan sees exactly its pre-round
+    * occurrences, untouched by the earlier kept merges.
     *
     * Returns (step 1-based global, round 1-based, pair, total) with
     * totals measured at the ROUND start (exact for every kept pair,
     * per the disjointness argument). May return fewer than `steps`
     * rows when conflicts or exhaustion shrink rounds. */
+  /** The greedy symbol-disjoint selection walk of
+    * [[trainMergesBatched]], as a pure function (the oracle mirrors
+    * it as chained NOT-EXISTS CTEs): walk `cand` in rank order,
+    * keeping a pair iff neither of its symbols is in any earlier kept
+    * pair's {a, b, ab} closure. Blocking the FUSED symbol matters —
+    * "ab" can also arise from a different split (e.g. "abc" from
+    * ("a","bc") earlier and ("ab","c") now), and a later kept pair
+    * touching it would merge occurrences this round CREATES, so its
+    * pre-round count would no longer be exact. */
+  private[ops] def selectDisjoint(cand: Seq[(String, Long)],
+                                  cap: Int): Seq[(String, Long)] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    val it = cand.iterator
+    while (it.hasNext && kept.size < cap) {
+      val (pair, total) = it.next()
+      val Array(a, b) = pair.split(" ", 2)
+      if (!used(a) && !used(b)) {
+        kept += ((pair, total))
+        used += a
+        used += b
+        used += a + b
+      }
+    }
+    kept.toSeq
+  }
+
   def trainMergesBatched(docs: DataFrame, steps: Int, batch: Int,
                          candPool: Int = 0): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
@@ -236,19 +267,8 @@ object Bpe {
         .collect()
       if (cand.isEmpty) exhausted = true
       else {
-        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        val used = scala.collection.mutable.Set.empty[String]
-        var i = 0
-        while (i < cand.length && kept.size < cap) {
-          val pair = cand(i).getString(0)
-          val Array(a, b) = pair.split(" ", 2)
-          if (!used(a) && !used(b)) {
-            kept += ((pair, cand(i).getLong(1)))
-            used += a
-            used += b
-          }
-          i += 1
-        }
+        val kept = selectDisjoint(
+          cand.toSeq.map(r => (r.getString(0), r.getLong(1))), cap)
         kept.foreach { case (p, t) =>
           out += ((out.size + 1, round, p, t))
         }

@@ -216,10 +216,7 @@ object IvfIndex {
                         targetCellSize: Int): (DataFrame, Long) = {
     require(targetCellSize >= 1, "targetCellSize must be positive")
     val nz = nonZeroBase(embeddings)
-    val n = nz.count()
-    val k = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)
-    val df = nz.orderBy("vec_id").limit(k.toInt)
-      .select(col("vec_id").cast("long").as("cid"), col("v"))
+    val (df, k) = lowestKCut(nz, nz.count(), targetCellSize)
     (df, k)
   }
 
@@ -233,10 +230,20 @@ object IvfIndex {
     val nz = nonZeroBase(embeddings)
     val n = nz.count()
     val cell = ivfCellConfig(n, nProbe)
-    val k = math.max(1L, math.ceil(n.toDouble / cell).toLong)
+    val (df, k) = lowestKCut(nz, n, cell)
+    (df, k, cell)
+  }
+
+  /** The shared lowest-k centroid cut (cid = vec_id by relabeling
+    * invariance): k = ⌈n/cell⌉ over an already-counted nonzero
+    * base — one definition so the pinned and auto-sized quantizers
+    * can never desynchronize. */
+  private def lowestKCut(nz: DataFrame, n: Long,
+                         cellSize: Int): (DataFrame, Long) = {
+    val k = math.max(1L, math.ceil(n.toDouble / cellSize).toLong)
     val df = nz.orderBy("vec_id").limit(k.toInt)
       .select(col("vec_id").cast("long").as("cid"), col("v"))
-    (df, k, cell)
+    (df, k)
   }
 
   /** The past-driver-scale quantizer: a hash-gated corpus sample AS a

@@ -2288,8 +2288,9 @@ object Pipeline {
     * so the whole train unrolls: per round, one pair-count CTE, one
     * top-`pool` candidate CTE (the same bounded ranking the driver
     * collects), `cap` chained greedy-selection CTEs (s_j = the
-    * best-ranked candidate sharing no symbol with s_1..s_{j−1} — a
-    * NOT EXISTS over the kept union, exactly the driver's walk), and
+    * best-ranked candidate touching no symbol in any earlier kept
+    * pair's {a, b, ab} closure — a NOT EXISTS over the kept union,
+    * exactly the driver's walk), and
     * `cap` LEFT-JOIN scan stages applying the kept merges in rank
     * order (LEFT so an empty slot — conflict-shrunk round — passes
     * the vocab through). Output: (step, round, pair, total) with
@@ -2304,9 +2305,13 @@ object Pipeline {
           val kept = (1 until j)
             .map(x => s"SELECT a, b FROM s${r}_$x")
             .mkString(" UNION ALL ")
+          // the FUSED symbol kk.a || kk.b blocks too (the driver's
+          // {a, b, ab} closure): a candidate touching it would merge
+          // occurrences the earlier kept merge CREATES this round
           s"""
             |  WHERE NOT EXISTS (SELECT 1 FROM ($kept) kk
-            |    WHERE c.a IN (kk.a, kk.b) OR c.b IN (kk.a, kk.b))""".stripMargin
+            |    WHERE c.a IN (kk.a, kk.b, kk.a || kk.b)
+            |       OR c.b IN (kk.a, kk.b, kk.a || kk.b))""".stripMargin
         }
         s"""s${r}_$j AS (
           |  SELECT pair, total, a, b FROM c$r c$guard

@@ -17,7 +17,8 @@ import graft.ops.{Bpe, TextAnalysis}
   * since a real corpus's vocab grows sublinearly by Heaps' law). */
 object ProbeText {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.filterNot(_ == "batched-only").headOption
+      .getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

@@ -139,6 +139,43 @@ class TextExpressionsSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan.take(1500))
   }
 
+  test("boundary control-char symbols survive the kernels: only " +
+    "SPACES are stripped, like Spark trim / DuckDB trim — not " +
+    "java's String.trim") {
+    // tokens() splits on \s+, so non-\s control chars (e.g. \u0001)
+    // are legitimate symbol content; a java trim would strip one at
+    // an encoding boundary and silently delete the symbol
+    val enc = " \u0001 b "
+    val pairs = Seq(enc).toDF("s")
+      .select(TextFunctions.bpeAdjacentPairs(col("s")))
+      .collect()(0).getSeq[String](0)
+    assert(pairs == Seq("\u0001 b"))
+    // the legacy Column formulation agrees (split/trim strip spaces only)
+    val syms = split(trim(col("s")), " ")
+    val legacy = Seq(enc).toDF("s")
+      .select(when(size(syms) > 1,
+        transform(sequence(lit(1), size(syms) - 1),
+          j => concat(element_at(syms, j), lit(" "),
+            element_at(syms, j + 1))))
+        .otherwise(array().cast("array<string>")))
+      .collect()(0).getSeq[String](0)
+    assert(pairs == legacy)
+    // merge application: the control-char token is preserved verbatim
+    val merged = Seq(enc).toDF("s")
+      .select(TextFunctions.bpeMergeSpaced(col("s"), Seq("\u0001 b")))
+      .collect()(0).getString(0)
+    assert(merged == " \u0001b ")
+    val identity = Seq(enc).toDF("s")
+      .select(TextFunctions.bpeMergeSpaced(col("s"), Seq("x y")))
+      .collect()(0).getString(0)
+    assert(identity == enc)
+    // raw-word spacing path too
+    val spaced = Seq("\u0001b").toDF("w")
+      .select(TextFunctions.bpeEncode(col("w"), Seq.empty))
+      .collect()(0).getString(0)
+    assert(spaced == " \u0001 b ")
+  }
+
   test("wordShingles matches the legacy transform formulations " +
     "exactly (3-gram distinct/all, L-gram windows) and stays in " +
     "codegen") {

@@ -141,6 +141,27 @@ class BpeSpec extends SparkSpec {
     assert(strict.toSeq == Seq((1, "a a"), (2, "a b")))
   }
 
+  test("batched selection blocks a candidate touching a kept pair's " +
+    "FUSED symbol (the different-split hazard)") {
+    // 'abc' can exist as a symbol from an earlier ('a','bc') merge
+    // while ('ab','c') is merged NOW: keeping ('ab','c') creates new
+    // 'abc' tokens mid-round, so ('abc','d') — string-disjoint from
+    // {ab, c} — must NOT be kept at its pre-round count
+    val kept = Bpe.selectDisjoint(Seq(
+      ("ab c", 10L),   // keep: rank 1; closure {ab, c, abc}
+      ("abc d", 8L),   // BLOCKED: touches the fused 'abc'
+      ("x abc", 7L),   // BLOCKED: right symbol is fine, left... x free,
+                       // but 'abc' on the right is fused — blocked
+      ("x y", 6L),     // keep: fully disjoint; closure adds {x, y, xy}
+      ("c d", 5L),     // BLOCKED: 'c' used by rank 1
+      ("d e", 4L)      // keep: d and e untouched
+    ), cap = 3)
+    assert(kept == Seq(("ab c", 10L), ("x y", 6L), ("d e", 4L)))
+    // cap truncates the walk even with eligible candidates left
+    assert(Bpe.selectDisjoint(Seq(("a b", 3L), ("c d", 2L), ("e f", 1L)),
+      cap = 2) == Seq(("a b", 3L), ("c d", 2L)))
+  }
+
   test("batched batch=1 reproduces the strict trainer's merge " +
     "sequence exactly") {
     val d = docs("aaa aaa ab", "to to to xyz")
