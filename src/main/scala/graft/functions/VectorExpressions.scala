@@ -877,6 +877,136 @@ case class PqAdcScoreExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused int8 symmetric quantization: per-vector scale = max |x| and
+  * the quantized codes floor(x/scale·127 + 0.5), in ONE array walk
+  * returning struct(q_scale double, q_emb array<int>).
+  *
+  * The Column formulation needed two corpus-sized `transform`
+  * projections (abs for the max, then the quantize lambda) — both
+  * HigherOrderFunctions, i.e. CodegenFallback, and the scale had to
+  * be materialized in a separate select first because Catalyst does
+  * no CSE inside lambda bodies. The kernel keeps the stage in
+  * whole-stage codegen and reads the input once. IEEE order matches
+  * the legacy Columns and the q56 oracle exactly: abs on the widened
+  * double, left-assoc ((x/s)·127)+0.5 under floor, zero-scale rows
+  * quantize to all-zero codes. Null array produces null; elements
+  * assumed non-null (embedding vectors). */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "quantize_int8"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("q_scale", DoubleType, nullable = false),
+    StructField("q_emb", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_int8 expects array<float|double>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeInt8Expr.quantize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} =
+      |  graft.functions.QuantizeInt8Expr.quantize($c, $isFloat);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeInt8Expr {
+  /** The shared eval/codegen kernel. */
+  def quantize(v: ArrayData,
+               isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = math.abs(x(i))
+      if (a > s) s = a
+      i += 1
+    }
+    val q = new Array[Int](n)
+    if (s != 0.0) {
+      i = 0
+      while (i < n) {
+        q(i) = math.floor(x(i) / s * 127.0 + 0.5).toInt
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+}
+
+/** Inverse of [[QuantizeInt8Expr]]: q·scale/127 per element, one walk
+  * (the Column `transform` form was CodegenFallback). Same IEEE order
+  * as the legacy lambda and the q56 oracle: (q·s)/127. */
+case class DequantizeInt8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "dequantize_int8"
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType | LongType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dequantize_int8 expects (array<int|bigint>, double), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  @transient private lazy val isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(q: Any, s: Any): Any =
+    DequantizeInt8Expr.dequantize(q.asInstanceOf[ArrayData],
+      s.asInstanceOf[Double], isLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, s) => s"""
+      |${ev.value} =
+      |  graft.functions.DequantizeInt8Expr.dequantize($q, $s, $isLong);
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DequantizeInt8Expr {
+  /** The shared eval/codegen kernel. */
+  def dequantize(q: ArrayData, s: Double, isLong: Boolean): ArrayData = {
+    val n = q.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val qi = if (isLong) q.getLong(i).toDouble else q.getInt(i).toDouble
+      out(i) = qi * s / 127.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
@@ -920,4 +1050,13 @@ object VectorFunctions {
     ColumnBridge.column(PqAdcScoreExpr(
       ColumnBridge.expression(lut), ColumnBridge.expression(code),
       m, ksub, bitsPerCode))
+
+  /** Column API for [[QuantizeInt8Expr]]. */
+  def quantizeInt8(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(v)))
+
+  /** Column API for [[DequantizeInt8Expr]]. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    ColumnBridge.column(DequantizeInt8Expr(
+      ColumnBridge.expression(q), ColumnBridge.expression(scale)))
 }

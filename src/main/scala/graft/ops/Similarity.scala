@@ -65,28 +65,25 @@ object Similarity {
     * fetch full precision for finalists only). Floor-based round-half-up
     * everywhere — no round-half-even — so quantize→dequantize→score is
     * oracle-exact. */
-  def quantizeInt8(embeddings: DataFrame): DataFrame = {
-    // scale materialized FIRST: Catalyst does no CSE inside lambda
-    // bodies (see Hashing.shinglesFromWords), so referencing the
-    // array_max expression inside the transform would recompute it per
-    // element — O(dim^2) interpreted work per row
-    val withScale = embeddings.select(col("vec_id"), col("label"),
-      col("embedding"),
-      array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-        .as("q_scale"))
-    withScale.select(col("vec_id"), col("label"), col("q_scale"),
-      transform(col("embedding"), x =>
-        when(col("q_scale") === 0d, lit(0L))
-          .otherwise(floor(x.cast("double") / col("q_scale") * 127d + 0.5d))
-          .cast("int")).as("q_emb"))
-  }
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    // fused codegen kernel: scale AND codes in one array walk (the
+    // two-transform Column form was CodegenFallback on a corpus-sized
+    // projection, and needed the scale materialized in a separate
+    // select because Catalyst does no CSE inside lambda bodies)
+    embeddings.select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.quantizeInt8(col("embedding"))
+          .as("q"))
+      .select(col("vec_id"), col("label"),
+        col("q").getField("q_scale").as("q_scale"),
+        col("q").getField("q_emb").as("q_emb"))
 
   /** Inverse of [[quantizeInt8]]: double embedding reconstructed as
-    * q * scale / 127 (same evaluation order as the oracle SQL). */
+    * q * scale / 127 (same evaluation order as the oracle SQL; one
+    * codegen walk). */
   def dequantizeInt8(quantized: DataFrame): DataFrame =
     quantized.select(col("vec_id"), col("label"),
-      transform(col("q_emb"),
-        i => i.cast("double") * col("q_scale") / 127d).as("embedding"))
+      graft.functions.VectorFunctions.dequantizeInt8(
+        col("q_emb"), col("q_scale")).as("embedding"))
 
   /** Threshold where LSH candidate generation starts beating exact
     * blocked all-pairs. Below it, bands narrow enough to keep recall

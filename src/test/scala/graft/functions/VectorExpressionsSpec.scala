@@ -213,4 +213,45 @@ class VectorExpressionsSpec extends SparkSpec {
     }.sorted
     assert(r.map(s => (s.getDouble(0), s.getLong(1))) == exp2)
   }
+
+  test("quantizeInt8/dequantizeInt8 kernels match the legacy " +
+    "transform formulations exactly and stay in codegen") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 50).map(i => (i.toLong, s"l$i",
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1))) :+
+      ((50L, "zero", Seq.fill(64)(0.0f))) // zero-scale row
+    val df = rows.toDF("vec_id", "label", "embedding")
+    // legacy Column forms, verbatim
+    val legacyQ = df.select(col("vec_id"), col("label"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          .as("q_scale"))
+      .select(col("vec_id"), col("label"), col("q_scale"),
+        transform(col("embedding"), x =>
+          when(col("q_scale") === 0d, lit(0L))
+            .otherwise(floor(x.cast("double") / col("q_scale") * 127d + 0.5d))
+            .cast("int")).as("q_emb"))
+    val kernelQ = graft.ops.Similarity.quantizeInt8(df)
+    val lq = legacyQ.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getSeq[Int](3)))
+    val kq = kernelQ.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getSeq[Int](3)))
+    assert(lq.toSeq == kq.toSeq)
+    val legacyD = legacyQ.select(col("vec_id"),
+        transform(col("q_emb"),
+          i => i.cast("double") * col("q_scale") / 127d).as("embedding"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val kernelD = graft.ops.Similarity.dequantizeInt8(kernelQ)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](2))
+    assert(legacyD.toSeq == kernelD.toSeq)
+    // codegen: the corpus projection sits inside a WSCG stage
+    val dir = tmpDir("quant-scan")
+    df.write.mode("overwrite").parquet(dir)
+    val plan = graft.ops.Similarity.quantizeInt8(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.matches(""".*\*\(\d+\) Project .*quantize_int8.*""")),
+      plan.take(1500))
+    assert(!plan.contains("CodegenFallback"), plan.take(1500))
+  }
 }
