@@ -18,8 +18,10 @@ import graft.functions.VectorFunctions.dotProduct
 object Similarity {
 
   /** Cast float embedding to double elementwise (exact) for stable math.
-    * (Only needed at API boundaries; [[dot]] widens floats itself.) */
-  def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
+    * (Only needed at API boundaries; [[dot]] widens floats itself.)
+    * A native array cast, not `transform(_.cast)` — Cast is
+    * codegen-capable where the higher-order form is CodegenFallback. */
+  def asDouble(emb: Column): Column = emb.cast("array<double>")
 
   /** Sequential-fold dot product: ((0 + x1*y1) + x2*y2) + ... — matches
     * DuckDB's list_reduce over the zipped product list bit-for-bit.
