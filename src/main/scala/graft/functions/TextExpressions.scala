@@ -47,7 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * other occurrence within each island of consecutive positions.
   */
 case class BpeApplyExpr(child: Expression,
-                        merges: Array[String],
+                        merges: Seq[String],
                         spaceInput: Boolean)
     extends UnaryExpression {
 
@@ -85,7 +85,12 @@ case class BpeApplyExpr(child: Expression,
 }
 
 object BpeApplyExpr {
-  private[functions] def split(merges: Array[String]): (Array[String], Array[String]) = {
+  // Seq in, arrays out: the constructor carries Seq[String] so the
+  // case-class equals/hashCode are structural (a JVM array compares by
+  // reference, defeating Catalyst canonicalization / semanticEquals /
+  // subexpression elimination); the codegen reference objects stay
+  // flat arrays for the tight scan loop.
+  private[functions] def split(merges: Seq[String]): (Array[String], Array[String]) = {
     val l = new Array[String](merges.length)
     val r = new Array[String](merges.length)
     var i = 0
@@ -350,13 +355,13 @@ object TextFunctions {
     * `word`, then apply `merges` ("a b" pairs in training order). */
   def bpeEncode(word: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeApplyExpr(
-      ColumnBridge.expression(word), merges.toArray, spaceInput = true))
+      ColumnBridge.expression(word), merges, spaceInput = true))
 
   /** Column API for [[BpeApplyExpr]] over an existing spaced
     * encoding — the trainer's per-step rewrite. */
   def bpeMergeSpaced(spaced: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeApplyExpr(
-      ColumnBridge.expression(spaced), merges.toArray, spaceInput = false))
+      ColumnBridge.expression(spaced), merges, spaceInput = false))
 
   /** Column API for [[BpeAdjacentPairsExpr]]. */
   def bpeAdjacentPairs(spaced: Column): Column =

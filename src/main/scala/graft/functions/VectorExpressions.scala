@@ -890,7 +890,16 @@ case class PqAdcScoreExpr(left: Expression, right: Expression,
   * the legacy Columns and the q56 oracle exactly: abs on the widened
   * double, left-assoc ((x/s)·127)+0.5 under floor, zero-scale rows
   * quantize to all-zero codes. Null array produces null; elements
-  * assumed non-null (embedding vectors). */
+  * assumed non-null (embedding vectors).
+  *
+  * Degenerate-input contract (diverges from the replaced `array_max`
+  * Columns — fine for the non-empty finite embeddings this serves,
+  * stated here so no caller assumes parity): an EMPTY array yields
+  * q_scale = 0.0 and empty codes (array_max gave NULL, nulling the
+  * whole struct), and NaN elements are ignored by the max loop
+  * (`NaN > acc` is false), so an all-NaN vector also takes the
+  * zero-scale path (array_max treats NaN as greatest, giving a NaN
+  * scale and all-zero codes via NaN-comparison floors). */
 case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "quantize_int8"

@@ -160,13 +160,21 @@ object Bpe {
         val pair = best(0).getString(0)
         val total = best(0).getLong(1)
         merges += ((step, pair, total))
-        vocab = vocab.select(
+        val next = vocab.select(
           graft.functions.TextFunctions.bpeMergeSpaced(
             col("s"), Seq(pair)).as("s"), col("cnt"))
           .localCheckpoint(true)
+        // free the superseded round's blocks NOW (Dataset.unpersist
+        // is a no-op on checkpointed frames; waiting for the
+        // ContextCleaner strands one vocab copy per merge — at
+        // production step counts that is thousands of copies)
+        graft.engine.Checkpoints.release(vocab)
+        vocab = next
         step += 1
       }
     }
+    // the result is driver rows; the final vocab pin is loop-internal
+    graft.engine.Checkpoints.release(vocab)
     merges.toSeq.toDF("step", "pair", "total")
       .select(col("step").cast("int").as("step"), col("pair"),
         col("total").cast("long").as("total"))
@@ -212,7 +220,29 @@ object Bpe {
     * Returns (step 1-based global, round 1-based, pair, total) with
     * totals measured at the ROUND start (exact for every kept pair,
     * per the disjointness argument). May return fewer than `steps`
-    * rows when conflicts or exhaustion shrink rounds. */
+    * rows when conflicts or exhaustion shrink rounds — shrunk rounds
+    * do NOT backfill (the fixed schedule is what lets the oracle
+    * replay the rounds as static CTEs).
+    *
+    * Conflict worst case, stated plainly: every candidate shares a
+    * symbol with the rank-1 keep. A HUB corpus — one symbol adjacent
+    * to everything, e.g. the word "abacadae", where every adjacent
+    * symbol pair contains "a" — keeps exactly ONE merge per round
+    * whatever `batch` is, for as long as the hub dominates the pool:
+    * the rank-1 keep's {a, x, ax} closure blocks everything else, so
+    * batched training degrades to strict training's round count while
+    * still paying the `candPool`-row ranking per round, and the
+    * result has `rounds` rows instead of `steps`. (A plain chain
+    * "a b c d e" is NOT the worst case — blocked candidates don't
+    * block each other, so alternating pairs survive. And the
+    * degradation is self-limiting: fused symbols like "ab"/"ac" are
+    * new symbols that eventually pair with EACH OTHER, recovering
+    * parallelism in later rounds.) `candPool` cannot help: a deeper
+    * pool only adds candidates the closure already blocks. Real
+    * corpora sit far from this (PLANS.md measures 22/24 kept at
+    * batch=8); size `candPool` for the DIVERSITY of the top pairs
+    * (8·batch default), not against hubs. BpeSpec pins the
+    * adversarial case. */
   /** The greedy symbol-disjoint selection walk of
     * [[trainMergesBatched]], as a pure function (the oracle mirrors
     * it as chained NOT-EXISTS CTEs): walk `cand` in rank order,
@@ -272,13 +302,18 @@ object Bpe {
         kept.foreach { case (p, t) =>
           out += ((out.size + 1, round, p, t))
         }
-        vocab = vocab.select(
+        val next = vocab.select(
           graft.functions.TextFunctions.bpeMergeSpaced(
             col("s"), kept.map(_._1).toSeq).as("s"), col("cnt"))
           .localCheckpoint(true)
+        // see trainMerges: release the superseded round's vocab pin
+        // eagerly, one stranded copy per round otherwise
+        graft.engine.Checkpoints.release(vocab)
+        vocab = next
         round += 1
       }
     }
+    graft.engine.Checkpoints.release(vocab)
     out.toSeq.toDF("step", "round", "pair", "total")
       .select(col("step").cast("int").as("step"),
         col("round").cast("int").as("round"), col("pair"),

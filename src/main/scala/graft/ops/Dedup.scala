@@ -33,10 +33,15 @@ object Dedup {
       .select("doc_id")
 
   /** Per-doc distinct shingle arrays (doc_id, sh) — words materialized
-    * first so tokenization runs once per doc (see shinglesFromWords). */
+    * first so tokenization runs once per doc (see shinglesFromWords).
+    * Null-text docs get an EMPTY array, not null: this keeps the
+    * pre-kernel contract (the shingle kernel propagates null; the
+    * coalesce restores `[]` at this non-exploding boundary). */
   def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
+      .select(col("doc_id"),
+        coalesce(shinglesFromWords(col("w")),
+          array().cast("array<string>")).as("sh"))
 
   /** Per-doc distinct 3-gram shingles, exploded (doc_id, shingle).
     * This is the inverted index: at scale it shuffles once on shingle.
@@ -376,6 +381,9 @@ object Dedup {
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
+    // edges is materialized; the pinned edge list served its purpose
+    // (Dataset.unpersist would be a no-op on it — Checkpoints.release)
+    graft.engine.Checkpoints.release(pairRows)
 
     // labels co-partitioned with edges: reduceByKey(part, ...) keeps the
     // partitioner, so every round's join below is narrow

@@ -71,12 +71,22 @@ object Hashing {
     * corpus-sized projection under every shingle-dedup operator; the
     * kernel also evaluates the words child ONCE per row, so the old
     * O(words²) inline-tokenize hazard — no CSE inside lambda bodies —
-    * is gone). First-occurrence order, like array_distinct. */
+    * is gone). First-occurrence order, like array_distinct.
+    *
+    * Null contract: a NULL words column yields NULL (standard
+    * null propagation), NOT the empty array the pre-kernel
+    * `when(size(w) >= 3, ...).otherwise(array())` form produced.
+    * Exploding callers are unaffected (explode drops both); a caller
+    * that KEEPS the array and needs the old `[]`-for-null behavior
+    * must coalesce at its own boundary ([[graft.ops.Dedup.shingleSets]]
+    * does). `tokens(text)` is itself null for null text, so the
+    * contract surfaces exactly on null-text documents. */
   def shinglesFromWords(w: Column): Column =
     graft.functions.TextFunctions.wordShingles(w, 3, distinct = true)
 
   /** Non-distinct word 3-gram shingles (for repetition statistics —
-    * duplicates are the signal). */
+    * duplicates are the signal). Same null contract as
+    * [[shinglesFromWords]]: null words yield null. */
   def shinglesAllFromWords(w: Column): Column =
     graft.functions.TextFunctions.wordShingles(w, 3, distinct = false)
 

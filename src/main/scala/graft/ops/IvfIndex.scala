@@ -450,7 +450,10 @@ object IvfIndex {
         // graft.checkpoint.dir is set (the cluster story)
         val next = graft.engine.Checkpoints.pin(
           lloydUpdate(cents, stats, scale))
-        prev.foreach(_.unpersist(blocking = false))
+        // the superseded pin is safe to free once `next` materialized
+        // (pin is eager); Dataset.unpersist would be a silent no-op
+        // here — see Checkpoints.release
+        prev.foreach(graft.engine.Checkpoints.release)
         prev = Some(next)
         cents = next
       }
@@ -502,18 +505,29 @@ object IvfIndex {
         .select(col("vec_id").cast("long").as("cid"),
           transform(col("v"), x => x.cast("double")).as("v"))
       var out: Option[DataFrame] = None
+      var prevCents: Option[DataFrame] = None
       for (it <- 1 to iters) {
         // stats are pinned too: the output union and the next
         // iteration's update both read them, and pinning keeps every
-        // iteration's plan constant-size (see refineCentroidsDf)
+        // iteration's plan constant-size (see refineCentroidsDf).
+        // The stats pins are NOT released here — the returned frame
+        // reads them lazily; a caller retiring the result releases
+        // them all at once with Checkpoints.release(result). The
+        // superseded cents pins ARE loop-internal and freed as soon
+        // as their successor materializes.
         val stats = graft.engine.Checkpoints.pin(
           lloydCellStatsBase(base, cents, chunkSize, Some(k), scaleBits))
         val tagged = stats.withColumn("iter", lit(it))
         out = Some(out.map(_.unionByName(tagged)).getOrElse(tagged))
-        if (it < iters)
-          cents = graft.engine.Checkpoints.pin(
+        if (it < iters) {
+          val next = graft.engine.Checkpoints.pin(
             lloydUpdate(cents, stats, scale))
+          prevCents.foreach(graft.engine.Checkpoints.release)
+          prevCents = Some(next)
+          cents = next
+        }
       }
+      prevCents.foreach(graft.engine.Checkpoints.release)
       out.get.select(col("iter").cast("int").as("iter"), col("cell"),
           col("pos"), col("n_members"), col("s_fp"))
         .orderBy("iter", "cell", "pos")
@@ -538,16 +552,25 @@ object IvfIndex {
     require(maxIters >= 1, "maxIters must be >= 1")
     val scale = (1L << scaleBits).toDouble
     val base = nonZeroBase(embeddings).select("vec_id", "v").cache()
+    // every pin this loop takes is released before return, on BOTH
+    // exits (converged and maxIters): the stats frames (prev and
+    // last), and each superseded cents pin once its successor
+    // materializes. Only the RETURNED cents keeps its pin — the
+    // caller owns it (IvfLloydSpec pins the ledger:
+    // getPersistentRDDs grows by at most that one entry).
+    var prevStats: Option[DataFrame] = None
+    var lastStats: Option[DataFrame] = None
     try {
       var cents = centroidsDf.select(col("cid"),
         transform(col("v"), x => x.cast("double")).as("v"))
-      var prevStats: Option[DataFrame] = None
+      var prevCents: Option[DataFrame] = None
       var it = 0
       var converged = false
       while (it < maxIters && !converged) {
         val stats = graft.engine.Checkpoints.pin(
           lloydCellStatsBase(base, cents, chunkSize, kEstimate,
             scaleBits))
+        lastStats = Some(stats)
         converged = prevStats.exists { ps =>
           // exact frame equality: same row count and no row of one
           // absent from the other (rows are unique on (cell, pos))
@@ -557,14 +580,22 @@ object IvfIndex {
         }
         it += 1
         if (!converged) {
-          cents = graft.engine.Checkpoints.pin(
+          val next = graft.engine.Checkpoints.pin(
             lloydUpdate(cents, stats, scale))
-          prevStats.foreach(_.unpersist(blocking = false))
+          prevCents.foreach(graft.engine.Checkpoints.release)
+          prevCents = Some(next)
+          cents = next
+          prevStats.foreach(graft.engine.Checkpoints.release)
           prevStats = Some(stats)
+          lastStats = None
         }
       }
       (cents, it)
-    } finally base.unpersist(blocking = false)
+    } finally {
+      base.unpersist(blocking = false)
+      prevStats.foreach(graft.engine.Checkpoints.release)
+      lastStats.foreach(graft.engine.Checkpoints.release)
+    }
   }
 
   /** [[nearDupPairs]] with the quantizer supplied as a DataFrame and

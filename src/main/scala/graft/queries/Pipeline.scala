@@ -1849,10 +1849,14 @@ object Pipeline {
     // top-pool candidate ranking, the greedy symbol-disjoint
     // selection walk, and the in-rank-order scan rewrites — all as
     // static CTEs, so the hash gate pins batching end to end.
+    // candPool is passed EXPLICITLY (not left to the 8·batch driver
+    // default) so the Spark side and the oracle's hardcoded pool stay
+    // coupled at the call site — a future default change cannot
+    // silently desynchronize them until the hash gate trips.
     Q("q100_bpe_batched", "pipeline:bpe-train-batched",
       Some(bpeBatchedOracle(steps = 8, batch = 3, pool = 24)),
       (s, dir) => Bpe.trainMergesBatched(docsF(s, dir), steps = 8,
-        batch = 3).orderBy("step")))
+        batch = 3, candPool = 24).orderBy("step")))
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).

@@ -91,8 +91,9 @@ object StreamingDedup {
         warehouse, table, Seq("batch_id"))
     }
     // the pin is batch-internal: release it or a long-running session
-    // accrues a block-store entry per micro-batch
-    fresh.unpersist(blocking = false)
+    // accrues a block-store entry per micro-batch (Dataset.unpersist
+    // would be a silent no-op on a pinned frame — Checkpoints.release)
+    graft.engine.Checkpoints.release(fresh)
   }
 
   /** Drain everything currently in the source (Trigger.AvailableNow),

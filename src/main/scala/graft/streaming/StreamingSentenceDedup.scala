@@ -113,9 +113,10 @@ object StreamingSentenceDedup {
     }
     // the pins are batch-internal: release them or a long-running
     // session accrues two block-store entries per micro-batch (the
-    // same lifecycle discipline as minhashDupPairs's internal caches)
-    outDocs.unpersist(blocking = false)
-    freshHashes.unpersist(blocking = false)
+    // same lifecycle discipline as minhashDupPairs's internal caches;
+    // Dataset.unpersist is a silent no-op on pinned frames)
+    graft.engine.Checkpoints.release(outDocs)
+    graft.engine.Checkpoints.release(freshHashes)
   }
 
   /** Drain everything currently in the source (Trigger.AvailableNow).

@@ -42,6 +42,27 @@ class CheckpointsSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("release frees a pin's block-store entry (Dataset.unpersist " +
+    "cannot — it only talks to the CacheManager)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val pinned = Checkpoints.pin(
+      (1L to 50L).toDF("id").withColumn("sq", col("id") * col("id")))
+    val afterPin = sc.getPersistentRDDs.keySet
+    assert((afterPin -- before).nonEmpty,
+      "pin should register a persistent RDD")
+    // the wrong tool first, as a canary: if a future Spark version
+    // makes Dataset.unpersist reach checkpointed RDDs, release becomes
+    // redundant and this assertion will say so
+    pinned.unpersist(blocking = true)
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "Dataset.unpersist now frees localCheckpoint blocks — " +
+        "Checkpoints.release may be simplifiable")
+    Checkpoints.release(pinned)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "release must drop the pinned RDD from the block-store ledger")
+  }
+
 }
 
 /** The restart leg of the pin contract lives in its OWN suite that

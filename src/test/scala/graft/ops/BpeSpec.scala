@@ -162,6 +162,34 @@ class BpeSpec extends SparkSpec {
       cap = 2) == Seq(("a b", 3L), ("c d", 2L)))
   }
 
+  test("conflict worst case: a hub corpus keeps exactly one merge per " +
+    "round whatever the batch size (batched degrades to strict)") {
+    // the word "abacadae" is a HUB: symbols a,b,a,c,a,d,a,e — every
+    // adjacent pair contains "a", so the rank-1 keep's {a, x, ax}
+    // closure blocks the entire candidate pool.
+    //   round 1: all pairs tie at 5, "a b" wins lex, everything else
+    //            shares "a" -> 1 kept (cap was 4)
+    //   round 2: word is now ab,a,c,a,d,a,e — every pair STILL
+    //            contains "a"; "a c" wins, rest blocked -> 1 kept
+    // 8 requested steps at batch=4 deliver 2 merges in 2 rounds: the
+    // documented no-backfill degradation, with the fixed schedule
+    // intact (round numbers 1 and 2, not re-planned).
+    val hub = docs(Seq.fill(5)("abacadae").mkString(" "))
+    val got = Bpe.trainMergesBatched(hub, steps = 8, batch = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1, "a b", 5L),
+      (2, 2, "a c", 5L)))
+    // a deeper candidate pool cannot rescue the round: the closure
+    // blocks every candidate it adds
+    val deep = Bpe.trainMergesBatched(hub, steps = 8, batch = 4,
+        candPool = 64)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(deep.toSeq == got.toSeq)
+  }
+
   test("batched batch=1 reproduces the strict trainer's merge " +
     "sequence exactly") {
     val d = docs("aaa aaa ab", "to to to xyz")

@@ -204,6 +204,45 @@ class IvfLloydSpec extends SparkSpec {
     }
   }
 
+  test("a converged train releases every internal pin: the block-store " +
+    "ledger grows by exactly the returned centroids") {
+    // same well-separated corpus as the fixed-point test, so the loop
+    // genuinely iterates (>= 2 sweeps) before converging
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian() * 20))
+    val rows = (0 until 100).map { id =>
+      val c = centers(id % 4)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val (c0, k) = IvfIndex.sampleQuantizerDf(d, 25)
+    c0.count() // materialize any quantizer-internal state first
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (refined, iters) = IvfIndex.refineCentroidsConverged(d, c0,
+      maxIters = 25, chunkSize = 16, kEstimate = Some(k),
+      scaleBits = ScaleBits)
+    assert(iters >= 2, "loop must genuinely iterate for this to test anything")
+    // the returned centroids carry the ONE caller-owned pin; releasing
+    // it must leave the ledger exactly where it started — pre-fix, the
+    // converged exit stranded the last two stats frames plus every
+    // superseded cents pin (and the in-loop unpersists were silent
+    // no-ops: Dataset.unpersist does not reach checkpointed RDDs)
+    graft.engine.Checkpoints.release(refined)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"converged train leaked RDD ids: $leaked")
+    // the maxIters exit must be leak-free too: cap strictly below the
+    // convergence point just measured, so this run exits via the cap
+    val before2 = sc.getPersistentRDDs.keySet
+    val (capped, iters2) = IvfIndex.refineCentroidsConverged(d, c0,
+      maxIters = iters - 1, chunkSize = 16, kEstimate = Some(k),
+      scaleBits = ScaleBits)
+    assert(iters2 == iters - 1)
+    graft.engine.Checkpoints.release(capped)
+    val leaked2 = sc.getPersistentRDDs.keySet -- before2
+    assert(leaked2.isEmpty, s"maxIters exit leaked RDD ids: $leaked2")
+  }
+
   test("a converged-refined quantizer feeds the IVF-PQ index build " +
     "and serves identically to the direct placement path") {
     val cfg = Pq.PqConfig(m = 8, ksub = 16, bitsPerCode = 4, dim = 64)
