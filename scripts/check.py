@@ -8,7 +8,15 @@ graft.Verify), runs the matching SQL from oracle_sql.json in DuckDB over
 views named after the testdata tables, and compares row-by-row with
 columns sorted by name. Exits non-zero when any query mismatches.
 """
-import duckdb, glob, json, math, os, sys
+import duckdb, glob, json, math, os, re, sys
+
+# Registry numbers allowed to be absent: q39 was retired in round 12
+# (its semantics were folded into q45/q58's recall twins) and is
+# tombstoned in queries/Pipeline.scala. Grow this set ONLY together
+# with a tombstone comment in the registry — the gap guard below
+# exists because q39's history had to be re-derived after it vanished
+# silently.
+TOMBSTONES = {39}
 
 def norm(v):
     if isinstance(v, float):
@@ -48,6 +56,19 @@ def main(sf_dir, out_dir):
         failures.append(name)
         print(f"FAIL {name}: oracle entry has no registered query "
               "(renamed without updating the oracle key?)")
+    # tombstone guard: the registered qNN sequence must stay gap-free
+    # except for the known TOMBSTONES — a dropped registration would
+    # otherwise vanish from the gate without a trace. Runs on the FULL
+    # names.json list, so VERIFY_ONLY narrowing cannot mask a gap.
+    nums = sorted(int(m.group(1)) for n in registered
+                  for m in [re.match(r"q(\d+)(_|$)", n)] if m)
+    if nums:
+        expect = set(range(min(nums), max(nums) + 1)) - TOMBSTONES
+        for g in sorted(expect - set(nums)):
+            failures.append(f"q{g:02d}")
+            print(f"FAIL q{g:02d}: registry gap — query number missing "
+                  "and not a known tombstone (a registration was "
+                  "dropped, or TOMBSTONES needs a deliberate entry)")
     # honor the same narrowing Verify honors, else a filtered local
     # run would flag every skipped query as missing
     only = [s for s in os.environ.get("SPARK_GRAFT_VERIFY_ONLY", "")

@@ -85,6 +85,21 @@ def main():
     case("stale oracle key fails",
          r.returncode != 0 and "q_old_name" in r.stdout, r)
 
+    # 5: a NEW gap in the registered qNN sequence fails by number — a
+    # dropped registration must not vanish the way q39's history did
+    out = fixture(root, "gap", {"q1": "SELECT 1 AS x"},
+                  ["q1", "q3_survivor"], ["q1", "q3_survivor"])
+    r = run_check(sf, out)
+    case("registry number gap fails",
+         r.returncode != 0 and "q02" in r.stdout, r)
+
+    # 6: the q39 tombstone itself stays allowed (no false positive)
+    out = fixture(root, "tombstone",
+                  {"q38": "SELECT 1 AS x", "q40": "SELECT 1 AS x"},
+                  ["q38", "q40"], ["q38", "q40"])
+    r = run_check(sf, out)
+    case("known tombstone q39 does not fail", r.returncode == 0, r)
+
     shutil.rmtree(root)
     if failures:
         print(f"\n{len(failures)} SELFTEST FAILURES: {failures}")
