@@ -99,6 +99,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.compactLine(fakeResults(3), "/sf").contains("flaky"))
   }
 
+  test("contention sentinel: the line self-labels when any query is " +
+    "flaky or the raw total diverges >1.3x from best-known") {
+    // any flaky query -> contended (the flaky fixture above)
+    val flakyRs = Seq(("q00_x", Bench.Probe(9.9, 10.0, None,
+      hist = Some(3.3))))
+    assert(Bench.compactLine(flakyRs, "/sf").contains(""""contended":true"""))
+    // stable runs, none suspect (best < 2x history), but the session
+    // raw sum sits 1.5x above best-known: the r11/r12 driver shape —
+    // nothing disputes any single number, the whole session is slow
+    val loaded = (0 until 4).map(i =>
+      (s"q0${i}_x", Bench.Probe(1.5, 1.55, None, hist = Some(1.0))))
+    assert(loaded.forall(!_._2.flaky), "fixture must not be flaky")
+    val line = Bench.compactLine(loaded, "/sf")
+    assert(line.contains(""""contended":true"""), line)
+    // a clean session carries no sentinel: presence IS the signal
+    assert(!Bench.compactLine(fakeResults(3), "/sf").contains("contended"))
+    // divergence below the threshold stays unlabeled (1.2x)
+    val mild = (0 until 4).map(i =>
+      (s"q0${i}_x", Bench.Probe(1.2, 1.25, None, hist = Some(1.0))))
+    assert(!Bench.compactLine(mild, "/sf").contains("contended"))
+  }
+
   test("a flagged query is identifiable BY NAME from the compact line at " +
     "every ladder level, and keeps decimals at today's registry size") {
     // round-9 failure mode, inverted: the driver recorded q58's
