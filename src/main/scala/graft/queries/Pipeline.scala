@@ -1856,7 +1856,82 @@ object Pipeline {
     Q("q100_bpe_batched", "pipeline:bpe-train-batched",
       Some(bpeBatchedOracle(steps = 8, batch = 3, pool = 24)),
       (s, dir) => Bpe.trainMergesBatched(docsF(s, dir), steps = 8,
-        batch = 3, candPool = 24).orderBy("step")))
+        batch = 3, candPool = 24).orderBy("step")),
+
+    // ── the streaming family under the hash gate: a REAL
+    // Trigger.AvailableNow drain — file source → foreachBatch with
+    // checkpointed offsets → idempotent dynamic-overwrite sink — is a
+    // terminating batch job, so the drained history table itself can
+    // meet the oracle (until now streaming was the one family proven
+    // by spec alone). The corpus carries no exact duplicates, so the
+    // query PLANTS them deterministically: clone family +1000000
+    // lands one batch LATER than its source (10^6 ≡ 1 mod 3),
+    // exercising the cross-batch history probe in both directions (a
+    // batch-2 source loses to its own batch-0 clone), and family
+    // +3000000 (≡ 0 mod 3) lands in the SAME batch, exercising
+    // within-batch keep-first. Three waves are written and drained
+    // sequentially — three separate streaming queries against one
+    // checkpoint — so wave ↔ batch_id is pinned. The oracle replays
+    // the survivor law the drain implements: per text, argmin
+    // (batch_id, doc_id); null texts equal nothing and all pass.
+    // Byte-identical REPLAY idempotence (the failure-recovery leg the
+    // oracle can't see) stays spec'd in StreamingDedupSpec.
+    Q("q103_streaming_dedup_drain", "pipeline:streaming-dedup-drain",
+      Some(streamingDrainOracle),
+      (s, dir) => {
+        val root = new java.io.File(
+          s"target/graft-wh/${new java.io.File(dir).getName}/q103")
+        // reruns must be deterministic: wipe source, checkpoint and
+        // sink before draining (the bench reprobes queries)
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        val src = s"$root/src"
+        val ckpt = s"$root/ckpt"
+        val wh = s"$root/wh"
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val aug = docs
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 10 === 5)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        (0 until 3).foreach { b =>
+          aug.filter(col("doc_id") % 3 === b)
+            .write.mode("append").parquet(src)
+          graft.streaming.StreamingDedup.run(
+            graft.streaming.StreamingDedup.docStream(s, src, aug.schema),
+            wh, "q103_history", ckpt)
+        }
+        graft.engine.TableStore.read(s, wh, "q103_history")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("batch_id").cast("long").as("batch_id"))
+          .orderBy("doc_id")
+      }))
+
+  /** q103: the drained streaming-dedup history replayed as the
+    * survivor law the drain implements — per non-null text, the
+    * (batch_id, doc_id)-lexicographic minimum over the planted
+    * corpus; null texts always admitted. batch_id = doc_id % 3 is the
+    * wave split the query writes, valid because each wave is drained
+    * to completion before the next is written. */
+  private def streamingDrainOracle: String =
+    s"""WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 5),
+      |d AS (SELECT doc_id, text, doc_id % 3 AS batch_id FROM aug),
+      |ranked AS (
+      |  SELECT doc_id, batch_id,
+      |    row_number() OVER (PARTITION BY text ORDER BY batch_id, doc_id) AS rn
+      |  FROM d WHERE text IS NOT NULL)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(batch_id AS BIGINT) AS batch_id
+      |FROM ranked WHERE rn = 1
+      |UNION ALL
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(batch_id AS BIGINT) AS batch_id
+      |FROM d WHERE text IS NULL
+      |ORDER BY doc_id""".stripMargin
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).
