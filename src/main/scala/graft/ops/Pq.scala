@@ -248,13 +248,29 @@ object Pq {
     * Auto-sizing reuses the quantizer's own corpus count
     * ([[IvfIndex.sampleQuantizerAutoDf]]) — no extra scan. */
   def ivfPqTopKAuto(embeddings: DataFrame, cfg: PqConfig, nProbe: Int,
-                    nQueries: Int, k: Int, shortlist: Int): DataFrame = {
+                    nQueries: Int, k: Int, shortlist: Int,
+                    rotation: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist smaller than k=$k")
+    // OPQ composed into serving: the optional orthonormal rotation is
+    // ONE MatVecExpr projection applied before everything else, so the
+    // whole pipeline — quantizer sample, coarse placement, codebooks,
+    // query LUTs, rerank — runs coherently in rotated space (the faiss
+    // OPQMatrix-chained-to-IndexIVFPQ layout). It fuses into the one
+    // corpus scan (d² multiply-adds per row inside codegen) and adds
+    // nothing to any exchange; R is d² doubles of plan state, like the
+    // codebooks. Orthonormality preserves exact L2, so recall measured
+    // against the UNROTATED exact baseline stays the honest metric
+    // ([[ivfPqRecallAutoRotated]]).
+    val base = rotation.fold(embeddings)(r =>
+      embeddings.select(col("vec_id"),
+        graft.functions.VectorFunctions.matVec(col("embedding"), r)
+          .as("embedding")))
     val (cents, kCells, _) =
-      IvfIndex.sampleQuantizerAutoDf(embeddings, nProbe)
-    val cb = sampleCodebooks(embeddings, cfg)
-    serveFromIndexed(placeAndEncode(embeddings, cents, kCells, cb, cfg),
-      embeddings, cents, kCells, cb, cfg, nProbe, nQueries, k, shortlist)
+      IvfIndex.sampleQuantizerAutoDf(base, nProbe)
+    val cb = sampleCodebooks(base, cfg)
+    serveFromIndexed(placeAndEncode(base, cents, kCells, cb, cfg),
+      base, cents, kCells, cb, cfg, nProbe, nQueries, k, shortlist)
   }
 
   /** Recall of the auto-sized IVF-PQ top-k against the exact top-k —
@@ -273,6 +289,37 @@ object Pq {
         "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("exact_k"), count(col("iv")).as("ivfpq_hits"))
+      .orderBy("query_id")
+  }
+
+  /** Rotated-vs-unrotated IVF-PQ serving recall — the OPQ rotation
+    * priced inside the FULL serving path (rotate → place → ADC →
+    * rerank), not just the flat ADC scan ([[adcRecallRotated]]).
+    * Both pipelines are the auto-sized serving default
+    * ([[ivfPqTopKAuto]]) at equal candidate budgets (same nProbe,
+    * same shortlist), and both report hits against the UNROTATED
+    * exact top-k — the right shared baseline, since the rotation is
+    * orthonormal and preserves exact L2.
+    * Output: (query_id, exact_k, ivfpq_hits, rot_hits). */
+  def ivfPqRecallAutoRotated(embeddings: DataFrame, cfg: PqConfig,
+                             rotation: Array[Array[Double]], nProbe: Int,
+                             nQueries: Int, k: Int,
+                             shortlist: Int): DataFrame = {
+    val ex = exactL2TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val iv = ivfPqTopKAuto(embeddings, cfg, nProbe, nQueries, k,
+        shortlist)
+      .select(col("query_id").as("iq"), col("vec_id").as("iv"))
+    val rot = ivfPqTopKAuto(embeddings, cfg, nProbe, nQueries, k,
+        shortlist, rotation = Some(rotation))
+      .select(col("query_id").as("rq"), col("vec_id").as("rv"))
+    ex.join(iv, ex("query_id") === iv("iq") && ex("vec_id") === iv("iv"),
+        "left")
+      .join(rot, ex("query_id") === rot("rq") && ex("vec_id") === rot("rv"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("exact_k"), count(col("iv")).as("ivfpq_hits"),
+        count(col("rv")).as("rot_hits"))
       .orderBy("query_id")
   }
 

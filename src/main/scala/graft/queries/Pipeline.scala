@@ -1904,6 +1904,33 @@ object Pipeline {
           .select(col("doc_id").cast("long").as("doc_id"),
             col("batch_id").cast("long").as("batch_id"))
           .orderBy("doc_id")
+      }),
+
+    // ── OPQ composed into the serving path: q99 gates the rotation
+    // on the flat ADC scan; this runs rotate → place → ADC → rerank
+    // as ONE auto-sized IVF-PQ pipeline ([[Pq.ivfPqTopKAuto]]'s
+    // rotation parameter) and prices it against the unrotated serving
+    // default at equal candidate budgets, both against the unrotated
+    // exact top-k. R is LEARNED on the Spark side through the real
+    // distributed Gram/Jacobi path over the anisotropic fixture and
+    // pinned into the oracle as literals by the bit-identical
+    // plain-Scala twin (the q45/q99 pinned-literal pattern). On the
+    // driver's UNIFORM embeddings rotation has no variance to
+    // balance, so rot_hits ≈ ivfpq_hits is the honest expectation
+    // here; the recall LIFT on anisotropic data lives in
+    // CovarianceSpec, where the fixture corpus itself is served.
+    Q("q104_ivfpq_rotated_serve", "pipeline:ivfpq-opq-serve",
+      Some(ivfPqRotRecallOracle(PqDefault, nProbe = 4, nQ = 20, k = 5,
+        shortlist = 50)),
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val fixture = opqFixture.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+          .toDF("vec_id", "embedding")
+        val r = Covariance.pcaRotationRR(fixture, m = PqDefault.m)
+        Pq.ivfPqRecallAutoRotated(t(s, dir, "embeddings"), PqDefault, r,
+          nProbe = 4, nQueries = 20, k = 5, shortlist = 50)
       }))
 
   /** q103: the drained streaming-dedup history replayed as the
@@ -2124,6 +2151,63 @@ object Pipeline {
       |  AND adc.vec_id = ex.vec_id
       |LEFT JOIN radc ON radc.query_id = ex.query_id
       |  AND radc.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
+  /** q104: rotated-vs-unrotated IVF-PQ SERVING recall with the
+    * learned rotation pinned as literals — q99's pattern composed
+    * into the full serving path. R comes from the plain-Scala
+    * fixed-point twin over [[opqFixture]] (bit-identical to the
+    * distributed learner the Spark side runs); the rotated corpus is
+    * the literal mat-vec over `e`, and the ENTIRE auto-sized IVF-PQ
+    * chain (coarse quantizer cut, placement, PQ codes, probes, ADC,
+    * shortlist, rerank) replays twice — raw and prefix-`r` rotated —
+    * with the cell size rederived from each chain's own corpus count
+    * (the q101 law). Both hit counts ride against the unrotated exact
+    * top-k. */
+  private def ivfPqRotRecallOracle(cfg: Pq.PqConfig, nProbe: Int,
+                                   nQ: Int, k: Int,
+                                   shortlist: Int): String = {
+    val r = Covariance.pcaRotationRRLocal(opqFixture, m = cfg.m)
+    def rowLit(row: Array[Double]): String =
+      row.map(_.toString).mkString("[", ", ", "]")
+    val comps = r.map(row =>
+      s"""list_reduce(list_transform(range(1, 65),
+         |      t -> v[t] * (${rowLit(row)})[t]), (x, y) -> x + y)""".stripMargin)
+      .mkString(",\n    ")
+    val rotDef = s"SELECT vec_id, [$comps] AS v FROM e"
+    val cellSql = s"greatest(1, floor(sqrt(count(*)) / $nProbe + 0.5))"
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${ivfPqCtes(cfg, cellSql, nProbe, nQ, shortlist)},
+      |${pqCodesCtes(cfg, pfx = "r", eDef = rotDef)},
+      |${ivfPqCtes(cfg, cellSql, nProbe, nQ, shortlist, pfx = "r")},
+      |ivk AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY l2_x1e6, vec_id) AS rn
+      |  FROM irr) WHERE rn <= $k),
+      |rvk AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY l2_x1e6, vec_id) AS rn
+      |  FROM rirr) WHERE rn <= $k),
+      |ex_d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(floor((${dotSql("e.v", "e.v")}
+      |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS d
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+      |  FROM ex_d) WHERE rn <= $k)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(ivk.vec_id) AS BIGINT) AS ivfpq_hits,
+      |  CAST(count(rvk.vec_id) AS BIGINT) AS rot_hits
+      |FROM ex
+      |LEFT JOIN ivk ON ivk.query_id = ex.query_id
+      |  AND ivk.vec_id = ex.vec_id
+      |LEFT JOIN rvk ON rvk.query_id = ex.query_id
+      |  AND rvk.vec_id = ex.vec_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
@@ -2555,57 +2639,62 @@ object Pipeline {
     * only (the shifted/masked-code join + j-ordered fold, as q85),
     * shortlist, exact rerank. */
   private def ivfPqCtes(cfg: Pq.PqConfig, cellSizeSql: String, nProbe: Int,
-                        nQ: Int, shortlist: Int): String = {
+                        nQ: Int, shortlist: Int,
+                        pfx: String = ""): String = {
     val mask = (1 << cfg.bitsPerCode) - 1
-    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
-      |nn AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
-      |nz AS (SELECT vec_id, v FROM nn WHERE nrm > 0),
-      |ccents AS (
+    // like pqCodesCtes, the chain is prefixable so q104 can run it
+    // TWICE in one statement (raw + rotated corpus, prefix `r`); it
+    // reads `e`/`cb`/`codes` from the same-prefix pqCodesCtes chain
+    val p = pfx
+    s"""${p}q AS (SELECT vec_id AS query_id, v AS qv FROM ${p}e WHERE vec_id < $nQ),
+      |${p}nn AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM ${p}e),
+      |${p}nz AS (SELECT vec_id, v FROM ${p}nn WHERE nrm > 0),
+      |${p}ccents AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
-      |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
+      |  FROM (SELECT vec_id, v FROM ${p}nz ORDER BY vec_id
       |        LIMIT (SELECT CAST(ceil(count(*) / ($cellSizeSql)) AS BIGINT)
-      |               FROM nz))),
-      |cdist AS (
+      |               FROM ${p}nz))),
+      |${p}cdist AS (
       |  SELECT z.vec_id, c.cid,
       |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
       |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
-      |  FROM e z CROSS JOIN ccents c),
-      |crk AS (
+      |  FROM ${p}e z CROSS JOIN ${p}ccents c),
+      |${p}crk AS (
       |  SELECT vec_id, cid,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
-      |  FROM cdist),
-      |placed AS (SELECT vec_id, cid AS cell FROM crk WHERE r = 1),
-      |qprob AS (SELECT vec_id AS query_id, cid AS cell FROM crk
+      |  FROM ${p}cdist),
+      |${p}placed AS (SELECT vec_id, cid AS cell FROM ${p}crk WHERE r = 1),
+      |${p}qprob AS (SELECT vec_id AS query_id, cid AS cell FROM ${p}crk
       |          WHERE r <= $nProbe AND vec_id < $nQ),
-      |icand AS (
+      |${p}icand AS (
       |  SELECT qp.query_id, p.vec_id
-      |  FROM placed p JOIN qprob qp ON p.cell = qp.cell
+      |  FROM ${p}placed p JOIN ${p}qprob qp ON p.cell = qp.cell
       |  WHERE p.vec_id <> qp.query_id),
-      |iadc_d AS (
+      |${p}iadc_d AS (
       |  SELECT cd.query_id, cd.vec_id, j.j,
       |    ${pqSliceC2("cb.cv", "j.j", cfg.dsub)}
       |      - 2.0 * ${pqSliceDot("q.qv", "cb.cv", "j.j", cfg.dsub)} AS d
-      |  FROM icand cd CROSS JOIN range(0, ${cfg.m}) j(j)
-      |  JOIN codes c ON c.vec_id = cd.vec_id
-      |  JOIN q ON q.query_id = cd.query_id
-      |  JOIN cb ON cb.code = (c.pq_code >> (${cfg.bitsPerCode} * j.j)) & $mask),
-      |iadc_s AS (
+      |  FROM ${p}icand cd CROSS JOIN range(0, ${cfg.m}) j(j)
+      |  JOIN ${p}codes c ON c.vec_id = cd.vec_id
+      |  JOIN ${p}q q ON q.query_id = cd.query_id
+      |  JOIN ${p}cb cb ON cb.code = (c.pq_code >> (${cfg.bitsPerCode} * j.j)) & $mask),
+      |${p}iadc_s AS (
       |  SELECT query_id, vec_id,
       |    CAST(floor(list_reduce(list(d ORDER BY j), (x, y) -> x + y)
       |      * 1000000) AS BIGINT) AS adc_x1e6
-      |  FROM iadc_d GROUP BY query_id, vec_id),
-      |isl AS (SELECT query_id, vec_id FROM (
+      |  FROM ${p}iadc_d GROUP BY query_id, vec_id),
+      |${p}isl AS (SELECT query_id, vec_id FROM (
       |  SELECT query_id, vec_id,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY adc_x1e6, vec_id) AS rn
-      |  FROM iadc_s) WHERE rn <= $shortlist),
-      |irr AS (
+      |  FROM ${p}iadc_s) WHERE rn <= $shortlist),
+      |${p}irr AS (
       |  SELECT c.query_id, c.vec_id,
       |    CAST(floor((${dotSql("e.v", "e.v")}
       |      - 2.0 * ${dotSql("q.qv", "e.v")}) * 1000000) AS BIGINT) AS l2_x1e6
-      |  FROM isl c JOIN e ON e.vec_id = c.vec_id
-      |  JOIN q ON q.query_id = c.query_id)""".stripMargin
+      |  FROM ${p}isl c JOIN ${p}e e ON e.vec_id = c.vec_id
+      |  JOIN ${p}q q ON q.query_id = c.query_id)""".stripMargin
   }
 
   /** q89: the IVF-PQ serving path end-to-end. */

@@ -118,6 +118,18 @@ class CovarianceSpec extends SparkSpec {
     assert(q99.getLong(1) > q99.getLong(0),
       s"adcRecallRotated: rot_hits ${q99.getLong(1)} should beat " +
         s"adc_hits ${q99.getLong(0)} on anisotropic data")
+    // and composed into the FULL serving path (q104's operator): the
+    // rotated auto-sized IVF-PQ pipeline at an EQUAL candidate budget
+    // (same nProbe, same shortlist) must not lose to the unrotated
+    // one on this corpus — the whole point of carrying R into serving
+    val serve = Pq.ivfPqRecallAutoRotated(d, cfg, r, nProbe = 2,
+        nQueries = 20, k = 5, shortlist = 30)
+      .agg(sum(col("ivfpq_hits")).as("u"), sum(col("rot_hits")).as("r"))
+      .collect()(0)
+    assert(serve.getLong(1) >= serve.getLong(0),
+      s"ivfPqRecallAutoRotated: rot_hits ${serve.getLong(1)} below " +
+        s"unrotated ${serve.getLong(0)} at equal candidates on " +
+        "anisotropic data")
   }
 
   test("pcaRotationRRLocal is the bit-identical twin of the " +

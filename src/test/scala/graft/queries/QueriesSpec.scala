@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 102, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 103, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -88,7 +88,10 @@ class QueriesSpec extends SparkSpec {
       // q101 is q90's IVF-PQ shape with the derived cell size;
       // q102 chains three q82 broadcast-chunk assignment joins
       "q99_pq_rotated_recall", "q101_ivfpq_auto_recall",
-      "q102_lloyd_train")
+      "q102_lloyd_train",
+      // q104 runs q101's auto-sized IVF-PQ shape twice (raw corpus +
+      // rotated corpus) — same broadcast-chunk BNLJ family
+      "q104_ivfpq_rotated_serve")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
