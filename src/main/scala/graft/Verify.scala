@@ -26,8 +26,14 @@ object Verify {
       // isolate queries from each other's cached state, same as Bench:
       // several operators cache internal frames (shingle indexes, LSH
       // signatures) and never unpersist — without the clear, 55 queries
-      // accumulate block-store entries across the run
+      // accumulate block-store entries across the run. Checkpointed
+      // pins (componentLabels' returned labels, lloydTrainStats'
+      // stats frames) are RDD-level persists that clearCache cannot
+      // see — drop them at the RDD ledger, as Bench.releaseStorage
+      // does, or they accumulate across 100+ queries instead
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

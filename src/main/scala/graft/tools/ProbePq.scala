@@ -45,6 +45,11 @@ object ProbePq {
     time("rerankTopK")(Pq.adcRerankTopK(e, cfg, nQ, k, shortlist).count())
     time("ivfPqTopK")(Pq.ivfPqTopK(e, cfg, cellSize = 64, nProbe = 4,
       nQ, k, shortlist).count())
+    // the serving DEFAULT: cell size derived by the √n/nProbe law, so
+    // assignment and candidate work both track n^1.5 — the path whose
+    // x100 behaviour the 100-TB posture actually rides on
+    time("ivfPqTopKAuto")(Pq.ivfPqTopKAuto(e, cfg, nProbe = 4,
+      nQ, k, shortlist).count())
     spark.stop()
   }
 }

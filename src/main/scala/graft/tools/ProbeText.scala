@@ -59,6 +59,43 @@ object ProbeText {
       println(f"bpeTrainBatched(steps=24,batch=$b): merges=$n%d " +
         f"t=$t%.2fs per-merge=${t / math.max(n, 1)}%.3fs")
     }
+    // production step counts (round-12 verdict task: the 30k-merge
+    // claim extrapolated from 24 merges): a >=1000-step budget at
+    // production batch sizes, with the driver heap ceiling sampled
+    // throughout — the number the plan-string OOM (and the pin-leak
+    // fix, which releases one vocab copy per round) made boundable.
+    // Delivered merges are reported alongside requested steps: rounds
+    // keep only pairwise-disjoint pairs and never backfill, so a
+    // conflict-heavy early vocabulary delivers fewer (the documented
+    // trade; see Bpe.trainMergesBatched scaladoc).
+    if (sys.env.get("PROBE_BPE_PROD").exists(_.nonEmpty)) {
+      val steps = sys.env.getOrElse("PROBE_BPE_STEPS", "1024").toInt
+      val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        val rt = Runtime.getRuntime
+        while (sampling) {
+          val used = rt.totalMemory() - rt.freeMemory()
+          peak.updateAndGet(p => math.max(p, used))
+          Thread.sleep(100)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      for (b <- Seq(64, 256)) {
+        peak.set(0L)
+        val t0 = System.nanoTime()
+        val got = Bpe.trainMergesBatched(d, steps = steps, batch = b)
+          .collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        val rounds = got.map(_.getInt(1)).distinct.length
+        println(f"bpeTrainBatchedProd(steps=$steps,batch=$b): " +
+          f"merges=${got.length}%d rounds=$rounds%d t=$t%.1fs " +
+          f"per-merge=${t / math.max(got.length, 1)}%.3fs " +
+          f"driverHeapPeak=${peak.get / (1024.0 * 1024.0)}%.0fMB")
+      }
+      sampling = false
+    }
     spark.stop()
   }
 }
