@@ -898,8 +898,8 @@ case class PqAdcScoreExpr(left: Expression, right: Expression,
   * q_scale = 0.0 and empty codes (array_max gave NULL, nulling the
   * whole struct), and NaN elements are ignored by the max loop
   * (`NaN > acc` is false), so an all-NaN vector also takes the
-  * zero-scale path (array_max treats NaN as greatest, giving a NaN
-  * scale and all-zero codes via NaN-comparison floors). */
+  * zero-scale path (array_max treats NaN as greatest, so the old
+  * form produced a NaN scale instead). */
 case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "quantize_int8"
