@@ -1931,6 +1931,67 @@ object Pipeline {
         val r = Covariance.pcaRotationRR(fixture, m = PqDefault.m)
         Pq.ivfPqRecallAutoRotated(t(s, dir, "embeddings"), PqDefault, r,
           nProbe = 4, nQueries = 20, k = 5, shortlist = 50)
+      }),
+
+    // ── the flatMapGroupsWithState surface under the hash gate: q103
+    // gated the stateless file-dedup drain; this drains the CUSTOM-
+    // STATE operator (gap sessionization, the one shape windowed aggs
+    // can't express) and hands the drained table to the oracle. The
+    // events table arrives as four strict chronological time-range
+    // waves — each drained to completion before the next is written,
+    // so cross-batch state is genuinely exercised: a session spanning
+    // two waves is emitted once, by the wave whose event closed it.
+    // Open sessions at end-of-stream are flushed by a per-user
+    // sentinel event one day beyond the last — the sentinel closes
+    // the real session and ITSELF stays open in the state store
+    // (append mode never emits it), so the drained set needs no
+    // filtering. Oracle = q41's batch gaps-and-islands law in micros:
+    // with chronological waves and within-batch (ts, event_id) sort,
+    // streaming-vs-batch semantics provably coincide (the full-table
+    // equality is also spec'd in StreamingParitySpec at sf0.1). The
+    // sink is the same idempotent dynamic-overwrite-by-batch_id
+    // contract as q103's.
+    Q("q105_streaming_sessionize_drain", "pipeline:streaming-sessionize",
+      Some(streamingSessionizeOracle),
+      (s, dir) => {
+        val root = new java.io.File(
+          s"target/graft-wh/${new java.io.File(dir).getName}/q105")
+        // reruns must be deterministic: wipe source, checkpoint and
+        // sink before draining (the bench reprobes queries)
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        val src = s"$root/src"
+        val ckpt = s"$root/ckpt"
+        val wh = s"$root/wh"
+        val events = t(s, dir, "events")
+          .select(col("user_id").cast("long").as("user_id"),
+            unix_micros(col("ts")).as("ts_micros"),
+            col("event_id").cast("long").as("event_id"))
+        // two-long bounded artifact: the wave boundaries
+        val row = events.agg(min("ts_micros"), max("ts_micros")).head()
+        val (tMin, tMax) = (row.getLong(0), row.getLong(1))
+        // strict time ranges, so equal-ts ties never straddle a wave
+        val cuts = (1 to 3).map(i => tMin + (tMax - tMin) * i / 4)
+        (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).foreach {
+          case (lo, hi) =>
+            events.filter(col("ts_micros") > lo && col("ts_micros") <= hi)
+              .write.mode("append").parquet(src)
+            graft.streaming.StatefulSessionize.run(
+              s, src, gapMinutes = 30, wh, "q105_sessions", ckpt)
+        }
+        // sentinel wave: one event per user, far beyond any gap
+        events.groupBy("user_id")
+          .agg((max(col("ts_micros")) + 86400L * 1000000L).as("ts_micros"))
+          .withColumn("event_id", lit(-1L))
+          .select("user_id", "ts_micros", "event_id")
+          .write.mode("append").parquet(src)
+        graft.streaming.StatefulSessionize.run(
+          s, src, gapMinutes = 30, wh, "q105_sessions", ckpt)
+        TableStore.read(s, wh, "q105_sessions")
+          .select(col("user_id").cast("long").as("user_id"),
+            col("start_micros").cast("long").as("start_micros"),
+            col("end_micros").cast("long").as("end_micros"),
+            col("n_events").cast("long").as("n_events"))
+          .orderBy("user_id", "start_micros")
       }))
 
   /** q103: the drained streaming-dedup history replayed as the
@@ -1959,6 +2020,32 @@ object Pipeline {
       |  CAST(batch_id AS BIGINT) AS batch_id
       |FROM d WHERE text IS NULL
       |ORDER BY doc_id""".stripMargin
+
+  /** q105: the drained custom-state sessionizer replayed as q41's
+    * batch gaps-and-islands law (lag + running conditional sum, gap >
+    * 30 min opens a session), keyed in epoch micros — valid against
+    * the streaming result because the waves are strict chronological
+    * time ranges and the operator sorts within each micro-batch by
+    * (ts, event_id), so no event can arrive out of order relative to
+    * an already-emitted session. */
+  private def streamingSessionizeOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(epoch_us(min(ts)) AS BIGINT) AS start_micros,
+      |  CAST(epoch_us(max(ts)) AS BIGINT) AS end_micros,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, start_micros""".stripMargin
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Custom streaming state via flatMapGroupsWithState: gap-based
   * sessionization that survives across micro-batches.
@@ -101,6 +101,46 @@ object StatefulSessionize {
             closed.iterator
           }
       }
+  }
+
+  /** One micro-batch of CLOSED sessions → dynamic-overwrite into its
+    * own `batch_id` partition — the same idempotent exactly-once
+    * contract as [[StreamingDedup.processBatch]]: a replayed batch
+    * (failure between sink write and checkpoint commit) recomputes the
+    * same deterministic session set and overwrites its own partition,
+    * so duplicates cannot accumulate. */
+  def processBatch(batch: Dataset[Session], batchId: Long,
+                   warehouse: String, table: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    // empty batches write nothing (a parquet dir with zero row groups
+    // is unreadable, and there is nothing to make idempotent)
+    if (!batch.isEmpty) {
+      graft.engine.TableStore.overwritePartitions(
+        batch.toDF().withColumn("batch_id", lit(batchId)),
+        warehouse, table, Seq("batch_id"))
+    }
+  }
+
+  /** Drain every file currently under `srcDir` (Trigger.AvailableNow)
+    * through the stateful sessionizer, appending CLOSED sessions to
+    * `warehouse/table` partitioned by micro-batch id. OPEN sessions
+    * survive across calls in the checkpointed state store, so calling
+    * this per arrival wave exercises genuine cross-batch state: a
+    * session spanning two waves is emitted once, by the batch whose
+    * event closed it. Safe to call repeatedly; a call with no new
+    * files is a no-op. */
+  def run(spark: SparkSession, srcDir: String, gapMinutes: Int,
+          warehouse: String, table: String, checkpoint: String): Unit = {
+    implicit val ee = Encoders.product[Ev]
+    val in = spark.readStream.schema(ee.schema).parquet(srcDir).as[Ev]
+    val q = sessions(in, gapMinutes)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Session], id: Long) =>
+        processBatch(b, id, warehouse, table)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
   }
 
   /** Streaming form. Emits CLOSED sessions (append mode); the open

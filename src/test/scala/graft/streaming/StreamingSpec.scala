@@ -107,6 +107,30 @@ class StreamingSpec extends SparkSpec {
     assert(none.isEmpty && open2.contains(OpenSession(0, 9000000, 3)))
   }
 
+  test("sessionize drain sink: replaying a micro-batch leaves the table " +
+    "identical (the q105 exactly-once contract)") {
+    import StatefulSessionize._
+    val wh = tmpDir("sess-sink-wh")
+    val b0 = Seq(Session(1L, 0L, 100L, 2), Session(2L, 0L, 50L, 1)).toDS()
+    val b1 = Seq(Session(1L, 200L, 300L, 3)).toDS()
+    StatefulSessionize.processBatch(b0, 0L, wh, "Sessions")
+    StatefulSessionize.processBatch(b1, 1L, wh, "Sessions")
+    def state = TableStore.read(spark, wh, "Sessions")
+      .select(col("user_id"), col("start_micros"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = state
+    assert(before == Set((1L, 0L, 0L), (2L, 0L, 0L), (1L, 200L, 1L)))
+    // replay batch 1 (foreachBatch after a failure between sink write
+    // and checkpoint commit): dynamic overwrite rewrites exactly its
+    // own partition with identical content
+    StatefulSessionize.processBatch(b1, 1L, wh, "Sessions")
+    assert(state == before)
+    // an empty replayed batch must not clobber anything either
+    StatefulSessionize.processBatch(
+      spark.emptyDataset[Session], 2L, wh, "Sessions")
+    assert(state == before)
+  }
+
   test("event-time timeout closes idle sessions without same-user events") {
     import StatefulSessionize._
     val src = tmpDir("sess-to-src")
