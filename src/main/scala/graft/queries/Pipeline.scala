@@ -1937,7 +1937,7 @@ object Pipeline {
     // gated the stateless file-dedup drain; this drains the CUSTOM-
     // STATE operator (gap sessionization, the one shape windowed aggs
     // can't express) and hands the drained table to the oracle. The
-    // events table arrives as four strict chronological time-range
+    // events table arrives as two strict chronological time-range
     // waves — each drained to completion before the next is written,
     // so cross-batch state is genuinely exercised: a session spanning
     // two waves is emitted once, by the wave whose event closed it.
@@ -1969,23 +1969,39 @@ object Pipeline {
         // two-long bounded artifact: the wave boundaries
         val row = events.agg(min("ts_micros"), max("ts_micros")).head()
         val (tMin, tMax) = (row.getLong(0), row.getLong(1))
-        // strict time ranges, so equal-ts ties never straddle a wave
-        val cuts = (1 to 3).map(i => tMin + (tMax - tMin) * i / 4)
-        (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).foreach {
-          case (lo, hi) =>
-            events.filter(col("ts_micros") > lo && col("ts_micros") <= hi)
-              .write.mode("append").parquet(src)
-            graft.streaming.StatefulSessionize.run(
-              s, src, gapMinutes = 30, wh, "q105_sessions", ckpt)
-        }
-        // sentinel wave: one event per user, far beyond any gap
-        events.groupBy("user_id")
-          .agg((max(col("ts_micros")) + 86400L * 1000000L).as("ts_micros"))
-          .withColumn("event_id", lit(-1L))
-          .select("user_id", "ts_micros", "event_id")
-          .write.mode("append").parquet(src)
-        graft.streaming.StatefulSessionize.run(
-          s, src, gapMinutes = 30, wh, "q105_sessions", ckpt)
+        // strict time ranges, so equal-ts ties never straddle a wave;
+        // two waves + the sentinel = three drains, the same lifecycle
+        // depth as q103 (the 4-wave full-table parity stays spec'd at
+        // sf0.1 in StreamingParitySpec — each extra wave here costs a
+        // full streaming-query startup, ~1.1 s of pure overhead)
+        val cuts = Seq(tMin + (tMax - tMin) / 2)
+        // The state-store partition count is pinned from
+        // spark.sql.shuffle.partitions at first checkpoint creation;
+        // 32 stores x 3 sequential drains is pure snapshot traffic for
+        // a bounded per-drain corpus, so size it to the work for the
+        // drains only (a cluster deployment sizes it to user
+        // cardinality once, at provisioning). Restored after.
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).foreach {
+            case (lo, hi) =>
+              // one file per wave: the file-source listing (re-walked
+              // every drain) stays 5 entries, not 5 x parallelism
+              events.filter(col("ts_micros") > lo && col("ts_micros") <= hi)
+                .coalesce(1).write.mode("append").parquet(src)
+              graft.streaming.StatefulSessionize.run(
+                s, src, gapMinutes = 30, wh, "q105_sessions", ckpt)
+          }
+          // sentinel wave: one event per user, far beyond any gap
+          events.groupBy("user_id")
+            .agg((max(col("ts_micros")) + 86400L * 1000000L).as("ts_micros"))
+            .withColumn("event_id", lit(-1L))
+            .select("user_id", "ts_micros", "event_id")
+            .coalesce(1).write.mode("append").parquet(src)
+          graft.streaming.StatefulSessionize.run(
+            s, src, gapMinutes = 30, wh, "q105_sessions", ckpt)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
         TableStore.read(s, wh, "q105_sessions")
           .select(col("user_id").cast("long").as("user_id"),
             col("start_micros").cast("long").as("start_micros"),
