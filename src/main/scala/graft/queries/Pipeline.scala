@@ -2008,6 +2008,55 @@ object Pipeline {
             col("end_micros").cast("long").as("end_micros"),
             col("n_events").cast("long").as("n_events"))
           .orderBy("user_id", "start_micros")
+      }),
+
+    // ── the streaming index-ingest lifecycle under the hash gate,
+    // closing the family: q103/q105 gated the dedup and custom-state
+    // drains; this gates StreamingVectorIngest's END PRODUCT. The
+    // quantizer pins on the corpus sample (the training set a
+    // deployment has before ingestion starts — the faiss contract),
+    // the bucketed serving index is created EMPTY, and 100% of the
+    // corpus arrives through the stream in two waves: encode+place in
+    // foreachBatch → replay-idempotent batch_id staging partitions →
+    // compaction into the bucketed index → served with q94's exact
+    // parameters. Oracle = q89/q94's full IVF-PQ SQL, UNCHANGED —
+    // "same truth, third plan": batch pipeline (q89), persisted index
+    // (q94), and now the streaming-grown index all hash to one
+    // result, which is precisely the grown-index ≡ from-scratch
+    // equality StreamingVectorIngestSpec asserts, now driver-checked.
+    Q("q106_streaming_index_grow", "pipeline:streaming-ivfpq-ingest",
+      Some(ivfPqTopKOracle(PqDefault, cellSize = 64, nProbe = 4,
+        nQ = 20, k = 5, shortlist = 50)),
+      (s, dir) => {
+        val root = new java.io.File(
+          s"target/graft-wh/${new java.io.File(dir).getName}/q106")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        val src = s"$root/src"
+        val ckpt = s"$root/ckpt"
+        val wh = s"$root/wh"
+        val e = t(s, dir, "embeddings")
+        val vecs = e.select(col("vec_id"), col("embedding"))
+        val (cents, kCells) = IvfIndex.sampleQuantizerDf(e, targetCellSize = 64)
+        val cb = Pq.sampleCodebooks(e, PqDefault)
+        // the empty bucketed index: catalog bucket spec first, rows
+        // only ever via compaction's per-bucket insertInto appends
+        val idx = TableStore.writeBucketed(
+          s.range(0).select(col("id").as("cell"), col("id").as("vec_id"),
+            col("id").as("pq_code")),
+          wh, "q106_pqidx", nBuckets = 8, bucketCols = Seq("cell"))
+        Seq(0, 1).foreach { wave =>
+          vecs.filter(col("vec_id") % 2 === wave)
+            .coalesce(1).write.mode("append").parquet(src)
+          graft.streaming.StreamingVectorIngest.run(
+            graft.streaming.StreamingVectorIngest.vecStream(
+              s, src, vecs.schema),
+            wh, "q106_stage", ckpt, cents, kCells, cb, PqDefault)
+        }
+        graft.streaming.StreamingVectorIngest.compact(
+          s, wh, "q106_stage", idx)
+        Pq.ivfPqServe(s.table(idx), e, cents, kCells, cb, PqDefault,
+            nProbe = 4, nQueries = 20, k = 5, shortlist = 50)
+          .orderBy("query_id", "rank")
       }))
 
   /** q103: the drained streaming-dedup history replayed as the
