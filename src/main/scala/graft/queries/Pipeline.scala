@@ -2057,6 +2057,52 @@ object Pipeline {
         Pq.ivfPqServe(s.table(idx), e, cents, kCells, cb, PqDefault,
             nProbe = 4, nQueries = 20, k = 5, shortlist = 50)
           .orderBy("query_id", "rank")
+      }),
+
+    // ── the update-mode aggregation + keyed-replace sink under the
+    // hash gate, completing the streaming surface: q103/q105/q106
+    // gated the file-dedup drain, the custom-state operator, and the
+    // index ingest; this gates [[StreamingBuilders.runIncrementalUpsert]]
+    // — the parity layer's incremental builder (S10's streaming twin).
+    // The event stream arrives in two waves that OVERLAP on every
+    // (year, month, hour) key (an event_id % 2 split), so the second
+    // drain re-emits grown totals from streaming state and the sink
+    // must REPLACE, not append — the drained table equals the batch
+    // q02 heatmap law only if update-mode re-emission and the keyed
+    // replace both work across checkpointed runs.
+    Q("q107_streaming_heatmap_upsert", "pipeline:streaming-upsert",
+      Some(streamingHeatmapOracle),
+      (s, dir) => {
+        val root = new java.io.File(
+          s"target/graft-wh/${new java.io.File(dir).getName}/q107")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        val src = s"$root/src"
+        val ckpt = s"$root/ckpt"
+        val wh = s"$root/wh"
+        val ev = t(s, dir, "events").select(
+          col("event_id"), col("ts").as("start_time"),
+          date_format(col("ts"), "yyyy").as("year"),
+          date_format(col("ts"), "MMM").as("month"))
+        // size the agg's state stores to the bounded key space
+        // (year x month x hour), as in q105; restored after
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          Seq(0, 1).foreach { wave =>
+            ev.filter(col("event_id") % 2 === wave).drop("event_id")
+              .coalesce(1).write.mode("append").parquet(src)
+            val stream = s.readStream
+              .schema("start_time timestamp, year string, month string")
+              .parquet(src)
+            graft.streaming.StreamingBuilders.runIncrementalUpsert(
+              s, graft.streaming.StreamingBuilders.heatMapStream(stream),
+              wh, "q107_heatmap", Seq("year", "month", "hour"), ckpt)
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+        TableStore.read(s, wh, "q107_heatmap")
+          .select(col("year"), col("month"), col("hour").cast("int").as("hour"),
+            col("total_count").cast("long").as("total_count"))
+          .orderBy("year", "month", "hour")
       }))
 
   /** q103: the drained streaming-dedup history replayed as the
@@ -2111,6 +2157,18 @@ object Pipeline {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sess
       |ORDER BY user_id, start_micros""".stripMargin
+
+  /** q107: the drained incremental-upsert heatmap replayed as q02's
+    * batch law — grouped count over the derived (year, month, hour)
+    * periods. Valid against the streaming result because update-mode
+    * aggregation re-emits the full running total for every touched
+    * key and the sink replaces by key, so after the final drain the
+    * table holds exactly the all-data totals. */
+  private def streamingHeatmapOracle: String =
+    """SELECT strftime(ts, '%Y') AS year, strftime(ts, '%b') AS month,
+      |  CAST(strftime(ts, '%H') AS INT) AS hour,
+      |  CAST(count(*) AS BIGINT) AS total_count
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** Default PQ geometry for the q84–q88 family: 8 subspaces x 128
     * codes x 7 bits over 64-dim — 256 B float32 → 7 B packed (~36x).
