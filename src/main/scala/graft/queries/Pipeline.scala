@@ -1030,23 +1030,7 @@ object Pipeline {
     // the RefinedWeb-style exact sub-document layer (q55 is the
     // intra-doc twin).
     Q("q62_corpus_sentence_dedup", "pipeline:dedup-sentence-global",
-      Some("""WITH parts AS (
-        |  SELECT doc_id, string_split(text, '. ') AS p FROM documents),
-        |e AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(p) + 1),
-        |      i -> struct_pack(pos := i, sent := p[i]))) AS u
-        |  FROM parts),
-        |occ AS (
-        |  SELECT doc_id, u.pos AS pos, u.sent AS sent,
-        |    row_number() OVER (PARTITION BY u.sent
-        |      ORDER BY doc_id, u.pos) AS rn
-        |  FROM e)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
-        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, '. '
-        |    ORDER BY pos), '') AS dedup_text
-        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      Some(sentenceDedupOracle),
       (s, dir) => TextAnalysis.corpusSentenceDedup(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
@@ -2103,6 +2087,45 @@ object Pipeline {
           .select(col("year"), col("month"), col("hour").cast("int").as("hour"),
             col("total_count").cast("long").as("total_count"))
           .orderBy("year", "month", "hour")
+      }),
+
+    // ── the fifth and last streaming module under the gate: the
+    // sentence-granular dedup drain. Two doc_id-ascending waves, so
+    // batch order extends (doc_id, pos) order and the drained scrub
+    // equals q62's corpus-global first-occurrence law — SAME oracle
+    // string as q62 ("same truth, second plan" across the batch/
+    // streaming boundary). The streaming side keys on the 8-byte h60
+    // history table instead of raw strings; the shared oracle is
+    // exactly the collision-freedom claim, hash-checked per run.
+    Q("q108_streaming_sentence_dedup", "pipeline:streaming-sentence-dedup",
+      Some(sentenceDedupOracle),
+      (s, dir) => {
+        val root = new java.io.File(
+          s"target/graft-wh/${new java.io.File(dir).getName}/q108")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        val src = s"$root/src"
+        val ckpt = s"$root/ckpt"
+        val wh = s"$root/wh"
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val row = docs.agg(min("doc_id"), max("doc_id")).head()
+        val mid = (row.getLong(0) + row.getLong(1)) / 2
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          Seq(col("doc_id") <= mid, col("doc_id") > mid).foreach { wave =>
+            docs.filter(wave).coalesce(1).write.mode("append").parquet(src)
+            graft.streaming.StreamingSentenceDedup.run(
+              graft.streaming.StreamingSentenceDedup.docStream(
+                s, src, docs.schema),
+              wh, ckpt)
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+        TableStore.read(s, wh,
+            graft.streaming.StreamingSentenceDedup.DocsTable)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("n_sentences").cast("long").as("n_sentences"),
+            col("n_kept").cast("long").as("n_kept"), col("dedup_text"))
+          .orderBy("doc_id")
       }))
 
   /** q103: the drained streaming-dedup history replayed as the
@@ -2157,6 +2180,33 @@ object Pipeline {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sess
       |ORDER BY user_id, start_micros""".stripMargin
+
+  /** q62 AND q108: every sentence survives only at its first
+    * (doc_id, pos) occurrence across the whole corpus. One oracle
+    * serves both the batch operator (q62, raw-string keyed) and the
+    * streaming drain (q108, h60-keyed with doc_id-ascending waves, so
+    * batch order extends doc order and the survivor law coincides —
+    * identical results absent a 60-bit sentence-hash collision, the
+    * birthday bound documented in
+    * [[graft.streaming.StreamingSentenceDedup]]). */
+  private def sentenceDedupOracle: String =
+    """WITH parts AS (
+      |  SELECT doc_id, string_split(text, '. ') AS p FROM documents),
+      |e AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(p) + 1),
+      |      i -> struct_pack(pos := i, sent := p[i]))) AS u
+      |  FROM parts),
+      |occ AS (
+      |  SELECT doc_id, u.pos AS pos, u.sent AS sent,
+      |    row_number() OVER (PARTITION BY u.sent
+      |      ORDER BY doc_id, u.pos) AS rn
+      |  FROM e)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, '. '
+      |    ORDER BY pos), '') AS dedup_text
+      |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q107: the drained incremental-upsert heatmap replayed as q02's
     * batch law — grouped count over the derived (year, month, hour)
