@@ -91,7 +91,11 @@ class QueriesSpec extends SparkSpec {
       "q102_lloyd_train",
       // q104 runs q101's auto-sized IVF-PQ shape twice (raw corpus +
       // rotated corpus) — same broadcast-chunk BNLJ family
-      "q104_ivfpq_rotated_serve")
+      "q104_ivfpq_rotated_serve",
+      // q106 serves the streaming-grown index through q94's exact
+      // query-time shape (broadcast-chunk probe assignment + the
+      // broadcast rerank fetch)
+      "q106_streaming_index_grow")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
