@@ -1937,62 +1937,7 @@ object Pipeline {
     // contract as q103's.
     Q("q105_streaming_sessionize_drain", "pipeline:streaming-sessionize",
       Some(streamingSessionizeOracle),
-      (s, dir) => {
-        val root = new java.io.File(
-          s"target/graft-wh/${new java.io.File(dir).getName}/q105")
-        // reruns must be deterministic: wipe source, checkpoint and
-        // sink before draining (the bench reprobes queries)
-        org.apache.commons.io.FileUtils.deleteQuietly(root)
-        val src = s"$root/src"
-        val ckpt = s"$root/ckpt"
-        val wh = s"$root/wh"
-        val events = t(s, dir, "events")
-          .select(col("user_id").cast("long").as("user_id"),
-            unix_micros(col("ts")).as("ts_micros"),
-            col("event_id").cast("long").as("event_id"))
-        // two-long bounded artifact: the wave boundaries
-        val row = events.agg(min("ts_micros"), max("ts_micros")).head()
-        val (tMin, tMax) = (row.getLong(0), row.getLong(1))
-        // strict time ranges, so equal-ts ties never straddle a wave;
-        // two waves + the sentinel = three drains, the same lifecycle
-        // depth as q103 (the 4-wave full-table parity stays spec'd at
-        // sf0.1 in StreamingParitySpec — each extra wave here costs a
-        // full streaming-query startup, ~1.1 s of pure overhead)
-        val cuts = Seq(tMin + (tMax - tMin) / 2)
-        // The state-store partition count is pinned from
-        // spark.sql.shuffle.partitions at first checkpoint creation;
-        // 32 stores x 3 sequential drains is pure snapshot traffic for
-        // a bounded per-drain corpus, so size it to the work for the
-        // drains only (a cluster deployment sizes it to user
-        // cardinality once, at provisioning). Restored after.
-        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
-          (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).foreach {
-            case (lo, hi) =>
-              // one file per wave: the file-source listing (re-walked
-              // every drain) stays 5 entries, not 5 x parallelism
-              events.filter(col("ts_micros") > lo && col("ts_micros") <= hi)
-                .coalesce(1).write.mode("append").parquet(src)
-              graft.streaming.StatefulSessionize.run(
-                s, src, gapMinutes = 30, wh, "q105_sessions", ckpt)
-          }
-          // sentinel wave: one event per user, far beyond any gap
-          events.groupBy("user_id")
-            .agg((max(col("ts_micros")) + 86400L * 1000000L).as("ts_micros"))
-            .withColumn("event_id", lit(-1L))
-            .select("user_id", "ts_micros", "event_id")
-            .coalesce(1).write.mode("append").parquet(src)
-          graft.streaming.StatefulSessionize.run(
-            s, src, gapMinutes = 30, wh, "q105_sessions", ckpt)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
-        TableStore.read(s, wh, "q105_sessions")
-          .select(col("user_id").cast("long").as("user_id"),
-            col("start_micros").cast("long").as("start_micros"),
-            col("end_micros").cast("long").as("end_micros"),
-            col("n_events").cast("long").as("n_events"))
-          .orderBy("user_id", "start_micros")
-      }),
+      (s, dir) => sessionizeDrain(s, dir, "q105", timeout = false)),
 
     // ── the streaming index-ingest lifecycle under the hash gate,
     // closing the family: q103/q105 gated the dedup and custom-state
@@ -2126,7 +2071,24 @@ object Pipeline {
             col("n_sentences").cast("long").as("n_sentences"),
             col("n_kept").cast("long").as("n_kept"), col("dedup_text"))
           .orderBy("doc_id")
-      }))
+      }),
+
+    // ── the EventTimeTimeout surface under the gate: q105 drains the
+    // next-event-only closer; this runs the SAME lifecycle through
+    // [[graft.streaming.StatefulSessionize.sessionsWithTimeout]] —
+    // watermark-driven liveness, the variant whose state store stays
+    // bounded when users DEPART (a departed user's last session
+    // times out instead of pinning state forever). Same oracle as
+    // q105: under chronological waves and zero lateness a timeout
+    // only ever closes sessions the next event or sentinel would
+    // have closed identically (the watermark after a wave is that
+    // wave's max ts, so any later same-user event sits beyond the
+    // gap; Spark hands a key its data, not its timeout, when both
+    // land in one batch) — the coincidence claim itself is what the
+    // hash gate checks.
+    Q("q109_streaming_sessionize_timeout", "pipeline:streaming-timeout",
+      Some(streamingSessionizeOracle),
+      (s, dir) => sessionizeDrain(s, dir, "q109", timeout = true)))
 
   /** q103: the drained streaming-dedup history replayed as the
     * survivor law the drain implements — per non-null text, the
@@ -2180,6 +2142,77 @@ object Pipeline {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sess
       |ORDER BY user_id, start_micros""".stripMargin
+
+  /** The q105/q109 drain lifecycle, shared: two strict chronological
+    * time-range waves + a per-user sentinel flush, each drained to
+    * completion (Trigger.AvailableNow against one checkpoint) so
+    * cross-batch state is genuinely exercised — a session spanning
+    * the wave boundary is emitted once, by the wave whose event
+    * closed it. The sentinel (one event per user, a day beyond the
+    * last) closes every real session and itself stays open in the
+    * state store, never emitted. The sink is q103's idempotent
+    * dynamic-overwrite-by-batch_id contract. State-store partitions
+    * are sized to the bounded per-drain work (pinned from
+    * spark.sql.shuffle.partitions at checkpoint creation; a cluster
+    * deployment sizes them to user cardinality at provisioning) and
+    * the conf is restored after. The 4-wave full-table parity stays
+    * spec'd at sf0.1 in StreamingParitySpec — each extra wave here
+    * would cost a full streaming-query startup of pure overhead. */
+  private def sessionizeDrain(s: SparkSession, dir: String, qTag: String,
+                              timeout: Boolean): DataFrame = {
+    val root = new java.io.File(
+      s"target/graft-wh/${new java.io.File(dir).getName}/$qTag")
+    // reruns must be deterministic: wipe source, checkpoint and
+    // sink before draining (the bench reprobes queries)
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val wh = s"$root/wh"
+    val table = s"${qTag}_sessions"
+    val events = t(s, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_micros"),
+        col("event_id").cast("long").as("event_id"))
+    // two-long bounded artifact: the wave boundaries
+    val row = events.agg(min("ts_micros"), max("ts_micros")).head()
+    val (tMin, tMax) = (row.getLong(0), row.getLong(1))
+    // strict time ranges, so equal-ts ties never straddle a wave
+    val cuts = Seq(tMin + (tMax - tMin) / 2)
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).foreach {
+        case (lo, hi) =>
+          // one file per wave: the file-source listing (re-walked
+          // every drain) stays 3 entries, not 3 x parallelism
+          events.filter(col("ts_micros") > lo && col("ts_micros") <= hi)
+            .coalesce(1).write.mode("append").parquet(src)
+          graft.streaming.StatefulSessionize.run(
+            s, src, gapMinutes = 30, wh, table, ckpt, timeout)
+      }
+      // sentinel wave: one event per user at one COMMON instant a day
+      // beyond the global max. The shared instant matters for the
+      // timeout variant: after the sentinel batch the watermark is
+      // exactly that instant, so no sentinel's own timer (instant +
+      // gap) can ever expire in the final empty timer batch — with
+      // PER-USER sentinels the global max would expire every earlier
+      // user's sentinel timer and emit the sentinel itself (observed:
+      // +126 one-event sessions at sf0.01 before this was fixed).
+      events.select(col("user_id")).distinct()
+        .withColumn("ts_micros", lit(tMax + 86400L * 1000000L))
+        .withColumn("event_id", lit(-1L))
+        .select("user_id", "ts_micros", "event_id")
+        .coalesce(1).write.mode("append").parquet(src)
+      graft.streaming.StatefulSessionize.run(
+        s, src, gapMinutes = 30, wh, table, ckpt, timeout)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    TableStore.read(s, wh, table)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("start_micros").cast("long").as("start_micros"),
+        col("end_micros").cast("long").as("end_micros"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id", "start_micros")
+  }
 
   /** q62 AND q108: every sentence survives only at its first
     * (doc_id, pos) occurrence across the whole corpus. One oracle

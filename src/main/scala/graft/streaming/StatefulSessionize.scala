@@ -128,12 +128,29 @@ object StatefulSessionize {
     * this per arrival wave exercises genuine cross-batch state: a
     * session spanning two waves is emitted once, by the batch whose
     * event closed it. Safe to call repeatedly; a call with no new
-    * files is a no-op. */
+    * files is a no-op.
+    *
+    * With `timeout = true` the drain runs [[sessionsWithTimeout]]
+    * (EventTimeTimeout + watermark liveness) instead of the
+    * next-event-only closer. Under chronological arrival and zero
+    * lateness the two produce IDENTICAL session sets: a timeout fires
+    * for session end `e` only once the watermark passes `e + gap`,
+    * and with time-range waves the watermark after a wave is that
+    * wave's max timestamp, so any later event for the same user sits
+    * beyond the gap anyway — the timeout only ever closes sessions
+    * the next event (or sentinel) would have closed identically.
+    * (Spark invokes the function with data, not hasTimedOut, when a
+    * key has both in one batch, so a within-gap continuation always
+    * wins over a pending timeout.) */
   def run(spark: SparkSession, srcDir: String, gapMinutes: Int,
-          warehouse: String, table: String, checkpoint: String): Unit = {
+          warehouse: String, table: String, checkpoint: String,
+          timeout: Boolean = false): Unit = {
     implicit val ee = Encoders.product[Ev]
     val in = spark.readStream.schema(ee.schema).parquet(srcDir).as[Ev]
-    val q = sessions(in, gapMinutes)
+    val sessionized =
+      if (timeout) sessionsWithTimeout(in, gapMinutes, "0 seconds")
+      else sessions(in, gapMinutes)
+    val q = sessionized
       .writeStream.outputMode("append")
       .foreachBatch { (b: Dataset[Session], id: Long) =>
         processBatch(b, id, warehouse, table)
