@@ -96,6 +96,17 @@ object Hashing {
     * Only for one-shot use on small inputs — see [[shinglesFromWords]]. */
   def shingles3(text: Column): Column = shinglesFromWords(tokens(text))
 
+  /** Integral divide on longs, matching DuckDB's `//` (truncation;
+    * = floor for the all-positive fixed-point arithmetic the oracle
+    * queries use). Long-exact — a floor(double/double) form would
+    * mis-round whenever a quotient lands within one ulp of an
+    * integer (e.g. numerators near 10^12 with 4-digit divisors). */
+  def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** DuckDB SQL fragment computing the same value as [[h60]]. */
   def h60Sql(x: String): String =
     s"(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15))::BIGINT)"

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Hashing.{idiv, tokens}
+
+/** Sparse lexical retrieval over the documents table — the BM25
+  * ranking function (Robertson/Spärck Jones, the Okapi formulation)
+  * as a distributed scoring + top-k operator. In an LLM data
+  * pipeline this is the workhorse of targeted corpus selection
+  * ("pull the k documents most relevant to this probe query"),
+  * decontamination triage, and retrieval-based data curation — the
+  * lexical complement of the embedding-space top-k in
+  * [[graft.ops.Similarity]].
+  *
+  * House oracle discipline: every checked number is integer-exact.
+  * BM25's reals are carried as floor-scaled fixed point with the
+  * standard constants pinned as rationals (k1 = 1.2 = 6/5,
+  * b = 0.75 = 3/4), so the DuckDB oracle replays the arithmetic
+  * bit-for-bit:
+  *
+  *   - avgdl_x1000 = (1000·Σdl) div N            (corpus average)
+  *   - idf_x1M(t)  = (10^6·(2N − 2df + 1)) div (2df + 1)
+  *                   — the (N − df + ½)/(df + ½) form, doubled
+  *   - tfn_x1M     = (10^6·22·tf·A) div (10·tf·A + 3·A + 9000·dl)
+  *                   where A = avgdl_x1000 — algebraically
+  *                   tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the
+  *                   rationals cleared
+  *   - score_x1M   = Σ_terms (idf_x1M·tfn_x1M) div 10^6
+  *
+  * All quantities are positive, so `div` (truncation) IS floor on
+  * both engines. 64-bit bounds: the largest intermediate is
+  * 2.2·10^7·tf·A, safe while tf·A < 4·10^11 — comfortably beyond any
+  * real document (tf ≤ dl ≤ 10^5 tokens, avgdl ≤ 4·10^6 tokens);
+  * idf's 10^6·2N term bounds N < 4.6·10^12 documents. A corpus past
+  * either bound would switch the two products to DECIMAL(38,0).
+  *
+  * Plan shape (the 100-TB question): the only corpus-sized shuffle
+  * is the (doc_id, token) tf aggregation, and the explode is
+  * filtered to the query's own terms BEFORE the exchange — the
+  * shuffle carries O(matching tokens), not the corpus. df and the
+  * corpus stats are term-count- and 1-row-sized frames joined back
+  * by broadcast; the final top-k is TakeOrdered (per-partition heaps
+  * + driver merge of k rows), never a global sort. Two scans of the
+  * corpus (one for the dl/N/Σdl stats, one for tf); a production
+  * deployment stores dl as an ingest-time column (like n_chars) and
+  * drops the first scan.
+  */
+object Retrieval {
+
+  /** Per-document BM25 scores against `terms` (only documents
+    * matching at least one term appear). Columns:
+    * (doc_id, n_terms, bm25_x1M). */
+  def bm25Scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+
+    // Corpus stats: one row (N, avgdl_x1000), broadcast everywhere.
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+      .select(col("n_docs"),
+        idiv(lit(1000L) * col("total_dl"), col("n_docs")).as("avgdl_x1000"))
+
+    // tf per (doc, term): the explode is pre-filtered to the query
+    // terms, so the aggregation exchange carries only matching hits.
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+    // df per term: term-count-sized, broadcast back.
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+    val a = col("avgdl_x1000")
+    val idf = idiv(lit(1000000L) * (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)),
+      lit(2L) * col("df") + lit(1L))
+    val tfn = idiv(lit(1000000L) * lit(22L) * col("tf") * a,
+      lit(10L) * col("tf") * a + lit(3L) * a + lit(9000L) * col("dl"))
+
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        idiv(idf * tfn, lit(1000000L)).as("term_score_x1M"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score_x1M")).as("bm25_x1M"))
+  }
+
+  /** Top-k retrieval: (rank, doc_id, n_terms, bm25_x1M), ranked by
+    * (score desc, doc_id) — integer scores + id tie-break make the
+    * ranking total and hash-stable. The orderBy+limit compiles to
+    * TakeOrderedAndProject; the row_number window runs over the k
+    * collected rows only. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bm25Scores(docs, terms)
+      .orderBy(col("bm25_x1M").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25_x1M").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25_x1M"))
+  }
+}

@@ -773,4 +773,58 @@ object TextAnalysis {
     tok.unpersist(blocking = false)
     out
   }
+
+  /** Collocation mining: the adjacent word pairs most over-represented
+    * against the independence assumption — PMI's argument carried as
+    * integer "lift" instead of its log, so the ranking is identical
+    * (log is monotone) and the score replays integer-exact in the
+    * oracle:
+    *
+    *   lift_x1M(w1,w2) = (10^6 · c12 · W) div (c1 · c2)
+    *
+    * where c12 = bigram count, c1/c2 = unigram counts, W = total
+    * bigram occurrences. In a training-data pipeline this surfaces
+    * boilerplate phrases and multi-word expressions (tokenizer vocab
+    * candidates, the seed step of phrase-aware dedup); `minCount`
+    * plays PMI's usual low-frequency guard. 64-bit bound:
+    * c12·W < 9.2·10^12 — a corpus past it scales the constant down
+    * or moves the product to DECIMAL(38,0).
+    *
+    * Plan: bigrams come from the [[graft.functions.WordShinglesExpr]]
+    * codegen kernel (n = 2, non-distinct — duplicates are the count),
+    * split back to words by `substring_index` (tokens are
+    * whitespace-split, so words never contain the join space). Two
+    * corpus-sized explodes feeding two vocabulary-keyed aggregates
+    * (Heaps-law-sized outputs); unigram counts and the 1-row total
+    * join back by broadcast; top-k is TakeOrdered + a k-row rank
+    * window (the [[topShingles]] pattern). No pair term anywhere —
+    * candidate bigrams are only the ADJACENT pairs the corpus
+    * actually contains. */
+  def collocations(docs: DataFrame, minCount: Int = 3, k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(tokens(col("text")).as("w"))
+    val c12 = toks
+      .select(explode(graft.functions.TextFunctions
+        .wordShingles(col("w"), 2, distinct = false)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = c12.agg(sum(col("c12")).as("n_bigrams"))
+    val scored = c12.filter(col("c12") >= minCount.toLong)
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        idiv(lit(1000000L) * col("c12") * col("n_bigrams"),
+          col("c1") * col("c2")).as("lift_x1M"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_x1M").desc, col("w1"), col("w2"))
+    scored.orderBy(col("lift_x1M").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rank", row_number().over(wnd).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"),
+        col("c1"), col("c2"), col("lift_x1M"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Tables, TableStore}
-import graft.ops.{Bpe, Covariance, Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Covariance, Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Retrieval, Sampling, Sharding, Similarity, TextAnalysis}
 import Hashing.{h60Sql, h60bSql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -405,6 +405,11 @@ object Pipeline {
 
   private val qualityOracle: String =
     qualityBodySql + "\nORDER BY doc_id"
+
+  /** q110's probe terms: a mix of frequent and less-frequent corpus
+    * words so tf, df and dl all vary across the hits. Declared before
+    * `queries` — the Seq construction evaluates the oracle builders. */
+  private val Bm25Terms: Seq[String] = Seq("spark", "window", "merge", "vector")
 
   val queries: Seq[Q] = Seq(
 
@@ -2088,7 +2093,90 @@ object Pipeline {
     // hash gate checks.
     Q("q109_streaming_sessionize_timeout", "pipeline:streaming-timeout",
       Some(streamingSessionizeOracle),
-      (s, dir) => sessionizeDrain(s, dir, "q109", timeout = true)))
+      (s, dir) => sessionizeDrain(s, dir, "q109", timeout = true)),
+
+    // ── BM25 lexical retrieval ([[graft.ops.Retrieval]]): targeted
+    // corpus selection / decontamination triage — the lexical
+    // complement of the embedding top-k. All-integer fixed point
+    // (k1 = 6/5, b = 3/4 cleared to rationals), so the oracle
+    // replays the ranking bit-for-bit; the only corpus-sized
+    // exchange carries pre-filtered query-term hits.
+    Q("q110_bm25_topk", "pipeline:retrieval-bm25",
+      Some(bm25Oracle(Bm25Terms, k = 25)),
+      (s, dir) => Retrieval.bm25TopK(docsF(s, dir), Bm25Terms, k = 25)
+        .orderBy("rank")),
+
+    // ── collocation mining ([[TextAnalysis.collocations]]): adjacent
+    // word pairs ranked by integer lift (PMI's argument without the
+    // monotone log) — boilerplate-phrase surfacing / tokenizer vocab
+    // seeding. Bigrams via the WordShinglesExpr codegen kernel at
+    // n = 2; vocabulary-sized aggregates, broadcast join-backs,
+    // TakeOrdered top-k.
+    Q("q111_collocation_lift", "pipeline:text-collocations",
+      Some(collocationOracle(minCount = 3, k = 50)),
+      (s, dir) => TextAnalysis.collocations(docsF(s, dir), minCount = 3,
+        k = 50).orderBy("rank")))
+
+  /** DuckDB twin of [[graft.ops.Retrieval.bm25TopK]] — same rational
+    * constants, same `//` truncation (all terms positive). */
+  private def bm25Oracle(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      |  FROM documents),
+      |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    (1000 * CAST(sum(dl) AS BIGINT)) // CAST(count(*) AS BIGINT)
+      |      AS avgdl_x1000
+      |  FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(w) AS token FROM dd)
+      |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
+      |idf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    (((1000000 * (2 * s.n_docs - 2 * i.df + 1)) // (2 * i.df + 1))
+      |     * ((1000000 * 22 * tf.tf * s.avgdl_x1000) //
+      |        (10 * tf.tf * s.avgdl_x1000 + 3 * s.avgdl_x1000
+      |         + 9000 * tf.dl))) // 1000000 AS term_score
+      |  FROM tf JOIN idf i USING (token) CROSS JOIN stats s),
+      |doc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(term_score) AS BIGINT) AS bm25_x1M
+      |  FROM scored GROUP BY 1),
+      |top AS (SELECT * FROM doc ORDER BY bm25_x1M DESC, doc_id LIMIT $k)
+      |SELECT CAST(row_number() OVER (ORDER BY bm25_x1M DESC, doc_id)
+      |    AS BIGINT) AS rank, doc_id, n_terms, bm25_x1M
+      |FROM top ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextAnalysis.collocations]] — lockstep unnest
+    * builds the adjacent pairs, integer lift, same tie-break. */
+  private def collocationOracle(minCount: Int, k: Int): String =
+    s"""WITH tok AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM tok),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM pairs GROUP BY 1, 2),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(w) AS tok FROM tok) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bc),
+      |scored AS (
+      |  SELECT bc.w1, bc.w2, bc.c12, a.c AS c1, b.c AS c2,
+      |    ((1000000 * bc.c12 * t.nb) // (a.c * b.c)) AS lift_x1M
+      |  FROM bc JOIN uni a ON a.tok = bc.w1 JOIN uni b ON b.tok = bc.w2
+      |  CROSS JOIN tot t
+      |  WHERE bc.c12 >= $minCount),
+      |top AS (SELECT * FROM scored ORDER BY lift_x1M DESC, w1, w2 LIMIT $k)
+      |SELECT CAST(row_number() OVER (ORDER BY lift_x1M DESC, w1, w2)
+      |    AS BIGINT) AS rank, w1, w2, c12, c1, c2, lift_x1M
+      |FROM top ORDER BY rank""".stripMargin
 
   /** q103: the drained streaming-dedup history replayed as the
     * survivor law the drain implements — per non-null text, the

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Hand-computed fixed-point BM25 and collocation-lift values — the
+  * same arithmetic the q110/q111 oracles replay, verified here
+  * against by-hand integer evaluation so a regression is localized
+  * to the operator, not discovered as an opaque oracle hash miss. */
+class RetrievalSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def docs(rows: (Long, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // Corpus: N = 4, Σdl = 10, avgdl_x1000 = 2500.
+  //   idf_x1M at df = 2: (10^6·(8−4+1)) div 5 = 1,000,000
+  //   tfn_x1M(tf, dl) = (5.5·10^10·tf) div (25000·tf + 7500 + 9000·dl)
+  private val corpus = Seq(
+    0L -> "apple banana apple",
+    1L -> "apple cherry",
+    2L -> "banana banana banana cherry",
+    3L -> "durian")
+
+  test("bm25TopK matches the by-hand fixed-point arithmetic") {
+    val out = Retrieval.bm25TopK(docs(corpus: _*),
+      Seq("apple", "cherry"), k = 3).collect()
+    // d1: apple tf=1,dl=2 → 1,089,108; cherry same → 2,178,216 (2 terms)
+    // d0: apple tf=2,dl=3 → 110e9 div 84500 = 1,301,775
+    // d2: cherry tf=1,dl=4 → 55e9 div 68500 = 802,919
+    assert(out.toSeq === Seq(
+      Row(1L, 1L, 2L, 2178216L),
+      Row(2L, 0L, 1L, 1301775L),
+      Row(3L, 2L, 1L, 802919L)))
+  }
+
+  test("bm25TopK k truncates the ranking, ties broken by doc_id") {
+    val out = Retrieval.bm25TopK(docs(corpus: _*),
+      Seq("apple", "cherry"), k = 2).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 0L))
+    // identical single-term docs score identically; doc_id breaks the tie
+    val tie = Retrieval.bm25TopK(
+      docs(7L -> "same text", 5L -> "same text"), Seq("same"), k = 2)
+      .collect()
+    assert(tie.map(_.getLong(1)).toSeq === Seq(5L, 7L))
+    assert(tie.map(_.getLong(3)).distinct.length === 1)
+  }
+
+  test("bm25Scores omits documents matching no term") {
+    val out = Retrieval.bm25Scores(docs(corpus: _*), Seq("durian"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  // Bigrams: (a,b)=3, (b,a)=1, (b,c)=1, (c,c)=1; W = 6; a=b=c=3.
+  private val colloCorpus = Seq(
+    0L -> "a b a b", 1L -> "a b c", 2L -> "c c")
+
+  test("collocations matches the by-hand integer lift") {
+    val out = TextAnalysis.collocations(docs(colloCorpus: _*),
+      minCount = 2, k = 10).collect()
+    // lift(a,b) = (10^6·3·6) div 9 = 2,000,000; only pair ≥ minCount
+    assert(out.toSeq === Seq(Row(1L, "a", "b", 3L, 3L, 3L, 2000000L)))
+  }
+
+  test("collocations ranks ties lexicographically") {
+    val out = TextAnalysis.collocations(docs(colloCorpus: _*),
+      minCount = 1, k = 10).collect()
+    assert(out.map(r => (r.getString(1), r.getString(2))).toSeq ===
+      Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "c")))
+    // the three singleton pairs share lift (10^6·6) div 9 = 666,666
+    assert(out.drop(1).map(_.getLong(6)).distinct.toSeq === Seq(666666L))
+  }
+
+  test("collocations ignores sub-bigram docs") {
+    val out = TextAnalysis.collocations(
+      docs(0L -> "solo", 1L -> "x y"), minCount = 1, k = 10).collect()
+    assert(out.toSeq === Seq(Row(1L, "x", "y", 1L, 1L, 1L, 1000000L)))
+  }
+}

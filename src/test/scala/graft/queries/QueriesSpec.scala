@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 108, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 110, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -95,7 +95,11 @@ class QueriesSpec extends SparkSpec {
       // q106 serves the streaming-grown index through q94's exact
       // query-time shape (broadcast-chunk probe assignment + the
       // broadcast rerank fetch)
-      "q106_streaming_index_grow")
+      "q106_streaming_index_grow",
+      // q110/q111 cross-join their ONE-row corpus-stats frame
+      // (N + avgdl / total-bigram count) onto vocabulary-sized
+      // aggregates — the q75 scalar-broadcast shape
+      "q110_bm25_topk", "q111_collocation_lift")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -117,6 +121,20 @@ class QueriesSpec extends SparkSpec {
       s"q91 plans a shuffled join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       "q91's vocabulary join is not broadcast")
+  }
+
+  test("q110/q111 join only by broadcast (df / unigram counts / " +
+    "1-row stats) and select top-k via TakeOrdered, never a global sort " +
+    "of the scored set") {
+    Seq("q110_bm25_topk", "q111_collocation_lift").foreach { name =>
+      val plan = Registry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"$name shuffle-joins where every join side is bounded:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name's top-k is not distributed TakeOrdered:\n$plan")
+    }
   }
 
   test("ANN recall vs brute force at k=5: LSH >= 0.5, IVF >= 0.5") {
