@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Tables, TableStore}
-import graft.ops.{Bpe, Covariance, Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Retrieval, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Covariance, Dedup, Hashing, IncrementalDedup, IvfIndex, Multimodal, Packing, Pq, Retrieval, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
 import Hashing.{h60Sql, h60bSql, h31Sql, shingles3Sql}
 
 /** Beyond-parity operators for large-scale training-data pipelines
@@ -410,6 +410,12 @@ object Pipeline {
     * words so tf, df and dl all vary across the hits. Declared before
     * `queries` — the Seq construction evaluates the oracle builders. */
   private val Bm25Terms: Seq[String] = Seq("spark", "window", "merge", "vector")
+
+  /** q112's probe tokens: frequent + mid + absent, so the estimate
+    * column exercises exact hits, collision overestimates (width 16
+    * forces them) and the empty-bucket zero path. */
+  private val CmsProbes: Seq[String] =
+    Seq("spark", "table", "the", "vector", "zzz_absent")
 
   val queries: Seq[Q] = Seq(
 
@@ -2115,7 +2121,52 @@ object Pipeline {
     Q("q111_collocation_lift", "pipeline:text-collocations",
       Some(collocationOracle(minCount = 3, k = 50)),
       (s, dir) => TextAnalysis.collocations(docsF(s, dir), minCount = 3,
-        k = 50).orderBy("rank")))
+        k = 50).orderBy("rank")),
+
+    // ── Count-Min Sketch ([[graft.ops.Sketches]]): bounded-state
+    // token-frequency estimation — the frequency-side complement of
+    // q34's HLL cardinality row. depth 4 × width 16 deliberately
+    // forces collisions so the gated result exercises collision
+    // overestimates AND the CMS no-underestimate invariant (a
+    // hash-checked boolean column); the oracle rebuilds the whole
+    // salted-h60 grid bit-for-bit.
+    Q("q112_cms_estimates", "pipeline:sketch-cms",
+      Some(cmsOracle(CmsProbes, depth = 4, width = 16)),
+      (s, dir) => Sketches.cmsEstimates(docsF(s, dir), CmsProbes,
+        depth = 4, width = 16).orderBy("token")))
+
+  /** DuckDB twin of [[graft.ops.Sketches.cmsEstimates]] — the same
+    * per-row salted h60 mod width grid, min over rows, left joins
+    * zero-filling absent cells/probes. */
+  private def cmsOracle(probes: Seq[String], depth: Int, width: Int): String = {
+    val inList = probes.map(p => s"'$p'").mkString(", ")
+    s"""WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      |  FROM documents),
+      |rows_ AS (SELECT CAST(i AS BIGINT) AS row_i FROM range($depth) r(i)),
+      |sk AS (
+      |  SELECT row_i,
+      |    ((${h60Sql("t")}) + row_i * (${h60bSql("t")})) % $width AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+      |probes AS (SELECT unnest([$inList]) AS token),
+      |pb AS (
+      |  SELECT p.token, r.row_i,
+      |    ((${h60Sql("p.token")}) + r.row_i * (${h60bSql("p.token")}))
+      |      % $width AS bucket
+      |  FROM probes p CROSS JOIN rows_ r),
+      |est AS (
+      |  SELECT token, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
+      |  FROM pb LEFT JOIN sk ON sk.row_i = pb.row_i AND sk.bucket = pb.bucket
+      |  GROUP BY 1),
+      |ex AS (
+      |  SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok
+      |  WHERE t IN ($inList) GROUP BY 1)
+      |SELECT e.token, coalesce(x.exact_cnt, 0) AS exact_cnt, e.cms_est,
+      |  e.cms_est >= coalesce(x.exact_cnt, 0) AS no_underestimate
+      |FROM est e LEFT JOIN ex x ON x.token = e.token
+      |ORDER BY e.token""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.ops.Retrieval.bm25TopK]] — same rational
     * constants, same `//` truncation (all terms positive). */

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-ladder wall clock for the round-13 retrieval/corpus-stats
+  * trio — BM25 top-k, collocation lift, CMS estimates — at a given
+  * data dir (point it at sf0.1 or a ScaleGen x30/x100 expansion).
+  * Each operator is run to a tiny driver-side result (the real
+  * consumption shape: top-k rows / probe estimates), warm + min-of-3.
+  *
+  * Usage: ProbeRetrieval [dir]
+  */
+object ProbeRetrieval {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.engine.Tables.floored(spark, dir, "documents", "doc_id")
+    println(s"docs=${docs.count()}")
+
+    def time(tag: String)(run: => Long): Unit = {
+      run // warm (plan compile + code gen)
+      val ts = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val n = run
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"$tag: ${ts.map(_._1).min}%.2fs (rows ${ts.head._2}; " +
+        s"runs ${ts.map(t => f"${t._1}%.2f").mkString(", ")})")
+    }
+
+    time("bm25TopK k=25") {
+      graft.ops.Retrieval.bm25TopK(docs,
+        Seq("spark", "window", "merge", "vector"), k = 25).count()
+    }
+    time("collocations minCount=3 k=50") {
+      graft.ops.TextAnalysis.collocations(docs, minCount = 3, k = 50).count()
+    }
+    time("cmsEstimates d=4 w=1024") {
+      graft.ops.Sketches.cmsEstimates(docs,
+        Seq("spark", "table", "the", "vector", "zzz_absent"),
+        depth = 4, width = 1024).count()
+    }
+    spark.stop()
+  }
+}
