@@ -36,9 +36,13 @@ object ProbeRetrieval {
         s"runs ${ts.map(t => f"${t._1}%.2f").mkString(", ")})")
     }
 
-    time("bm25TopK k=25") {
+    // ScaleGen suffixes every non-gate token per replica, so scaled
+    // corpora only retain the carried stopword/marker vocabulary —
+    // probe with those (every doc matches: the honest worst case for
+    // the scored set) plus one replica-suffixed rarity.
+    time("bm25TopK k=25 (stopword terms: corpus-wide match)") {
       graft.ops.Retrieval.bm25TopK(docs,
-        Seq("spark", "window", "merge", "vector"), k = 25).count()
+        Seq("the", "and", "of", "in"), k = 25).count()
     }
     time("collocations minCount=3 k=50") {
       graft.ops.TextAnalysis.collocations(docs, minCount = 3, k = 50).count()
