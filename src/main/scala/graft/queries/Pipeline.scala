@@ -2133,7 +2133,55 @@ object Pipeline {
     Q("q112_cms_estimates", "pipeline:sketch-cms",
       Some(cmsOracle(CmsProbes, depth = 4, width = 16)),
       (s, dir) => Sketches.cmsEstimates(docsF(s, dir), CmsProbes,
-        depth = 4, width = 16).orderBy("token")))
+        depth = 4, width = 16).orderBy("token")),
+
+    // ── cross-source leakage matrix: q22's exact near-dup pair set
+    // rolled up by unordered source pair — the report a curation run
+    // hands the mixing stage ("how much of src3 is rephrased src0?").
+    // The pair set is tiny after dedup machinery, so the source
+    // attribution joins it BROADCAST against the 2-column corpus
+    // projection; the rollup aggregates |pairs| rows. Composition,
+    // not new machinery: any pair source (q23 LSH, q61 capped, q74
+    // IVF) drops in unchanged.
+    Q("q113_source_leakage", "pipeline:dedup-source-matrix",
+      Some(sourceLeakageOracle),
+      (s, dir) => {
+        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        pairs
+          .join(broadcast(src).withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("source", "src_a_raw"), "doc_a")
+          .join(broadcast(src).withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("source", "src_b_raw"), "doc_b")
+          .select(least(col("src_a_raw"), col("src_b_raw")).as("source_a"),
+            greatest(col("src_a_raw"), col("src_b_raw")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      }))
+
+  /** q113's oracle: q22's pair CTE chain + source attribution +
+    * unordered-pair rollup. */
+  private def sourceLeakageOracle: String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+      |lab AS (
+      |  SELECT least(da.source, db.source) AS source_a,
+      |         greatest(da.source, db.source) AS source_b
+      |  FROM dup JOIN documents da ON da.doc_id = dup.doc_a
+      |           JOIN documents db ON db.doc_id = dup.doc_b)
+      |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** DuckDB twin of [[graft.ops.Sketches.cmsEstimates]] — the same
     * per-row salted h60 mod width grid, min over rows, left joins
