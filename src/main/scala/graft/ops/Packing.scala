@@ -123,6 +123,96 @@ object Packing {
     *
     * Output: (doc_id, chunk_idx 0-based, n_tokens, chunk_text); docs
     * with no tokens emit no window. */
+  /** Length-bucketed batch assembly — the padding-efficiency batching
+    * trainers use (group similar-length sequences so a batch's pad-to-
+    * max waste shrinks; the T5/fairseq "length bucketing" strategy):
+    * every document gets a GLOBAL dense rank under the total order
+    * (n_tokens, doc_id) and batch_id = rank div batchSize, so batch
+    * contents are deterministic at any parallelism.
+    *
+    * The global rank uses [[withOffsets]]' two-level trick with
+    * LENGTH-RANGE buckets instead of id ranges: bucket =
+    * n_tokens div lenBucket is monotone in the rank order, so
+    * in-bucket row_numbers plus broadcast per-bucket base counts
+    * compose to the exact global rank — one corpus exchange keyed on
+    * the length bucket, never a single-partition global window.
+    * (A range-repartition would sample nondeterministic boundaries;
+    * the arithmetic bucket is what keeps the result hash-stable.)
+    * Skew note: lenBucket bounds how many distinct lengths share a
+    * bucket, not how many DOCS — a corpus massed on one length still
+    * hot-spots that bucket's sort; shrink lenBucket toward 1 and the
+    * exchange approaches a per-length hash partition.
+    *
+    * Output: (doc_id, n_tokens, rank, batch_id); the last batch may
+    * be short. */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 32,
+                    lenBucket: Long = 16L): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(lenBucket >= 1, s"lenBucket must be >= 1, got $lenBucket")
+    val toks = docs.select(col("doc_id"),
+      coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tokens"))
+    val b = toks.withColumn("lbucket",
+      floor(col("n_tokens") / lit(lenBucket)).cast("long"))
+    val inB = b.withColumn("rin",
+      row_number().over(Window.partitionBy("lbucket")
+        .orderBy("n_tokens", "doc_id")).cast("long") - 1L)
+    val bases = b.groupBy("lbucket").agg(count(lit(1)).as("bn"))
+      .withColumn("base",
+        coalesce(sum(col("bn")).over(Window.orderBy("lbucket"))
+          - col("bn"), lit(0L)))
+      .select(col("lbucket"), col("base"))
+    val rank = col("base") + col("rin")
+    inB.join(broadcast(bases), Seq("lbucket"))
+      .select(col("doc_id"), col("n_tokens"), rank.as("rank"),
+        Hashing.idiv(rank, lit(batchSize.toLong)).as("batch_id"))
+  }
+
+  /** Per-batch padding accounting for [[lengthBatches]] BESIDE the
+    * arrival-order baseline (batches cut from the (doc_id) order by
+    * the same two-level rank, id-range buckets) — the padding saving
+    * is IN the result, not a claim beside it: per batch,
+    * pad_tokens = n_docs·max_len − sum_len and
+    * pad_x1000 = (1000·pad_tokens) div (n_docs·max_len).
+    * Output: (strategy ∈ length|arrival, batch_id, n_docs, max_len,
+    * sum_len, pad_tokens, pad_x1000). */
+  def lengthBatchStats(docs: DataFrame, batchSize: Int = 32,
+                       lenBucket: Long = 16L,
+                       idBucket: Long = 65536L): DataFrame = {
+    require(idBucket >= 1, s"idBucket must be >= 1, got $idBucket")
+    val byLen = lengthBatches(docs, batchSize, lenBucket)
+      .select(lit("length").as("strategy"), col("batch_id"),
+        col("n_tokens"))
+    val toks = docs.select(col("doc_id"),
+      coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / lit(idBucket)).cast("long"))
+    val inB = toks.withColumn("rin",
+      row_number().over(Window.partitionBy("bucket").orderBy("doc_id"))
+        .cast("long") - 1L)
+    val bases = toks.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("base",
+        coalesce(sum(col("bn")).over(Window.orderBy("bucket"))
+          - col("bn"), lit(0L)))
+      .select(col("bucket"), col("base"))
+    val byArr = inB.join(broadcast(bases), Seq("bucket"))
+      .select(lit("arrival").as("strategy"),
+        Hashing.idiv(col("base") + col("rin"), lit(batchSize.toLong))
+          .as("batch_id"),
+        col("n_tokens"))
+    val cap = col("n_docs") * col("max_len")
+    byLen.unionByName(byArr)
+      .groupBy("strategy", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .select(col("strategy"), col("batch_id"), col("n_docs"),
+        col("max_len"), col("sum_len"),
+        (cap - col("sum_len")).as("pad_tokens"),
+        Hashing.idiv(lit(1000L) * (cap - col("sum_len")),
+          greatest(cap, lit(1L))).as("pad_x1000"))
+  }
+
   def slidingWindows(docs: DataFrame, width: Int,
                      stride: Int): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")

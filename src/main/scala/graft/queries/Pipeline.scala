@@ -2159,7 +2159,49 @@ object Pipeline {
           .groupBy("source_a", "source_b")
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("source_a", "source_b")
-      }))
+      }),
+
+    // ── length-bucketed batch assembly ([[Packing.lengthBatchStats]]):
+    // trainer batches cut from the global (n_tokens, doc_id) order so
+    // pad-to-max waste shrinks, beside the arrival-order baseline —
+    // the padding saving is hash-checked IN the result. The global
+    // rank is the two-level prefix-sum trick with LENGTH-range
+    // buckets (arithmetic, not sampled — deterministic at any
+    // parallelism); the oracle ranks with a plain window.
+    Q("q114_length_batching", "pipeline:packing-length-batches",
+      Some(lengthBatchingOracle(batchSize = 32)),
+      (s, dir) => Packing.lengthBatchStats(docsF(s, dir), batchSize = 32,
+        lenBucket = 16L).orderBy("strategy", "batch_id")))
+
+  /** q114's oracle: both strategies' ranks as plain windows over the
+    * same total orders, identical integer padding arithmetic. */
+  private def lengthBatchingOracle(batchSize: Int): String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    coalesce(CAST(len(regexp_split_to_array(trim(lower(text)),
+      |      '\\s+')) AS BIGINT), 0) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) - 1
+      |      AS rk,
+      |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS ra
+      |  FROM t),
+      |u AS (
+      |  SELECT 'length' AS strategy, rk // $batchSize AS batch_id, n_tokens
+      |  FROM r
+      |  UNION ALL
+      |  SELECT 'arrival', ra // $batchSize, n_tokens FROM r),
+      |g AS (
+      |  SELECT strategy, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(max(n_tokens) AS BIGINT) AS max_len,
+      |    CAST(sum(n_tokens) AS BIGINT) AS sum_len
+      |  FROM u GROUP BY 1, 2)
+      |SELECT strategy, batch_id, n_docs, max_len, sum_len,
+      |  (n_docs * max_len - sum_len) AS pad_tokens,
+      |  ((1000 * (n_docs * max_len - sum_len)) //
+      |    greatest(n_docs * max_len, 1)) AS pad_x1000
+      |FROM g ORDER BY strategy, batch_id""".stripMargin
 
   /** q113's oracle: q22's pair CTE chain + source attribution +
     * unordered-pair rollup. */

@@ -697,4 +697,51 @@ class PipelineOpsSpec extends SparkSpec {
     // "alpha beta gamma" and "beta gamma delta"
     assert(out.toSeq == Seq((7L, 4L, 2L), (17L, 5L, 0L), (27L, 0L, 0L)))
   }
+
+  test("lengthBatches: the two-level bucketed rank equals a plain " +
+    "global window across bucket boundaries, and ranks are dense") {
+    // lengths 1..23 scrambled over doc_ids; lenBucket=4 puts several
+    // boundary-straddling buckets in play
+    val docs = (0 until 23).map { i =>
+      val len = (i * 7) % 23 + 1
+      (i.toLong, Seq.fill(len)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Packing.lengthBatches(docs, batchSize = 4, lenBucket = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._3).sorted.toSeq == (0L until 23L).toSeq,
+      "ranks must be a dense 0..n-1 permutation")
+    // reference: single window over the same total order
+    val ref = out.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, n, _, _), rk) =>
+        (id, n, rk.toLong, rk.toLong / 4) }.toSeq
+    assert(out.sortBy(_._3).toSeq == ref)
+  }
+
+  test("lengthBatchStats: length batching never pads more than arrival " +
+    "batching, and the hand case pins the arithmetic") {
+    val docs = Seq(5, 1, 4, 2, 3, 6).zipWithIndex.map { case (len, i) =>
+      (i.toLong, Seq.fill(len)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Packing.lengthBatchStats(docs, batchSize = 2, lenBucket = 2L)
+      .orderBy("strategy", "batch_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    // arrival (5,1)(4,2)(3,6): pads 4,2,3; sorted (1,2)(3,4)(5,6): 1,1,1
+    assert(out.toSeq == Seq(
+      ("arrival", 0L, 4L), ("arrival", 1L, 2L), ("arrival", 2L, 3L),
+      ("length", 0L, 1L), ("length", 1L, 1L), ("length", 2L, 1L)))
+    val padOf = out.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(padOf("length") <= padOf("arrival"))
+  }
+
+  test("lengthBatchStats edges: empty docs batch at zero pad share; " +
+    "the short last batch accounts its own cap") {
+    val docs = Seq(0L -> "", 1L -> "", 2L -> "a b c").toDF("doc_id", "text")
+    // tokens('') is [''], one token — so lengths are 1,1,3
+    val out = Packing.lengthBatchStats(docs, batchSize = 2, lenBucket = 1L)
+      .filter(col("strategy") === "length").orderBy("batch_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+        r.getLong(6)))
+    assert(out.toSeq == Seq((0L, 2L, 1L, 0L, 0L), (1L, 1L, 3L, 0L, 0L)))
+  }
 }
