@@ -52,6 +52,15 @@ object ProbeRetrieval {
         Seq("spark", "table", "the", "vector", "zzz_absent"),
         depth = 4, width = 1024).count()
     }
+    // the q114 skew point: this corpus' ~30 distinct lengths put
+    // lenBucket=16 at ~3 hot buckets vs lenBucket=1 at ~30 — the
+    // scaladoc's shrink-lenBucket guidance, priced
+    for (lb <- Seq(16L, 1L)) {
+      time(s"lengthBatchStats batch=32 lenBucket=$lb") {
+        graft.ops.Packing.lengthBatchStats(docs, batchSize = 32,
+          lenBucket = lb).count()
+      }
+    }
     spark.stop()
   }
 }
