@@ -54,6 +54,21 @@ object Sketches {
       .groupBy("row_i", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Cell-wise merge of sketches built with the SAME (depth, width):
+    * CMS is DISTRIBUTIVE — sketch(A ⊎ B) = sketch(A) + sketch(B),
+    * exactly, cell by cell — which is what makes it the 100-TB tool:
+    * sketch each shard/day/batch independently, fold the bounded
+    * grids, and the merged estimate is bit-identical to sketching
+    * the union corpus in one pass (SketchesSpec pins the equality).
+    * An incremental pipeline maintains a running sketch by adding
+    * each micro-batch's grid; nothing about the corpus ever meets an
+    * exchange. */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("row_i", "bucket").agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Probe the sketch for `probes`' estimated counts beside their
     * exact counts (the exact side exists for accuracy accounting —
     * a production pass keeps only the sketch). Output per probe:

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Count-Min Sketch invariants, hand-checkable ends of the accuracy
   * spectrum, and the no-underestimate guarantee on a mixed corpus. */
@@ -53,6 +54,22 @@ class SketchesSpec extends SparkSpec {
       assert(r.getBoolean(3), s"CMS underestimated: $r")
       assert(r.getLong(2) >= r.getLong(1))
     }
+  }
+
+  test("cmsMerge is exactly distributive: per-shard sketches fold to " +
+    "the whole-corpus sketch bit-for-bit") {
+    val all = docs(corpus: _*)
+    val parts = Seq(
+      all.filter(col("doc_id") < 1L),
+      all.filter(col("doc_id") === 1L),
+      all.filter(col("doc_id") > 1L))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val merged = Sketches.cmsMerge(
+      parts.map(Sketches.cmsSketch(_, depth = 4, width = 8)): _*)
+    val whole = Sketches.cmsSketch(all, depth = 4, width = 8)
+    assert(cells(merged) === cells(whole))
   }
 
   test("the sketch itself is bounded by depth x width cells") {
