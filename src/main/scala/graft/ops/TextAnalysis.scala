@@ -774,6 +774,46 @@ object TextAnalysis {
     out
   }
 
+  /** Unigram-LM surprisal scoring — the perplexity-style quality
+    * filter (CCNet / Gopher's LM stage) in integer-exact form: a
+    * token appearing c times in a W-token corpus carries
+    * −log₂(c/W) ≈ ⌊log₂(W div c)⌋ bits of surprise, and
+    * ⌊log₂ x⌋ = length(bin(x)) − 1 EXACTLY on both engines — no
+    * transcendental ever touches a checked value (ln is not
+    * correctly-rounded-guaranteed cross-engine; binary string length
+    * is). A doc of corpus-typical tokens scores low bits/token;
+    * rare-token gibberish scores high — threshold the top tail the
+    * way CCNet thresholds LM perplexity.
+    *
+    * Plan: one vocabulary aggregate (Heaps-sized, broadcasts), one
+    * corpus-stream join against it, one per-doc sum — the only
+    * corpus-sized exchange is the (doc_id) aggregation of 3-int rows
+    * (the q91 shape). Every doc appears: tokens('') = [''] is itself
+    * a counted vocabulary token, and null text contributes no rows
+    * (dropped by the explode on both engines... callers with null
+    * text get no row, same as the oracle).
+    *
+    * Output: (doc_id, n_tokens, surprisal_bits,
+    * bits_x1000_per_token = (1000·bits) div n_tokens). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    // W = Σc re-aggregates the VOCAB frame, not the corpus — one
+    // corpus pass feeds both the counts and (via them) the total
+    val vocab = counts
+      .crossJoin(broadcast(counts.agg(sum(col("c")).as("w_total"))))
+      .select(col("t"),
+        (length(bin(idiv(col("w_total"), col("c")))) - 1)
+          .cast("long").as("bits"))
+    tok.join(broadcast(vocab), Seq("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+        idiv(lit(1000L) * col("surprisal_bits"),
+          greatest(col("n_tokens"), lit(1L))).as("bits_x1000_per_token"))
+  }
+
   /** Collocation mining: the adjacent word pairs most over-represented
     * against the independence assumption — PMI's argument carried as
     * integer "lift" instead of its log, so the ranking is identical

@@ -2171,7 +2171,36 @@ object Pipeline {
     Q("q114_length_batching", "pipeline:packing-length-batches",
       Some(lengthBatchingOracle(batchSize = 32)),
       (s, dir) => Packing.lengthBatchStats(docsF(s, dir), batchSize = 32,
-        lenBucket = 16L).orderBy("strategy", "batch_id")))
+        lenBucket = 16L).orderBy("strategy", "batch_id")),
+
+    // ── unigram-LM surprisal ([[TextAnalysis.unigramSurprisal]]): the
+    // perplexity-style quality filter with NO transcendental in any
+    // checked value — ⌊log₂(W div c)⌋ = length(bin(x)) − 1, exact on
+    // both engines where ln/log2 doubles are not cross-engine
+    // guaranteed. Vocabulary broadcast, one corpus-stream join, one
+    // (doc_id) aggregation — the q91 exchange shape.
+    Q("q115_unigram_surprisal", "pipeline:text-lm-surprisal",
+      Some(unigramSurprisalOracle),
+      (s, dir) => TextAnalysis.unigramSurprisal(docsF(s, dir))
+        .orderBy("doc_id")))
+
+  /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
+  private def unigramSurprisalOracle: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS w_total FROM cnt),
+      |vocab AS (
+      |  SELECT t, CAST(length(bin(w_total // c)) - 1 AS BIGINT) AS bits
+      |  FROM cnt CROSS JOIN tot)
+      |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(v.bits) AS BIGINT) AS surprisal_bits,
+      |  ((1000 * CAST(sum(v.bits) AS BIGINT)) //
+      |    greatest(CAST(count(*) AS BIGINT), 1)) AS bits_x1000_per_token
+      |FROM tok JOIN vocab v ON v.t = tok.t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q114's oracle: both strategies' ranks as plain windows over the
     * same total orders, identical integer padding arithmetic. */

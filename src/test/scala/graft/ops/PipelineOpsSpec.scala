@@ -698,6 +698,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((7L, 4L, 2L), (17L, 5L, 0L), (27L, 0L, 0L)))
   }
 
+  test("unigramSurprisal: hand-computed integer bits; common tokens " +
+    "score below rare ones; a single-token corpus carries zero bits") {
+    // W = 8; c(a)=4 → ⌊log₂2⌋=1 bit, c(b)=c(c)=2 → ⌊log₂4⌋=2 bits
+    val docs = Seq(0L -> "a a a b", 1L -> "a b c c").toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 4L, 5L, 1250L), (1L, 4L, 7L, 1750L)))
+    val solo = TextAnalysis.unigramSurprisal(
+      Seq(9L -> "z").toDF("doc_id", "text")).collect()
+    assert(solo.map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((9L, 0L, 0L)))
+  }
+
   test("lengthBatches: the two-level bucketed rank equals a plain " +
     "global window across bucket boundaries, and ranks are dense") {
     // lengths 1..23 scrambled over doc_ids; lenBucket=4 puts several

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 113, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 114, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -96,10 +96,11 @@ class QueriesSpec extends SparkSpec {
       // query-time shape (broadcast-chunk probe assignment + the
       // broadcast rerank fetch)
       "q106_streaming_index_grow",
-      // q110/q111 cross-join their ONE-row corpus-stats frame
-      // (N + avgdl / total-bigram count) onto vocabulary-sized
-      // aggregates — the q75 scalar-broadcast shape
-      "q110_bm25_topk", "q111_collocation_lift")
+      // q110/q111/q115 cross-join their ONE-row corpus-stats frame
+      // (N + avgdl / total-bigram count / total token count) onto
+      // vocabulary-sized aggregates — the q75 scalar-broadcast shape
+      "q110_bm25_topk", "q111_collocation_lift",
+      "q115_unigram_surprisal")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
