@@ -2138,9 +2138,9 @@ object Pipeline {
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
-    // The pair set is tiny after dedup machinery, so the source
-    // attribution joins it BROADCAST against the 2-column corpus
-    // projection; the rollup aggregates |pairs| rows. Composition,
+    // The pair set is tiny after dedup machinery, so it BROADCASTS
+    // while the corpus-sized 2-column source projection streams
+    // through the probes; the rollup aggregates |pairs| rows. Composition,
     // not new machinery: any pair source (q23 LSH, q61 capped, q74
     // IVF) drops in unchanged.
     Q("q113_source_leakage", "pipeline:dedup-source-matrix",
@@ -2149,11 +2149,16 @@ object Pipeline {
         val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
         val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8)
           .select(col("doc_a"), col("doc_b"))
-        pairs
-          .join(broadcast(src).withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("source", "src_a_raw"), "doc_a")
-          .join(broadcast(src).withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("source", "src_b_raw"), "doc_b")
+        // the PAIR frame broadcasts (it is the post-dedup small side);
+        // the corpus-sized source projection streams through two
+        // broadcast-hash probes — never the reverse
+        val withA = src.join(broadcast(pairs),
+          col("doc_id") === col("doc_a"))
+          .select(col("doc_b"), col("source").as("src_a_raw"))
+        val withAB = src.join(broadcast(withA),
+          col("doc_id") === col("doc_b"))
+          .select(col("src_a_raw"), col("source").as("src_b_raw"))
+        withAB
           .select(least(col("src_a_raw"), col("src_b_raw")).as("source_a"),
             greatest(col("src_a_raw"), col("src_b_raw")).as("source_b"))
           .groupBy("source_a", "source_b")
