@@ -785,7 +785,9 @@ object TextAnalysis {
     * rare-token gibberish scores high — threshold the top tail the
     * way CCNet thresholds LM perplexity.
     *
-    * Plan: one vocabulary aggregate (Heaps-sized, broadcasts), one
+    * Plan: one vocabulary aggregate (Heaps-sized, broadcasts; past
+    * broadcast scale, drop the hint and the same plan shuffle-joins
+    * on the token — still one corpus pass), one
     * corpus-stream join against it, one per-doc sum — the only
     * corpus-sized exchange is the (doc_id) aggregation of 3-int rows
     * (the q91 shape). Every doc appears: tokens('') = [''] is itself
@@ -836,8 +838,11 @@ object TextAnalysis {
     * whitespace-split, so words never contain the join space). Two
     * corpus-sized explodes feeding two vocabulary-keyed aggregates
     * (Heaps-law-sized outputs); unigram counts and the 1-row total
-    * join back by broadcast; top-k is TakeOrdered + a k-row rank
-    * window (the [[topShingles]] pattern). No pair term anywhere —
+    * join back by broadcast (at a vocabulary past broadcast scale,
+    * drop the hint — the same plan becomes a bigram-vocab-keyed
+    * shuffle join, still corpus-free); top-k is TakeOrdered + a
+    * k-row rank window (the [[topShingles]] pattern). No pair term
+    * anywhere —
     * candidate bigrams are only the ADJACENT pairs the corpus
     * actually contains. */
   def collocations(docs: DataFrame, minCount: Int = 3, k: Int = 50): DataFrame = {
