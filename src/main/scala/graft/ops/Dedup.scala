@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import Hashing._
 
@@ -31,6 +31,39 @@ object Dedup {
   def keepFirst(docs: DataFrame): DataFrame =
     docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+
+  /** Canonical text key for normalization-invariant exact dedup:
+    * lowercase → non-alphanumerics to spaces → whitespace collapsed →
+    * trimmed. This is the "fuzzy-exact" key production pipelines hash
+    * before exact dedup (casing, punctuation, and whitespace variants
+    * of the same document collapse to one group; reference
+    * Citibike-Deep-Dive normalizes CSV header variants the same way —
+    * `ingestion.py` column canonicalization — here applied to
+    * content). The character class is the ASCII [^a-z0-9\s] on
+    * purpose: it means the identical thing under Java regex (Spark)
+    * and RE2 (DuckDB), so the key replays verbatim in the oracle.
+    * Null text stays null (the group-of-nulls contract matches
+    * [[exactGroups]]'s md5(null) group). Pure per-row map work —
+    * zero shuffles. */
+  def canonicalKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Normalization-invariant exact dedup: [[exactGroups]] over
+    * [[canonicalKey]], keeping the min doc_id per canonical group and
+    * counting how many RAW variants (distinct md5(text)) the group
+    * collapsed — n_variants > 1 is exactly the duplication that plain
+    * exact dedup misses. Same scale shape as [[exactGroups]]: one
+    * hash-partitioned aggregate over (key-hash) rows; the distinct
+    * variant count is a standard two-phase partial-distinct agg, still
+    * keyed by the same canonical hash — one exchange total. */
+  def normalizedGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        md5(canonicalKey(col("text"))).as("canon_hash"))
+      .groupBy(col("canon_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text"))).as("n_variants"),
+        min(col("doc_id")).as("keep_id"))
 
   /** Per-doc distinct shingle arrays (doc_id, sh) — words materialized
     * first so tokenization runs once per doc (see shinglesFromWords).

@@ -155,4 +155,62 @@ object Sampling {
       .filter(pmod(h60(concat(lit("mix:"), col("doc_id").cast("string"))),
         lit(1000000L)) < col("rate_ppm"))
   }
+
+  /** Token-budget domain mixture (The Pile's mixing weights, the
+    * application step of DoReMi-style learned weights): given target
+    * per-source shares w_s in PER-MILLE, find the largest total token
+    * budget B the corpus can serve at exactly those proportions —
+    * the BINDING source is the one with the fewest tokens relative
+    * to its weight, B = min over weighted sources of
+    * (T_s·1000 div w_s) — then downsample every source to its share:
+    *
+    *   rate_pm_s = min(1000, (w_s · B) div T_s)
+    *
+    * The binding source keeps (almost) everything; oversupplied
+    * sources thin to proportion; sources ABSENT from `targetsPm` get
+    * rate 0 and are dropped — their rows still appear in the output
+    * with keep = false, so the mixture report is complete. All
+    * integer: T_s from one per-source token-count aggregate, the min
+    * and the rates replay verbatim in the oracle. 64-bit bound:
+    * w_s·B ≤ 1000·B ≤ 1000·1000·T — safe below ~9·10^12 corpus
+    * tokens; past that, express weights per-cent.
+    *
+    * Acceptance is the family's salted-hash predicate
+    * (h60("budget:" + doc_id) mod 1000 < rate — q66's modulus):
+    * per-row, deterministic, stable under corpus growth. Plan: ONE
+    * corpus-sized exchange (the per-source token aggregate, 2-int
+    * rows after map-side combine); the |sources|-row rate frame
+    * broadcasts back and keep is a pushed per-row predicate — the
+    * corpus text is never shuffled.
+    *
+    * Output: (doc_id, source, n_tokens, rate_pm, keep) for EVERY
+    * input row. */
+  def mixtureBudget(docs: DataFrame, targetsPm: Map[String, Long],
+                    byCol: String = "source",
+                    salt: String = "budget"): DataFrame = {
+    require(targetsPm.nonEmpty, "need at least one target weight")
+    require(targetsPm.values.forall(w => w >= 1 && w <= 1000),
+      "weights are per-mille shares: [1, 1000]")
+    val weights = targetsPm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s0, w)) => when(col(byCol) === s0, lit(w)).otherwise(acc)
+    }
+    val toks = docs.withColumn("n_tokens",
+      coalesce(size(Hashing.tokens(col("text"))).cast("long"), lit(0L)))
+    val stats = toks.withColumn("w_pm", weights)
+      .groupBy(col(byCol), col("w_pm"))
+      .agg(sum(col("n_tokens")).as("t_s"))
+    val budget = stats.filter(col("w_pm") > 0)
+      .agg(min(Hashing.idiv(col("t_s") * lit(1000L), col("w_pm"))).as("b"))
+    val rates = stats.crossJoin(broadcast(budget))
+      .select(col(byCol),
+        when(col("w_pm") > 0 && col("t_s") > 0,
+          least(lit(1000L), Hashing.idiv(col("w_pm") * col("b"),
+            col("t_s")))).otherwise(lit(0L)).as("rate_pm"))
+    toks.join(broadcast(rates), Seq(byCol))
+      .withColumn("keep",
+        pmod(h60(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+          lit(1000L)) < col("rate_pm"))
+      .select(col("doc_id"), col(byCol), col("n_tokens"),
+        col("rate_pm"), col("keep"))
+  }
 }

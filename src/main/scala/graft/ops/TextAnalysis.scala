@@ -872,4 +872,186 @@ object TextAnalysis {
       .select(col("rank"), col("w1"), col("w2"), col("c12"),
         col("c1"), col("c2"), col("lift_x1M"))
   }
+
+  /** CCNet's per-language LM-quality bucketing (Wenzek et al. 2020)
+    * with the whole chain integer-exact: a per-LANGUAGE unigram LM
+    * ([[unigramSurprisal]]'s bin-length bits, but vocabulary and
+    * totals keyed by lang — zh gibberish is judged against zh, not
+    * against the en-dominated global token stream), then each doc's
+    * bits_x1000_per_token bucketed head/middle/tail against its
+    * language's OWN [pHead, pTail] interpolated percentiles. q91's
+    * fixed 667/334 thresholds were the global-constant stand-in;
+    * this is the real adaptive per-group form CCNet runs per
+    * language.
+    *
+    * pHead/pTail default to 0.25/0.75: DYADIC percentiles, so the
+    * type-7 rank p·(N−1), its fractional part, and the
+    * v0 + frac·(v1−v0) interpolation are all IEEE-EXACT (dyadic
+    * rationals times small integers) — the bucket boundary is the
+    * same bit pattern on any engine under any evaluation order. A
+    * non-dyadic p still matches DuckDB's quantile_cont (q70's rank
+    * math, proven at 0.01/0.99) but would lean on ulp-for-ulp
+    * agreement of the frac product; the dyadic default removes even
+    * that.
+    *
+    * Plan: the q115 exchange shape with lang added to the keys —
+    * per-(lang, token) vocabulary (Heaps-sized, broadcasts; past
+    * broadcast scale drop the hint and the join keys on the token,
+    * still corpus-pass-free), one corpus-stream join, one per-doc
+    * aggregation. The percentile machinery then sees only the
+    * (lang, score) HISTOGRAM — bounded by langs × distinct scores at
+    * any corpus size — under a lang-partitioned running-sum window,
+    * and the |langs|-row bounds frame broadcasts back onto the
+    * scored docs. The corpus is exchanged exactly twice (token join,
+    * doc agg); the gate itself adds zero corpus-sized shuffles. */
+  def perLangSurprisalGate(docs: DataFrame, pHead: Double = 0.25,
+                           pTail: Double = 0.75): DataFrame = {
+    require(pHead > 0 && pTail < 1 && pHead < pTail,
+      s"need 0 < pHead < pTail < 1, got ($pHead, $pTail)")
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("t"))
+    val counts = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("lang").agg(sum(col("c")).as("w_total"))
+    val vocab = counts.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("t"),
+        (length(bin(idiv(col("w_total"), col("c")))) - 1)
+          .cast("long").as("bits"))
+    val scored = tok.join(broadcast(vocab), Seq("lang", "t"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprisal_bits"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        idiv(lit(1000L) * col("surprisal_bits"),
+          greatest(col("n_tokens"), lit(1L)))
+          .as("bits_x1000_per_token"))
+    val hist = scored
+      .select(col("lang"), col("bits_x1000_per_token").as("s"))
+      .groupBy("lang", "s").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy("s")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val withN = cum.join(
+      broadcast(hist.groupBy("lang").agg(sum(col("cnt")).as("N"))),
+      Seq("lang"))
+    def rank(p: Double): Column = lit(p) * (col("N") - 1).cast("double")
+    def k0(p: Double): Column = floor(rank(p)).cast("long")
+    def k1(p: Double): Column = least(k0(p) + 1, col("N") - 1)
+    // value at 0-indexed rank k within the lang = the smallest score
+    // whose cumulative count exceeds k (the q70 histogram-rank trick,
+    // grouped)
+    def vAt(k: Column): Column = min(when(col("cum") > k, col("s")))
+    val agg = withN.groupBy("lang").agg(
+      vAt(k0(pHead)).as("h0"), vAt(k1(pHead)).as("h1"),
+      vAt(k0(pTail)).as("t0"), vAt(k1(pTail)).as("t1"),
+      max(col("N")).as("N"))
+    def interp(p: Double, v0: Column, v1: Column): Column =
+      v0.cast("double") +
+        (rank(p) - floor(rank(p))) * (v1 - v0).cast("double")
+    val bounds = agg.select(col("lang"),
+      interp(pHead, col("h0"), col("h1")).as("lo"),
+      interp(pTail, col("t0"), col("t1")).as("hi"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("bits_x1000_per_token") <= col("lo"), lit("head"))
+          .when(col("bits_x1000_per_token") <= col("hi"), lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("lo_x100", floor(col("lo") * 100).cast("long"))
+      .withColumn("hi_x100", floor(col("hi") * 100).cast("long"))
+      .select("doc_id", "lang", "n_tokens", "bits_x1000_per_token",
+        "bucket", "lo_x100", "hi_x100")
+  }
+
+  /** Stupid Backoff bigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): the web-scale LM
+    * smoothing that replaces discounting with one fixed backoff
+    * penalty α = 0.4 — at corpus scale the simple score matches
+    * Kneser-Ney quality and is embarrassingly distributable. The LM
+    * trains on a REFERENCE SLICE (`refPred`, default doc_id % 10 = 7
+    * — q51's benchmark-slice convention) and scores EVERY doc, so
+    * the backoff path is real: corpus bigrams absent from the slice
+    * back off to the slice's unigram estimate, slice-unseen tokens
+    * to the OOV floor. This is the bigram upgrade of
+    * [[unigramSurprisal]] — context-sensitive, so token-salad text
+    * scores high even when its unigrams are common.
+    *
+    * Integer bits via the bin-length log (⌊log₂x⌋ = len(bin(x))−1,
+    * exact on both engines), with α folded into the divisions
+    * (W/(0.4·c) = (10·W)/(4·c), α² = 100/16):
+    *   bigram seen            bits = ⌊log₂(c1 div c12)⌋
+    *   backoff, token seen    bits = ⌊log₂((10·W) div (4·c2))⌋
+    *   backoff, token unseen  bits = ⌊log₂((100·W) div 16)⌋
+    * The first token of each doc scores through the unigram path (no
+    * context yet): seen ⌊log₂(W div c)⌋, unseen ⌊log₂((10·W) div 4)⌋
+    * (one α, not two). 64-bit bound: 100·W < 9.2·10^18 — W is the
+    * SLICE's token count, and a production LM slice is a curated
+    * sample, not the corpus. The slice must tokenize to at least one
+    * token or every score divides by a null total.
+    *
+    * Plan: slice-sized LM artifacts (bigram vocab with precomputed
+    * seen-bits, unigram vocab, 1-row W) all broadcast; the corpus
+    * streams ONCE through the bigram kernel
+    * ([[graft.functions.WordShinglesExpr]] n=2 NON-distinct — every
+    * adjacent-pair instance scores) plus a first-token projection,
+    * through three broadcast probes, into one per-doc aggregation —
+    * the only corpus-sized exchange. n_backoff rides the output: the
+    * fall-through fraction is the model-coverage diagnostic a
+    * perplexity pipeline reports next to the score. */
+  def stupidBackoff(docs: DataFrame,
+                    refPred: Column =
+                      pmod(col("doc_id"), lit(10)) === 7): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val ref = docs.filter(refPred).select(tokens(col("text")).as("w"))
+    val uni = ref.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val wTot = uni.agg(sum(col("c")).as("w_total"))
+    val bgSeen = ref.select(explode(graft.functions.TextFunctions
+        .wordShingles(col("w"), 2, distinct = false)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))),
+        Seq("w1"))
+      .select(col("bg"),
+        (length(bin(idiv(col("c1"), col("c12")))) - 1)
+          .cast("long").as("bits_seen"))
+    val bgInst = base.select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .wordShingles(col("w"), 2, distinct = false)).as("bg"))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(bgSeen), Seq("bg"), "left")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(wTot))
+      .select(col("doc_id"),
+        when(col("bits_seen").isNotNull, col("bits_seen"))
+          .when(col("c2").isNotNull,
+            (length(bin(idiv(lit(10L) * col("w_total"),
+              lit(4L) * col("c2")))) - 1).cast("long"))
+          .otherwise((length(bin(idiv(lit(100L) * col("w_total"),
+            lit(16L)))) - 1).cast("long")).as("bits"),
+        when(col("bits_seen").isNotNull, lit(0L))
+          .otherwise(lit(1L)).as("backoff"))
+    val first = base.filter(size(col("w")) >= 1)
+      .select(col("doc_id"), element_at(col("w"), 1).as("t"))
+      .join(broadcast(uni.select(col("tok").as("t"), col("c").as("c2"))),
+        Seq("t"), "left")
+      .crossJoin(broadcast(wTot))
+      .select(col("doc_id"),
+        when(col("c2").isNotNull,
+          (length(bin(idiv(col("w_total"), col("c2")))) - 1).cast("long"))
+          .otherwise((length(bin(idiv(lit(10L) * col("w_total"),
+            lit(4L)))) - 1).cast("long")).as("bits"),
+        when(col("c2").isNotNull, lit(0L)).otherwise(lit(1L)).as("backoff"))
+    bgInst.select("doc_id", "bits", "backoff").unionByName(first)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("backoff")).as("n_backoff"),
+        sum(col("bits")).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
+        col("surprisal_bits"),
+        idiv(lit(1000L) * col("surprisal_bits"),
+          greatest(col("n_tokens"), lit(1L))).as("bits_x1000_per_token"))
+  }
 }

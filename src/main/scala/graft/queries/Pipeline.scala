@@ -2187,7 +2187,57 @@ object Pipeline {
     Q("q115_unigram_surprisal", "pipeline:text-lm-surprisal",
       Some(unigramSurprisalOracle),
       (s, dir) => TextAnalysis.unigramSurprisal(docsF(s, dir))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── normalization-invariant exact dedup ([[Dedup.normalizedGroups]]):
+    // q20's hash-groupBy over the CANONICAL key (lowercase,
+    // punctuation→space, whitespace collapsed) — the "fuzzy-exact"
+    // pass production pipelines run before MinHash; n_variants counts
+    // the raw md5-distinct texts each canonical group collapsed (the
+    // duplication plain exact dedup misses). Same one-exchange shape
+    // as q20; the ASCII character class means the same thing under
+    // Java regex and RE2, so the key replays verbatim.
+    Q("q116_normalized_dedup", "pipeline:dedup-normalized",
+      Some(normalizedDedupOracle),
+      (s, dir) => Dedup.normalizedGroups(t(s, dir, "documents"))
+        .orderBy("canon_hash")),
+
+    // ── per-language CCNet bucketing
+    // ([[TextAnalysis.perLangSurprisalGate]]): q115's unigram-LM bits
+    // per LANGUAGE, bucketed head/middle/tail against each language's
+    // own interpolated [p25, p75] score percentiles (q70's histogram
+    // rank math, lang-partitioned; dyadic p so the bound is IEEE-exact
+    // on both engines). The real adaptive form of q91's fixed
+    // thresholds — and the oracle's quantile_cont must agree with the
+    // histogram walk per group.
+    Q("q117_perlang_surprisal_gate", "pipeline:text-lm-perlang-gate",
+      Some(perLangGateOracle),
+      (s, dir) => TextAnalysis.perLangSurprisalGate(docsF(s, dir))
+        .orderBy("doc_id")),
+
+    // ── Stupid Backoff bigram scoring ([[TextAnalysis.stupidBackoff]]):
+    // the web-scale LM smoothing (Brants et al. 2007) trained on the
+    // doc_id % 10 = 7 reference slice and scoring every doc —
+    // context-sensitive where q115 is bag-of-words, with the backoff
+    // fall-through count riding the result as the coverage
+    // diagnostic. All broadcast probes; the per-doc agg is the one
+    // corpus-sized exchange.
+    Q("q118_stupid_backoff", "pipeline:text-lm-backoff",
+      Some(stupidBackoffOracle),
+      (s, dir) => TextAnalysis.stupidBackoff(docsF(s, dir))
+        .orderBy("doc_id")),
+
+    // ── token-budget domain mixture ([[Sampling.mixtureBudget]]): The
+    // Pile's mixing-weights application — the binding source sets the
+    // achievable budget B = min(T_s·1000 div w_s), every source thins
+    // to its share, unmapped sources surface with rate 0 / keep =
+    // false. Weights pinned here and in the oracle from ONE constant
+    // ([[MixtureTargets]]); acceptance is the family's salted-hash
+    // predicate. One corpus-sized exchange (per-source token agg).
+    Q("q119_mixture_budget", "pipeline:sampling-mixture-budget",
+      Some(mixtureBudgetOracle),
+      (s, dir) => Sampling.mixtureBudget(t(s, dir, "documents"),
+        MixtureTargets).orderBy("doc_id")))
 
   /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
   private def unigramSurprisalOracle: String =
@@ -2206,6 +2256,144 @@ object Pipeline {
       |    greatest(CAST(count(*) AS BIGINT), 1)) AS bits_x1000_per_token
       |FROM tok JOIN vocab v ON v.t = tok.t
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q116's oracle — the canonical key replayed verbatim (the ASCII
+    * class is RE2 ≡ Java regex; DuckDB needs the explicit 'g'
+    * replace-all flag where Spark replaces all by default). */
+  private def normalizedDedupOracle: String =
+    """WITH ck AS (
+      |  SELECT doc_id, text,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_hash
+      |  FROM documents)
+      |SELECT canon_hash, CAST(count(*) AS BIGINT) AS n_copies,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_variants,
+      |  min(doc_id) AS keep_id
+      |FROM ck GROUP BY 1 ORDER BY canon_hash""".stripMargin
+
+  /** q117's oracle — the per-lang LM bits, then quantile_cont PER
+    * LANG: DuckDB's type-7 interpolation and the Spark side's
+    * lang-partitioned histogram walk must produce the same bound
+    * (dyadic p = exact on both). */
+  private def perLangGateOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS w_total
+      |  FROM cnt GROUP BY 1),
+      |vocab AS (
+      |  SELECT cnt.lang, t,
+      |    CAST(length(bin(w_total // c)) - 1 AS BIGINT) AS bits
+      |  FROM cnt JOIN tot ON tot.lang = cnt.lang),
+      |doc AS (
+      |  SELECT tok.doc_id, tok.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(v.bits) AS BIGINT) AS sb
+      |  FROM tok JOIN vocab v ON v.lang = tok.lang AND v.t = tok.t
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, lang, n_tokens,
+      |  ((1000 * sb) // greatest(n_tokens, 1)) AS score FROM doc),
+      |b AS (SELECT lang, quantile_cont(score, 0.25) AS lo,
+      |             quantile_cont(score, 0.75) AS hi FROM sc GROUP BY 1)
+      |SELECT doc_id, sc.lang, n_tokens, score AS bits_x1000_per_token,
+      |  CASE WHEN score <= lo THEN 'head' WHEN score <= hi THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  CAST(floor(lo * 100) AS BIGINT) AS lo_x100,
+      |  CAST(floor(hi * 100) AS BIGINT) AS hi_x100
+      |FROM sc JOIN b ON b.lang = sc.lang ORDER BY doc_id""".stripMargin
+
+  /** q118's oracle — the slice LM (unigram, bigram with precomputed
+    * seen-bits, 1-row W), the corpus bigram-instance stream via the
+    * q111 lockstep unnest, first tokens through the unigram path,
+    * and the three-way CASE replayed with the same α-folded integer
+    * divisions. */
+  private def stupidBackoffOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |ref AS (SELECT w FROM base WHERE doc_id % 10 = 7),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(w) AS tok FROM ref) GROUP BY 1),
+      |wt AS (SELECT CAST(sum(c) AS BIGINT) AS w_total FROM uni),
+      |rbg AS (SELECT w1 || ' ' || w2 AS bg,
+      |    CAST(count(*) AS BIGINT) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |           unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |    FROM ref) GROUP BY 1),
+      |bgv AS (SELECT bg,
+      |    CAST(length(bin(u.c // c12)) - 1 AS BIGINT) AS bits_seen
+      |  FROM rbg JOIN uni u ON u.tok = split_part(bg, ' ', 1)),
+      |inst AS (SELECT doc_id, w1 || ' ' || w2 AS bg, w2 FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |      unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |    FROM base)),
+      |bginst AS (
+      |  SELECT doc_id,
+      |    CASE WHEN v.bits_seen IS NOT NULL THEN v.bits_seen
+      |         WHEN u.c IS NOT NULL THEN
+      |           CAST(length(bin((10 * w_total) // (4 * u.c))) - 1 AS BIGINT)
+      |         ELSE CAST(length(bin((100 * w_total) // 16)) - 1 AS BIGINT)
+      |    END AS bits,
+      |    CASE WHEN v.bits_seen IS NOT NULL THEN 0 ELSE 1 END AS backoff
+      |  FROM inst LEFT JOIN bgv v USING (bg)
+      |  LEFT JOIN uni u ON u.tok = inst.w2 CROSS JOIN wt),
+      |firsttok AS (
+      |  SELECT doc_id,
+      |    CASE WHEN u.c IS NOT NULL THEN
+      |           CAST(length(bin(w_total // u.c)) - 1 AS BIGINT)
+      |         ELSE CAST(length(bin((10 * w_total) // 4)) - 1 AS BIGINT)
+      |    END AS bits,
+      |    CASE WHEN u.c IS NOT NULL THEN 0 ELSE 1 END AS backoff
+      |  FROM (SELECT doc_id, w[1] AS t FROM base WHERE len(w) >= 1) f
+      |  LEFT JOIN uni u ON u.tok = f.t CROSS JOIN wt),
+      |allb AS (SELECT * FROM bginst UNION ALL SELECT * FROM firsttok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+      |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+      |  ((1000 * CAST(sum(bits) AS BIGINT)) //
+      |    greatest(CAST(count(*) AS BIGINT), 1)) AS bits_x1000_per_token
+      |FROM allb GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** q119's pinned mixture weights (per-mille target shares) — ONE
+    * constant feeds the registered query and the oracle's VALUES
+    * list, so they cannot desynchronize. src6..src19 are deliberately
+    * unmapped: their rate-0 / keep-false rows are part of the checked
+    * result. */
+  private lazy val MixtureTargets: Map[String, Long] = Map(
+    "src0" -> 300L, "src1" -> 300L, "src2" -> 200L,
+    "src3" -> 100L, "src4" -> 50L, "src5" -> 50L)
+
+  /** q119's oracle — the binding-source budget, the per-source rates,
+    * and the salted acceptance replayed integer-for-integer. */
+  private def mixtureBudgetOracle: String = {
+    val vals = MixtureTargets.toSeq.sortBy(_._1)
+      .map { case (s0, w) => s"('$s0', $w)" }.mkString(", ")
+    s"""WITH tgt(source, w_pm) AS (VALUES $vals),
+      |tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(coalesce(len(regexp_split_to_array(trim(lower(text)),
+      |      '\\s+')), 0) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |st AS (
+      |  SELECT t.source, CAST(coalesce(g.w_pm, 0) AS BIGINT) AS w_pm,
+      |    CAST(sum(n_tokens) AS BIGINT) AS t_s
+      |  FROM tok t LEFT JOIN tgt g USING (source) GROUP BY 1, 2),
+      |b AS (SELECT min((t_s * 1000) // w_pm) AS b FROM st WHERE w_pm > 0),
+      |r AS (
+      |  SELECT source,
+      |    CASE WHEN w_pm > 0 AND t_s > 0
+      |      THEN least(1000, (w_pm * b.b) // t_s) ELSE 0 END AS rate_pm
+      |  FROM st CROSS JOIN b)
+      |SELECT doc_id, t.source, n_tokens,
+      |  CAST(rate_pm AS BIGINT) AS rate_pm,
+      |  ${h60Sql("'budget:' || CAST(doc_id AS VARCHAR)")} % 1000 < rate_pm
+      |    AS keep
+      |FROM tok t JOIN r USING (source) ORDER BY doc_id""".stripMargin
+  }
 
   /** q114's oracle: both strategies' ranks as plain windows over the
     * same total orders, identical integer padding arithmetic. */

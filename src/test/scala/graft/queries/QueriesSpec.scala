@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 114, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 118, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -100,7 +100,11 @@ class QueriesSpec extends SparkSpec {
       // (N + avgdl / total-bigram count / total token count) onto
       // vocabulary-sized aggregates — the q75 scalar-broadcast shape
       "q110_bm25_topk", "q111_collocation_lift",
-      "q115_unigram_surprisal")
+      "q115_unigram_surprisal",
+      // q118 cross-joins the slice LM's ONE-row token total onto both
+      // scoring streams; q119 the ONE-row binding-budget min onto the
+      // |sources|-row stats frame — the same scalar-broadcast shape
+      "q118_stupid_backoff", "q119_mixture_budget")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
