@@ -44,8 +44,21 @@ object Dedup {
     * and RE2 (DuckDB), so the key replays verbatim in the oracle.
     * Null text stays null (the group-of-nulls contract matches
     * [[exactGroups]]'s md5(null) group). Pure per-row map work —
-    * zero shuffles. */
+    * zero shuffles.
+    *
+    * Evaluated by the [[graft.functions.NormalizeTextExpr]] codegen
+    * kernel (one byte pass; the three-pass regex chain measured
+    * 22.9 s of the op's 24.1 s at the x100 ladder point — ProbeLm).
+    * [[canonicalKeyRegex]] is the chain the kernel replaced and the
+    * oracle replays; their exact equivalence (everything but the two
+    * Java-case-folding exotics the kernel scaladoc names) is
+    * spec-pinned. */
   def canonicalKey(text: Column): Column =
+    graft.functions.TextFunctions.normalizeText(text)
+
+  /** The regex formulation of [[canonicalKey]] — the oracle's form,
+    * kept as the kernel's spec twin. */
+  private[graft] def canonicalKeyRegex(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

@@ -237,4 +237,62 @@ class TextExpressionsSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(self == " aa aa a ")
   }
+
+  test("normalizeText kernel ≡ the regex chain it replaced, on hand " +
+    "cases spanning punctuation, unicode, digits, and edge shapes") {
+    val cases = Seq(
+      "Hello, World!", "  leading and trailing  ", "ALL-CAPS?TEXT",
+      "a§b", "déjà vu", "tabs\tand\nnewlines", "digits 42 stay-42",
+      "", "...", "   ", "a", "mixed:Ünïcödé and ascii",
+      "中文字符 between words", "a  b   c", "under_score", "x'y\"z")
+    val df = cases.toDF("text")
+    val rows = df.select(
+        TextFunctions.normalizeText(col("text")).as("kernel"),
+        graft.ops.Dedup.canonicalKeyRegex(col("text")).as("regex"))
+      .collect()
+    rows.zip(cases).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"kernel '${r.getString(0)}' != regex '${r.getString(1)}' " +
+          s"for input '$in'")
+    }
+    // and the kernel's own contract on a few pinned outputs
+    val pinned = Seq("Hello, World!" -> "hello world",
+      "..." -> "", "a§b" -> "a b", "under_score" -> "under score")
+    pinned.foreach { case (in, want) =>
+      val got = Seq(in).toDF("t")
+        .select(TextFunctions.normalizeText(col("t")))
+        .collect()(0).getString(0)
+      assert(got == want, s"'$in' -> '$got', want '$want'")
+    }
+  }
+
+  test("normalizeText ≡ regex chain on randomized mixed strings, " +
+    "interpreted eval ≡ codegen, null propagates") {
+    val rnd = new scala.util.Random(42)
+    val alphabet =
+      "abcXYZ019 \t\n.,;:!?-_()[]§µ€中éÜ𝄞" // incl. a 4-byte char
+    val strs = (1 to 300).map { _ =>
+      val n = rnd.nextInt(40)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val rows = strs.toDF("text").select(
+        TextFunctions.normalizeText(col("text")).as("kernel"),
+        graft.ops.Dedup.canonicalKeyRegex(col("text")).as("regex"))
+      .collect()
+    rows.zip(strs).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1), s"diverged on '$in'")
+    }
+    // interpreted twin (direct eval path) agrees with the codegen run
+    strs.take(50).foreach { s =>
+      val interp = NormalizeTextExpr.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      val viaDf = Seq(s).toDF("t")
+        .select(TextFunctions.normalizeText(col("t")))
+        .collect()(0).getString(0)
+      assert(interp == viaDf, s"eval/codegen split on '$s'")
+    }
+    val nullOut = Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).collect()(0)
+    assert(nullOut.isNullAt(0), "null must propagate")
+  }
 }
