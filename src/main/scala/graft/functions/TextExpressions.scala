@@ -458,4 +458,10 @@ object TextFunctions {
   /** Column API for [[NormalizeTextExpr]]. */
   def normalizeText(text: Column): Column =
     ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(text)))
+
+  /** Column API for [[MultiMatchCountExpr]] (Aho–Corasick blocklist
+    * hit count). */
+  def multiMatchCount(text: Column, phrases: Seq[String]): Column =
+    ColumnBridge.column(MultiMatchCountExpr(
+      ColumnBridge.expression(text), phrases))
 }

@@ -964,6 +964,23 @@ object TextAnalysis {
         "bucket", "lo_x100", "hi_x100")
   }
 
+  /** Blocklist filtering (the UT1-blocklist / bad-phrase curation
+    * stage): per doc, the total count of blocklist-phrase occurrences
+    * — each phrase counted independently as leftmost non-overlapping
+    * matches in the ASCII-casefolded text (exactly what the oracle's
+    * per-phrase replace-length trick over lower(text) counts) — and
+    * keep = no hits. One [[graft.functions.AhoCorasick]] pass per row
+    * whatever the phrase count; a 10k-entry blocklist is one scan,
+    * where the per-phrase Column fold is 10k scans AND an unplannable
+    * 10k-deep expression tree (spec-measured). Pure projection: ZERO
+    * shuffles at any corpus size. Null text yields null hits / null
+    * keep on both engines. */
+  def blocklistFilter(docs: DataFrame, phrases: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.TextFunctions
+          .multiMatchCount(col("text"), phrases).as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+
   /** Stupid Backoff bigram scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation"): the web-scale LM
     * smoothing that replaces discounting with one fixed backoff

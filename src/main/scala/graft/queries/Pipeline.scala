@@ -2237,7 +2237,21 @@ object Pipeline {
     Q("q119_mixture_budget", "pipeline:sampling-mixture-budget",
       Some(mixtureBudgetOracle),
       (s, dir) => Sampling.mixtureBudget(t(s, dir, "documents"),
-        MixtureTargets).orderBy("doc_id")))
+        MixtureTargets).orderBy("doc_id")),
+
+    // ── blocklist filter ([[TextAnalysis.blocklistFilter]]): the
+    // UT1-blocklist curation stage as ONE Aho–Corasick pass whatever
+    // the phrase count (a per-phrase fold is |phrases| scans and an
+    // unplannable expression tree at real blocklist sizes — spec-
+    // measured at 10k phrases). Per-phrase leftmost-non-overlapping
+    // counts over casefolded text sum to exactly the oracle's
+    // replace-length arithmetic; the pinned list exercises nested
+    // phrases ("fast" inside "fast merge" — dictionary-suffix links)
+    // and self-adjacent runs. Pure projection — zero shuffles.
+    Q("q120_blocklist_filter", "pipeline:text-blocklist",
+      Some(blocklistOracle),
+      (s, dir) => TextAnalysis.blocklistFilter(docsF(s, dir),
+        BlocklistPhrases).orderBy("doc_id")))
 
   /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
   private def unigramSurprisalOracle: String =
@@ -2393,6 +2407,24 @@ object Pipeline {
       |  ${h60Sql("'budget:' || CAST(doc_id AS VARCHAR)")} % 1000 < rate_pm
       |    AS keep
       |FROM tok t JOIN r USING (source) ORDER BY doc_id""".stripMargin
+  }
+
+  /** q120's pinned blocklist — ONE constant feeds the query and the
+    * oracle. Deliberate structure: "fast" is a PREFIX of "fast merge"
+    * (nested matches via dictionary-suffix links), "table table" can
+    * self-run in "table table table" (non-overlap greedy keeps every
+    * other), and the multi-word phrases cross token boundaries. */
+  private lazy val BlocklistPhrases: Seq[String] = Seq(
+    "fast merge", "fast", "hash value", "agg row scan",
+    "table table", "slow spark", "spark window")
+
+  /** q120's oracle — each phrase's leftmost-non-overlapping count via
+    * the replace-length trick over lower(text), summed. */
+  private def blocklistOracle: String = {
+    val occs = BlocklistPhrases
+      .map(p => occSql("lower(text)", p)).mkString("(", " + ", ")")
+    s"""SELECT doc_id, $occs AS n_hits, $occs = 0 AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
   }
 
   /** q114's oracle: both strategies' ranks as plain windows over the

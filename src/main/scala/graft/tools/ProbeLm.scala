@@ -58,6 +58,32 @@ object ProbeLm {
         "src3" -> 100L, "src4" -> 50L, "src5" -> 50L))
       .filter(col("keep")).count())
 
+    // blocklist: the 7-phrase q120 list, a 10k-phrase list through
+    // the same one-pass kernel, and the 7-phrase per-phrase Column
+    // fold as the baseline the kernel replaced (a 10k fold does not
+    // plan at all — the scale claim lives in MatchExpressionsSpec)
+    val q120Phrases = Seq("fast merge", "fast", "hash value",
+      "agg row scan", "table table", "slow spark", "spark window")
+    // sum(n_hits), not count(): a bare count prunes the projection
+    // and times nothing
+    time("blocklist(7)")(
+      TextAnalysis.blocklistFilter(docs, q120Phrases)
+        .agg(sum(col("n_hits"))).head().getLong(0))
+    val big = (q120Phrases ++ (1 to 9993).map(i => s"blk${i}q")).distinct
+    time("blocklist(10k)")(
+      TextAnalysis.blocklistFilter(docs, big)
+        .agg(sum(col("n_hits"))).head().getLong(0))
+    time("blocklist(7) fold baseline") {
+      val hits = q120Phrases.map { p =>
+        val q = java.util.regex.Pattern.quote(p)
+        ((length(lower(col("text"))) -
+          length(regexp_replace(lower(col("text")), q, ""))) /
+          p.length).cast("long")
+      }.reduce(_ + _)
+      docs.select(hits.as("n_hits"))
+        .agg(sum(col("n_hits"))).head().getLong(0)
+    }
+
     // component attribution for the normalizedGroups cost: raw md5
     // agg (q20 shape), the canonical-key projection alone, and the
     // full op without the variant count
