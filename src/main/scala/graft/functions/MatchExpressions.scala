@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -113,12 +114,118 @@ final class AhoCorasick private (
     }
     count
   }
+
+  // scrub scratch: a growable candidate buffer and an epoch-stamped
+  // masked-byte map, both reused across rows without clearing
+  @transient private lazy val scrubScratch =
+    new ThreadLocal[AhoCorasick.ScrubScratch] {
+      override def initialValue(): AhoCorasick.ScrubScratch =
+        new AhoCorasick.ScrubScratch
+    }
+
+  /** Sequential-priority scrub — the semantics of the nested
+    * length-preserving replace chain
+    * `replace(…replace(lower(text), p₁, mask^|p₁|)…, pₖ, mask^|pₖ|)`
+    * with phrases in LIST order, computed in ONE automaton pass:
+    *
+    * collect every (phrase, start) occurrence in the casefolded
+    * bytes, sort by (priority, start), then accept a candidate iff
+    * none of its bytes is already masked, masking on accept. That
+    * byte test alone reproduces BOTH chain effects — an earlier
+    * phrase's mask hides any overlapping later-phrase occurrence
+    * (the masked text simply no longer contains it, and since the
+    * mask byte appears in no phrase, masking can never CREATE an
+    * occurrence), and same-phrase greedy non-overlap falls out
+    * because an accepted span's own bytes are masked before the next
+    * same-phrase candidate (processed in start order) is examined.
+    * Candidates overlapping a REJECTED candidate stay eligible,
+    * exactly as `replace`'s resumed scan would find them.
+    *
+    * Returns (scrubbed, n_spans, n_bytes) as an [[InternalRow]]:
+    * the ASCII-casefolded text with accepted spans overwritten by
+    * `mask`, the accepted-span count, and the total masked bytes.
+    * Cost is one text scan plus output-sensitive resolution work
+    * (sort + one byte test per candidate byte). */
+  def scrubRow(s: UTF8String, mask: Byte): InternalRow = {
+    val src = s.getBytes
+    // own copy: getBytes may alias the UnsafeRow buffer, and we fold
+    // + mask in place
+    val bytes = java.util.Arrays.copyOf(src, src.length)
+    val sc = scrubScratch.get()
+    var nc = 0
+    var st = 0
+    var i = 0
+    while (i < bytes.length) {
+      var b = bytes(i) & 0xFF
+      if (b >= 'A' && b <= 'Z') { b += 32; bytes(i) = b.toByte }
+      st = step(st, b)
+      var v = if (phraseAt(st) >= 0) st else dictLink(st)
+      while (v >= 0) {
+        val pid = phraseAt(v)
+        sc.addCand(nc, pid.toLong << 32 | (i - phraseLens(pid) + 1).toLong)
+        nc += 1
+        v = dictLink(v)
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(sc.cand, 0, nc)
+    val masked = sc.ensureMasked(bytes.length)
+    sc.epoch += 1
+    val epoch = sc.epoch
+    var spans = 0L
+    var nBytes = 0L
+    var j = 0
+    while (j < nc) {
+      val packed = sc.cand(j)
+      val pid = (packed >>> 32).toInt
+      val start = (packed & 0xFFFFFFFFL).toInt
+      val end = start + phraseLens(pid)
+      var k = start
+      var free = true
+      while (free && k < end) {
+        if (masked(k) == epoch) free = false
+        k += 1
+      }
+      if (free) {
+        k = start
+        while (k < end) {
+          masked(k) = epoch
+          bytes(k) = mask
+          k += 1
+        }
+        spans += 1
+        nBytes += phraseLens(pid)
+      }
+      j += 1
+    }
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(bytes), spans, nBytes))
+  }
 }
 
 object AhoCorasick {
   private[functions] final class Scratch(val lastEnd: Array[Int],
                                          val stamp: Array[Long]) {
     var epoch: Long = 0L
+  }
+
+  private[functions] final class ScrubScratch {
+    var cand: Array[Long] = new Array[Long](64)
+    private var masked: Array[Long] = new Array[Long](256)
+    var epoch: Long = 0L
+    def addCand(n: Int, packed: Long): Unit = {
+      if (n == cand.length)
+        cand = java.util.Arrays.copyOf(cand, cand.length * 2)
+      cand(n) = packed
+    }
+    def ensureMasked(len: Int): Array[Long] = {
+      if (masked.length < len) {
+        masked = new Array[Long](
+          java.lang.Integer.highestOneBit(math.max(len - 1, 1)) * 2)
+        epoch += 1 // fresh array is all-zero; keep stamps unambiguous
+      }
+      masked
+    }
   }
 
   /** Build from distinct, non-empty, ASCII phrases (folded to
@@ -232,6 +339,57 @@ case class MultiMatchCountExpr(child: Expression, phrases: Seq[String])
       classOf[AhoCorasick].getName)
     nullSafeCodeGen(ctx, ev, c => s"""
       |${ev.value} = $acRef.countHits($c);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Blocklist scrub/redact — struct(scrubbed STRING, n_spans LONG,
+  * n_bytes LONG). Semantics are the SEQUENTIAL replace chain (phrase
+  * list order = priority: an earlier phrase's mask hides overlapping
+  * later-phrase occurrences), length-preserving mask — chosen because
+  * that is exactly what nested `replace(…, p, repeat(mask, len(p)))`
+  * calls over `lower(text)` compute, so the whole scrubbed string
+  * sits under the oracle hash gate as a chained-CTE replay. Computed
+  * in ONE [[AhoCorasick]] pass + output-sensitive resolution
+  * ([[AhoCorasick.scrubRow]] proves the equivalence) where the
+  * replace chain itself is |phrases| full scans per row. The mask
+  * char must appear in no phrase: `replace` RESCANS its output, and
+  * only a phrase-free mask byte guarantees masking never creates an
+  * occurrence — the property the one-pass resolution relies on. */
+case class MultiMatchScrubExpr(child: Expression, phrases: Seq[String],
+                               mask: String)
+    extends UnaryExpression {
+  require(mask.length == 1 && mask.head < 128,
+    s"mask must be one ASCII char, got '$mask'")
+  require(phrases.forall(!_.contains(mask.head)),
+    s"mask char '$mask' occurs in a phrase — the oracle's replace " +
+      "chain rescans masked text, so masking could fabricate a match")
+
+  override def prettyName: String = "multi_match_scrub"
+  override def dataType: DataType = StructType(Seq(
+    StructField("scrubbed", StringType),
+    StructField("n_spans", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val ac = AhoCorasick.build(phrases)
+
+  override def nullSafeEval(input: Any): Any =
+    ac.scrubRow(input.asInstanceOf[UTF8String], mask.head.toByte)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("scrubAc", ac,
+      classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $acRef.scrubRow($c, (byte) ${mask.head.toInt});
      """.stripMargin)
   }
 

@@ -464,4 +464,11 @@ object TextFunctions {
   def multiMatchCount(text: Column, phrases: Seq[String]): Column =
     ColumnBridge.column(MultiMatchCountExpr(
       ColumnBridge.expression(text), phrases))
+
+  /** Column API for [[MultiMatchScrubExpr]] (Aho–Corasick blocklist
+    * scrub — struct(scrubbed, n_spans, n_bytes)). */
+  def multiMatchScrub(text: Column, phrases: Seq[String],
+                      mask: String = "*"): Column =
+    ColumnBridge.column(MultiMatchScrubExpr(
+      ColumnBridge.expression(text), phrases, mask))
 }

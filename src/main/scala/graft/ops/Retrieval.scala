@@ -71,6 +71,14 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
+    scoreFromTf(tf, stats)
+  }
+
+  /** The scoring tail shared by the scan path ([[bm25Scores]]) and
+    * the served-index path ([[bm25TopKFromIndex]]): df from the
+    * (already query-term-bounded) tf frame, then the integer Okapi
+    * arithmetic with df and the 1-row stats broadcast back. */
+  private def scoreFromTf(tf: DataFrame, stats: DataFrame): DataFrame = {
     // df per term: term-count-sized, broadcast back.
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
 
@@ -97,6 +105,104 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val top = bm25Scores(docs, terms)
+      .orderBy(col("bm25_x1M").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25_x1M").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25_x1M"))
+  }
+
+  /** Materialize the FULL inverted index — the search-tier artifact
+    * the scan path recomputes per query: one row per (token, doc)
+    * posting `(token, doc_id, dl, tf)`, bucketed AND sorted by token
+    * so a query's `token IN (…)` probe reads only its terms' buckets
+    * (bucket pruning — the lexical analogue of [[Pq.buildIvfPqIndex]]'s
+    * cell buckets), plus the 1-row corpus stats `(n_docs,
+    * avgdl_x1000)` written beside it (serving must NOT pay a corpus
+    * pass to rediscover N and avgdl). Build cost is the two corpus
+    * scans [[bm25Scores]] pays per query, paid ONCE; the index is
+    * ~one row per distinct (doc, token), the classic postings size.
+    * Returns the postings catalog table name; stats live at
+    * `<warehouse>/<table>_stats`. */
+  def buildPostingsIndex(docs: DataFrame, warehouse: String,
+                         table: String, nBuckets: Int): String = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    // stats carry the RAW totals (n_docs, total_dl) beside the derived
+    // avgdl: an absorb updates exactly from the totals, where updating
+    // from the floored average would compound rounding per batch
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+      .select(col("n_docs"), col("total_dl"),
+        idiv(lit(1000L) * col("total_dl"), col("n_docs")).as("avgdl_x1000"))
+    graft.engine.TableStore.write(stats, warehouse, s"${table}_stats")
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+    graft.engine.TableStore.writeBucketed(postings, warehouse, table,
+      nBuckets, Seq("token"), Seq("token"))
+  }
+
+  /** Absorb a delta batch INTO the persisted postings index — the
+    * add-half of the lexical build-once/serve-many lifecycle, the
+    * mirror of [[IvfIndex.absorbIntoCellIndex]] on the vector side:
+    * the delta's postings APPEND to the bucketed table (an insert
+    * into a datasource-bucketed table writes new per-bucket files
+    * honoring the catalog's bucket spec — history is never rewritten,
+    * so the append cost is |delta|'s postings regardless of index
+    * size), and the 1-row stats update EXACTLY from the carried raw
+    * totals (n' = n + n_d, t' = t + t_d, avgdl' = 1000·t' div n'),
+    * atomically re-swapped. df needs no maintenance — serve derives
+    * it from the probed postings. Same non-atomicity caveat as the
+    * vector absorb (partial batch on crash → re-run idempotently by
+    * doc range, or a transactional format in production). Caller
+    * contract: delta doc_ids disjoint from the index. Grown index ≡
+    * from-scratch index under q110's oracle (q124 gates it). */
+  def absorbIntoPostingsIndex(postingsTable: String, warehouse: String,
+                              table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    val base = delta.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      .cache()
+    base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+      .write.mode("append").insertInto(postingsTable)
+    val d = base.agg(count(lit(1)), sum(col("dl"))).head()
+    base.unpersist(blocking = false)
+    val old = spark.read.parquet(graft.engine.TableStore
+        .tablePath(warehouse, s"${table}_stats"))
+      .select(col("n_docs"), col("total_dl")).head()
+    val n2 = old.getLong(0) + d.getLong(0)
+    val t2 = old.getLong(1) + (if (d.isNullAt(1)) 0L else d.getLong(1))
+    require(n2 > 0, "absorb into an empty index with an empty delta")
+    val stats = spark.range(1).select(
+      lit(n2).as("n_docs"), lit(t2).as("total_dl"),
+      lit(1000L * t2 / n2).as("avgdl_x1000"))
+    graft.engine.TableStore.write(stats, warehouse, s"${table}_stats")
+  }
+
+  /** Serve top-k from a PERSISTED postings index
+    * ([[buildPostingsIndex]]): the query-time plan is a bucket-pruned
+    * index probe (`token IN (terms)` touches only the terms' buckets
+    * — `.explain` shows `SelectedBucketsCount`), then the same
+    * integer scoring tail as the scan path over the hit rows only.
+    * No tokenize, no explode, no corpus scan at query time; df and
+    * stats stay broadcast-sized. Result ≡ [[bm25TopK]] row-for-row
+    * (RetrievalSpec), so q122 runs under q110's unchanged oracle. */
+  def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame,
+                        terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromIndex needs a query term")
+    import org.apache.spark.sql.expressions.Window
+    val tf = postings.filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+    val top = scoreFromTf(tf, stats)
       .orderBy(col("bm25_x1M").desc, col("doc_id"))
       .limit(k)
     top.withColumn("rank",

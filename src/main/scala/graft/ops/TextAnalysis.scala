@@ -981,6 +981,27 @@ object TextAnalysis {
           .multiMatchCount(col("text"), phrases).as("n_hits"))
       .withColumn("keep", col("n_hits") === 0L)
 
+  /** Blocklist scrub/redact — the curation variant that KEEPS the doc
+    * and masks the offending spans (PII-style redaction with a phrase
+    * list instead of regexes): the casefolded text with every
+    * blocklist occurrence overwritten by `mask`, phrase LIST ORDER
+    * deciding overlap priority (the semantics of the sequential
+    * length-preserving replace chain — which is exactly how the
+    * oracle replays it as chained CTEs). One automaton pass per row
+    * whatever the phrase count, vs |phrases| full scans for the
+    * replace chain itself. Pure projection: ZERO shuffles at any
+    * corpus size; the struct is built once per row and the three
+    * field extracts dedupe under codegen subexpression elimination.
+    * Columns: doc_id, scrubbed, n_spans, n_masked_bytes. */
+  def blocklistScrub(docs: DataFrame, phrases: Seq[String],
+                     mask: String = "*"): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.TextFunctions
+          .multiMatchScrub(col("text"), phrases, mask).as("s"))
+      .select(col("doc_id"), col("s.scrubbed").as("scrubbed"),
+        col("s.n_spans").as("n_spans"),
+        col("s.n_bytes").as("n_masked_bytes"))
+
   /** Stupid Backoff bigram scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation"): the web-scale LM
     * smoothing that replaces discounting with one fixed backoff

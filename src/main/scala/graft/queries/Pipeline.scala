@@ -2251,7 +2251,81 @@ object Pipeline {
     Q("q120_blocklist_filter", "pipeline:text-blocklist",
       Some(blocklistOracle),
       (s, dir) => TextAnalysis.blocklistFilter(docsF(s, dir),
-        BlocklistPhrases).orderBy("doc_id")))
+        BlocklistPhrases).orderBy("doc_id")),
+
+    // ── blocklist scrub ([[TextAnalysis.blocklistScrub]]): the
+    // redaction variant — keep the doc, mask the spans. Semantics =
+    // the sequential length-preserving replace chain in phrase LIST
+    // order, so the ENTIRE scrubbed string replays under the hash as
+    // chained CTEs (the Lloyd/BPE pattern); the one-pass automaton
+    // resolution's equivalence proof is [[AhoCorasick.scrubRow]]'s
+    // scaladoc. The pinned list is deliberately order-adversarial:
+    // "fast" BEFORE "fast merge" (the prefix masks first, so the
+    // longer phrase can NEVER fire — full shadowing), "hash value"
+    // before "value" (suffix shadowed only where nested). Pure
+    // projection — zero shuffles.
+    Q("q121_blocklist_scrub", "pipeline:text-blocklist",
+      Some(blocklistScrubOracle),
+      (s, dir) => TextAnalysis.blocklistScrub(docsF(s, dir),
+        ScrubPhrases).orderBy("doc_id")),
+
+    // ── BM25 served from a MATERIALIZED inverted index
+    // ([[Retrieval.buildPostingsIndex]]/[[bm25TopKFromIndex]]): the
+    // lexical analogue of q94's persisted IVF-PQ index — build pays
+    // the corpus scans once, the query-time plan is a bucket-pruned
+    // `token IN (…)` probe of the postings table plus the broadcast
+    // scoring tail. Same oracle SQL as q110, because the index IS
+    // q110's tf intermediate (plus the 1-row stats), materialized.
+    Q("q122_bm25_indexed", "pipeline:retrieval-bm25-indexed",
+      Some(bm25Oracle(Bm25Terms, k = 25)),
+      (s, dir) => {
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val pt = Retrieval.buildPostingsIndex(docsF(s, dir), wh,
+          "q122_postings", nBuckets = 8)
+        val stats = s.read.parquet(
+          graft.engine.TableStore.tablePath(wh, "q122_postings_stats"))
+        Retrieval.bm25TopKFromIndex(s.table(pt), stats, Bm25Terms,
+          k = 25).orderBy("rank")
+      }),
+
+    // ── postings-index ABSORB ([[Retrieval.absorbIntoPostingsIndex]]):
+    // the add-half of the lexical index lifecycle, mirroring q80's
+    // vector-side absorb — build on the doc_id%10≠7 slice, absorb the
+    // %10=7 delta as per-bucket APPENDED files (history never
+    // rewritten; cost = |delta|'s postings at any index size), stats
+    // updated exactly from raw totals. Served result from the GROWN
+    // index must equal q110's scan over the FULL corpus — same oracle,
+    // unchanged.
+    Q("q124_postings_absorb", "pipeline:retrieval-bm25-absorb",
+      Some(bm25Oracle(Bm25Terms, k = 25)),
+      (s, dir) => {
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val d = docsF(s, dir)
+        val pt = Retrieval.buildPostingsIndex(
+          d.filter(col("doc_id") % 10 =!= 7), wh, "q124_postings",
+          nBuckets = 8)
+        Retrieval.absorbIntoPostingsIndex(pt, wh, "q124_postings",
+          d.filter(col("doc_id") % 10 === 7))
+        val stats = s.read.parquet(graft.engine.TableStore
+          .tablePath(wh, "q124_postings_stats"))
+        Retrieval.bm25TopKFromIndex(s.table(pt), stats, Bm25Terms,
+          k = 25).orderBy("rank")
+      }),
+
+    // ── near-dup PageRank ([[Dedup.neardupPageRank]]): centrality
+    // within duplicate neighborhoods over q22's exact pair set —
+    // canonical-representative selection / boilerplate-hub weighting.
+    // Integer fixed point (d = 0.85 ≡ 17/20), so the ENTIRE 3-sweep
+    // trajectory hash-checks as chained static CTEs (the Lloyd-loop
+    // pattern for graphs). The graph is pair-set-sized; every sweep
+    // is one edge-sized join + agg — the corpus-sized work is q22's
+    // well-understood pair derivation.
+    Q("q123_neardup_pagerank", "pipeline:dedup-pagerank",
+      Some(pageRankOracle(iters = 3)),
+      (s, dir) => Dedup.neardupPageRank(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8)
+          .select(col("doc_a"), col("doc_b")), iters = 3)
+        .orderBy("doc_id")))
 
   /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
   private def unigramSurprisalOracle: String =
@@ -2425,6 +2499,81 @@ object Pipeline {
       .map(p => occSql("lower(text)", p)).mkString("(", " + ", ")")
     s"""SELECT doc_id, $occs AS n_hits, $occs = 0 AS keep
       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q121's pinned scrub list — ONE constant feeds query and oracle.
+    * Order is load-bearing (priority): "fast" precedes "fast merge"
+    * so the prefix shadows the longer phrase entirely; "hash value"
+    * precedes "value" so standalone "value" still matches but the
+    * nested one is gone; "table table" self-runs greedily. */
+  private lazy val ScrubPhrases: Seq[String] = Seq(
+    "fast", "fast merge", "hash value", "value",
+    "table table", "spark window")
+
+  /** q121's oracle — the sequential length-preserving replace chain
+    * as chained CTEs: stage k masks phrase k in stage k−1's text and
+    * records its occurrence count via the delete-replace length
+    * trick (length is preserved by the mask, so every stage's count
+    * is taken on the text the SEQUENTIAL semantics say it scans). */
+  private def blocklistScrubOracle: String = {
+    val stages = ScrubPhrases.zipWithIndex.map { case (p, i) =>
+      val prev = if (i == 0) "s0" else s"s$i"
+      val carried = (0 until i).map(j => s"c$j").mkString("", ", ",
+        if (i == 0) "" else ", ")
+      val maskLit = "*" * p.length
+      s"""s${i + 1} AS (SELECT doc_id, replace(t, '$p', '$maskLit') AS t,
+        |  $carried${occSql("t", p)} AS c$i FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val n = ScrubPhrases.size
+    val spanSum = (0 until n).map(i => s"c$i").mkString(" + ")
+    val byteSum = (0 until n)
+      .map(i => s"c$i * ${ScrubPhrases(i).length}").mkString(" + ")
+    s"""WITH s0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |$stages
+      |SELECT doc_id, t AS scrubbed,
+      |  CAST($spanSum AS BIGINT) AS n_spans,
+      |  CAST($byteSum AS BIGINT) AS n_masked_bytes
+      |FROM s$n ORDER BY doc_id""".stripMargin
+  }
+
+  /** q123's oracle — q22's pair CTEs, then each power-iteration sweep
+    * as a static CTE: contrib = pr div deg summed over incoming
+    * edges, damped 17/20 with the +150,000 teleport term. `//` is
+    * DuckDB floor division ≡ Spark IntegralDivide on these positive
+    * int64s. Undirected with deg ≥ 1 ⇒ every node appears in every
+    * sweep — no COALESCE needed anywhere. */
+  private def pageRankOracle(iters: Int): String = {
+    val sweeps = (1 to iters).map { k =>
+      s"""r$k AS (
+        |  SELECT e.v AS doc_id,
+        |    150000 + (17 * sum(r.pr // d.deg)) // 20 AS pr
+        |  FROM edges e JOIN r${k - 1} r ON r.doc_id = e.u
+        |  JOIN deg d ON d.u = e.u GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    val prCols = (1 to iters)
+      .map(k => s"r$k.pr AS pr${k}_x1M").mkString(", ")
+    val prJoins = (1 to iters)
+      .map(k => s"JOIN r$k ON r$k.doc_id = d.u").mkString(" ")
+    s"""WITH sh AS (
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM dup
+      |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM dup),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+      |  FROM edges GROUP BY u),
+      |r0 AS (SELECT u AS doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      |$sweeps
+      |SELECT d.u AS doc_id, d.deg, $prCols
+      |FROM deg d $prJoins ORDER BY doc_id""".stripMargin
   }
 
   /** q114's oracle: both strategies' ranks as plain windows over the

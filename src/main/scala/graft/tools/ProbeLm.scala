@@ -84,6 +84,32 @@ object ProbeLm {
         .agg(sum(col("n_hits"))).head().getLong(0)
     }
 
+    // scrub: the q121 list through the one-pass kernel, a 10k list,
+    // and the replace-chain Column baseline (each stage a full
+    // regexp_replace scan of the whole text — the |phrases| scans the
+    // kernel collapses). sum(length + n_bytes) forces the scrubbed
+    // string itself to materialize.
+    val scrubPhrases = Seq("fast", "fast merge", "hash value", "value",
+      "table table", "spark window")
+    time("scrub(6)")(
+      TextAnalysis.blocklistScrub(docs, scrubPhrases)
+        .agg(sum(length(col("scrubbed")) + col("n_masked_bytes")))
+        .head().getLong(0))
+    val bigScrub =
+      (scrubPhrases ++ (1 to 9994).map(i => s"blk${i}q")).distinct
+    time("scrub(10k)")(
+      TextAnalysis.blocklistScrub(docs, bigScrub)
+        .agg(sum(length(col("scrubbed")) + col("n_masked_bytes")))
+        .head().getLong(0))
+    time("scrub(6) replace-chain baseline") {
+      val scrubbed = scrubPhrases.foldLeft(lower(col("text"))) {
+        (t, p) => regexp_replace(t,
+          java.util.regex.Pattern.quote(p), "*" * p.length)
+      }
+      docs.select(scrubbed.as("scrubbed"))
+        .agg(sum(length(col("scrubbed")))).head().getLong(0)
+    }
+
     // component attribution for the normalizedGroups cost: raw md5
     // agg (q20 shape), the canonical-key projection alone, and the
     // full op without the variant count

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Scale-ladder wall clock for the round-13 retrieval/corpus-stats
   * trio — BM25 top-k, collocation lift, CMS estimates — at a given
@@ -51,6 +52,39 @@ object ProbeRetrieval {
       graft.ops.Sketches.cmsEstimates(docs,
         Seq("spark", "table", "the", "vector", "zzz_absent"),
         depth = 4, width = 1024).count()
+    }
+    // the postings-index lifecycle (q122): BUILD once (the cost a
+    // per-query scan pays every time), then SERVE from the bucketed
+    // table — the serve leg is the recurring cost and should stay
+    // ~flat as the corpus grows IF bucket pruning holds (it reads
+    // |terms| buckets of postings, not the corpus). Same stopword
+    // terms as the scan probe above, so serve's scored set is the
+    // corpus-wide worst case too.
+    val wh = s"/tmp/graft-probe-wh/${new java.io.File(dir).getName}"
+    var pt = ""
+    time("bm25 postings index BUILD") {
+      pt = graft.ops.Retrieval.buildPostingsIndex(docs, wh,
+        "probe_postings", nBuckets = 8)
+      spark.table(pt).count()
+    }
+    val stats = spark.read.parquet(
+      graft.engine.TableStore.tablePath(wh, "probe_postings_stats"))
+    time("bm25TopKFromIndex k=25 (SERVE, stopword terms)") {
+      graft.ops.Retrieval.bm25TopKFromIndex(spark.table(pt), stats,
+        Seq("the", "and", "of", "in"), k = 25).count()
+    }
+    // ABSORB leg: a 10% delta appended into a rebuilt 90% index —
+    // the recurring ingest cost, to be read against the full BUILD
+    // above (the rebuild a per-batch pipeline would otherwise pay)
+    time("bm25 postings ABSORB (10% delta into 90% index)") {
+      val pt2 = graft.ops.Retrieval.buildPostingsIndex(
+        docs.filter(col("doc_id") % 10 =!= 7), wh,
+        "probe_postings_abs", nBuckets = 8)
+      val t0 = System.nanoTime()
+      graft.ops.Retrieval.absorbIntoPostingsIndex(pt2, wh,
+        "probe_postings_abs", docs.filter(col("doc_id") % 10 === 7))
+      println(f"  (absorb leg alone: ${(System.nanoTime() - t0) / 1e9}%.2fs)")
+      spark.table(pt2).count()
     }
     // the q114 skew point: this corpus' ~30 distinct lengths put
     // lenBucket=16 at ~3 hot buckets vs lenBucket=1 at ~30 — the

@@ -128,4 +128,103 @@ class MatchExpressionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AhoCorasick.build(Seq("Fast", "fast")))
   }
+
+  // ── scrub (MultiMatchScrubExpr): sequential replace-chain semantics ──
+
+  /** Driver-side scrub reference: the LITERAL sequential replace
+    * chain — `String.replace` is leftmost-non-overlapping greedy,
+    * exactly DuckDB's `replace` — with per-stage counts taken on the
+    * text that stage scans. */
+  private def scrubRef(text: String, phrases: Seq[String])
+      : (String, Long, Long) = {
+    var t = text.map(c =>
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    var spans = 0L
+    var nBytes = 0L
+    phrases.foreach { p0 =>
+      val p = p0.map(c =>
+        if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      var c = 0L
+      var from = 0
+      var i = t.indexOf(p, from)
+      while (i >= 0) { c += 1; from = i + p.length; i = t.indexOf(p, from) }
+      spans += c
+      nBytes += c * p.length
+      t = t.replace(p, "*" * p.length)
+    }
+    (t, spans, nBytes)
+  }
+
+  private def runScrub(texts: Seq[String], phrases: Seq[String])
+      : Seq[(String, Long, Long)] =
+    texts.toDF("text")
+      .select(TextFunctions.multiMatchScrub(col("text"), phrases).as("s"))
+      .select(col("s.scrubbed"), col("s.n_spans"), col("s.n_bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+
+  test("scrub hand cases: list order is priority — prefix shadowing, " +
+    "suffix shadowing, self-runs, rejected-candidate re-eligibility") {
+    // "fast" first: it masks, so "fast merge" can NEVER fire
+    assert(runScrub(Seq("a fast merge"), Seq("fast", "fast merge")) ==
+      Seq(("a **** merge", 1L, 4L)))
+    // reversed priority: the longer phrase wins the same site
+    assert(runScrub(Seq("a fast merge"), Seq("fast merge", "fast")) ==
+      Seq(("a **********", 1L, 10L)))
+    // suffix shadowing: nested "value" is gone, standalone survives
+    assert(runScrub(Seq("hash value value"), Seq("hash value", "value")) ==
+      Seq(("**********" + " " + "*****", 2L, 15L)))
+    // same-phrase greedy self-run: every other site
+    assert(runScrub(Seq("table table table"), Seq("table table")) ==
+      Seq(("*********** table", 1L, 11L)))
+    // a candidate overlapping a REJECTED candidate stays eligible:
+    // "bc" masks [0,1]; "cc"@1 is rejected (byte 1 masked) but
+    // "cc"@2 — overlapping the rejected one — is accepted
+    assert(runScrub(Seq("bccc"), Seq("bc", "cc")) ==
+      Seq(("****", 2L, 4L)))
+    // case folding applies to the OUTPUT too (scrub of lower(text))
+    assert(runScrub(Seq("FAST Data"), Seq("fast")) ==
+      Seq(("**** data", 1L, 4L)))
+    // no hits: casefolded text unchanged
+    assert(runScrub(Seq("clean doc"), Seq("zzz")) ==
+      Seq(("clean doc", 0L, 0L)))
+    // null propagates as a null struct → null fields
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.multiMatchScrub(col("text"), Seq("x")).as("s"))
+      .select(col("s.scrubbed"), col("s.n_spans")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("scrub equivalence with the literal replace chain on randomized " +
+    "small-alphabet texts (dense overlaps, mixed case)") {
+    val rnd = new scala.util.Random(21)
+    val alphabet = "abcABC "
+    val texts = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(80)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    // order matters: include phrases that nest/overlap every which way
+    val phrases = Seq("ab", "abc", "bc", "ca", "aa", "b c", "cab")
+    val got = runScrub(texts, phrases)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == scrubRef(t, phrases), s"diverged on '$t'")
+    }
+    // and under the REVERSED priority order (different accepted sets)
+    val gotR = runScrub(texts, phrases.reverse)
+    texts.zip(gotR).foreach { case (t, g) =>
+      assert(g == scrubRef(t, phrases.reverse), s"rev diverged on '$t'")
+    }
+    assert(got.map(_._2).sum > 0, "degenerate fixture: nothing masked")
+    assert(got != gotR, "fixture never exercised order sensitivity")
+  }
+
+  test("scrub guards: multi-char mask and mask-inside-phrase rejected " +
+    "(replace rescans masked text — a phrase containing the mask " +
+    "could be fabricated)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException](
+      MultiMatchScrubExpr(Literal("t"), Seq("ab"), "**"))
+    intercept[IllegalArgumentException](
+      MultiMatchScrubExpr(Literal("t"), Seq("a*b"), "*"))
+  }
 }

@@ -758,4 +758,34 @@ class PipelineOpsSpec extends SparkSpec {
         r.getLong(6)))
     assert(out.toSeq == Seq((0L, 2L, 1L, 0L, 0L), (1L, 1L, 3L, 0L, 0L)))
   }
+
+  test("neardupPageRank: hand-worked path-graph sweeps; a 2-regular " +
+    "component is an exact fixed point; components don't leak") {
+    // path a(10)-b(11)-c(12) PLUS a separate triangle {20,21,22}
+    val pairs = Seq((10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val out = Dedup.neardupPageRank(pairs, iters = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // path, by hand (pr0 = 1,000,000 each):
+    //  pr1(a) = 150000 + (17·(1000000 div 2)) div 20 = 575000 = pr1(c)
+    //  pr1(b) = 150000 + (17·(1000000 + 1000000)) div 20 = 1850000
+    //  pr2(a) = 150000 + (17·(1850000 div 2)) div 20 = 936250 = pr2(c)
+    //  pr2(b) = 150000 + (17·(575000 + 575000)) div 20 = 1127500
+    // triangle: deg 2 everywhere, contribs 500000+500000 = 1000000 →
+    // 150000 + 850000 = 1000000 — exact fixed point, both sweeps
+    assert(out.toSeq == Seq(
+      (10L, 1L, 575000L, 936250L), (11L, 2L, 1850000L, 1127500L),
+      (12L, 1L, 575000L, 936250L),
+      (20L, 2L, 1000000L, 1000000L), (21L, 2L, 1000000L, 1000000L),
+      (22L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("neardupPageRank guards the sweep count (past ~20, pin lineage)") {
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](
+      Dedup.neardupPageRank(pairs, iters = 0))
+    intercept[IllegalArgumentException](
+      Dedup.neardupPageRank(pairs, iters = 21))
+  }
 }

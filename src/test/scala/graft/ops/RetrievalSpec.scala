@@ -79,4 +79,51 @@ class RetrievalSpec extends SparkSpec {
       docs(0L -> "solo", 1L -> "x y"), minCount = 1, k = 10).collect()
     assert(out.toSeq === Seq(Row(1L, "x", "y", 1L, 1L, 1L, 1000000L)))
   }
+
+  test("served postings index ≡ the scan path row-for-row, and the " +
+    "query-time probe is bucket-pruned to the terms' buckets") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("bm25idx").toString
+    val d = docs(corpus: _*)
+    val pt = Retrieval.buildPostingsIndex(d, wh, "postings",
+      nBuckets = 4)
+    val stats = spark.read.parquet(
+      graft.engine.TableStore.tablePath(wh, "postings_stats"))
+    val served = Retrieval.bm25TopKFromIndex(spark.table(pt), stats,
+      Seq("apple", "cherry"), k = 3)
+    val scan = Retrieval.bm25TopK(d, Seq("apple", "cherry"), k = 3)
+    assert(served.orderBy("rank").collect().toSeq ===
+      scan.orderBy("rank").collect().toSeq)
+    // bucket pruning: the IN-predicate probe must select a strict
+    // subset of the 4 buckets (terms hash into at most 2)
+    val plan = served.queryExecution.executedPlan.toString
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n${plan.take(1500)}")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"probe read every bucket: ${sel.get.matched}")
+    // and the 1-row stats artifact really carries the corpus stats
+    // (raw totals + derived average: N = 4, Σdl = 10, avgdl = 2500)
+    assert(stats.collect().toSeq === Seq(Row(4L, 10L, 2500L)))
+  }
+
+  test("absorb: grown postings index ≡ from-scratch index on the full " +
+    "corpus, stats updated exactly from raw totals") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("bm25absorb").toString
+    val baseDocs = docs(corpus.take(2): _*)   // N=2, Σdl=5
+    val deltaDocs = docs(corpus.drop(2): _*)  // N=2, Σdl=5
+    val pt = Retrieval.buildPostingsIndex(baseDocs, wh, "p",
+      nBuckets = 4)
+    Retrieval.absorbIntoPostingsIndex(pt, wh, "p", deltaDocs)
+    val stats = spark.read.parquet(
+      graft.engine.TableStore.tablePath(wh, "p_stats"))
+    assert(stats.collect().toSeq === Seq(Row(4L, 10L, 2500L)))
+    // spark.table caches relation metadata per plan; re-resolve
+    val grown = Retrieval.bm25TopKFromIndex(spark.table(pt), stats,
+      Seq("apple", "cherry"), k = 3).orderBy("rank").collect().toSeq
+    val scratch = Retrieval.bm25TopK(docs(corpus: _*),
+      Seq("apple", "cherry"), k = 3).orderBy("rank").collect().toSeq
+    assert(grown === scratch)
+  }
 }

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 119, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 123, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -98,9 +98,11 @@ class QueriesSpec extends SparkSpec {
       "q106_streaming_index_grow",
       // q110/q111/q115 cross-join their ONE-row corpus-stats frame
       // (N + avgdl / total-bigram count / total token count) onto
-      // vocabulary-sized aggregates — the q75 scalar-broadcast shape
+      // vocabulary-sized aggregates — the q75 scalar-broadcast shape;
+      // q122/q124 serve the same scoring tail from the postings index
       "q110_bm25_topk", "q111_collocation_lift",
-      "q115_unigram_surprisal",
+      "q115_unigram_surprisal", "q122_bm25_indexed",
+      "q124_postings_absorb",
       // q118 cross-joins the slice LM's ONE-row token total onto both
       // scoring streams; q119 the ONE-row binding-budget min onto the
       // |sources|-row stats frame — the same scalar-broadcast shape
@@ -131,7 +133,8 @@ class QueriesSpec extends SparkSpec {
   test("q110/q111 join only by broadcast (df / unigram counts / " +
     "1-row stats) and select top-k via TakeOrdered, never a global sort " +
     "of the scored set") {
-    Seq("q110_bm25_topk", "q111_collocation_lift").foreach { name =>
+    Seq("q110_bm25_topk", "q111_collocation_lift",
+        "q122_bm25_indexed").foreach { name =>
       val plan = Registry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin") &&
