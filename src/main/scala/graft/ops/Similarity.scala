@@ -100,6 +100,52 @@ object Similarity {
     * (CandidatePruningSpec measures >10x on real data). */
   val LshCrossoverSim = 0.7
 
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram contamination report (q51): for every corpus vector, the
+    * MAX cosine against a (small) held-out benchmark set, plus how
+    * many benchmark vectors clear the threshold, and keep = below it.
+    * This is the "drop training docs that are near-duplicates of eval
+    * items" stage run before every serious pretraining mix — n-gram
+    * contamination catches verbatim leakage, this catches paraphrase.
+    *
+    * `tauX1e6` is the threshold on the FLOOR-SCALED similarity, so
+    * every checked column is integer-derived: floor is monotone, so
+    * max(floor(s·10⁶)) = floor(max s·10⁶), and floor(s·10⁶) ≥ τ ⇔
+    * s·10⁶ ≥ τ for integer τ — the flag and the count replay exactly.
+    *
+    * Plan: the benchmark side BROADCASTS (it is eval-set-sized — tiny
+    * by definition) and the corpus streams through once; the per-key
+    * aggregate collapses map-side (all of a row's bench sims are
+    * produced in its own partition), so the one exchange carries one
+    * slim row per corpus vector. At 100 TB the same plan holds: no
+    * corpus shuffle of vectors, no pair materialization. Caller keeps
+    * corpus and bench DISJOINT (a bench row scored against itself is
+    * sim 1.0 and flags trivially). */
+  def embeddingContamination(corpus: DataFrame, bench: DataFrame,
+                             tauX1e6: Long): DataFrame = {
+    require(tauX1e6 > 0 && tauX1e6 <= 1000000L,
+      s"tauX1e6=$tauX1e6 outside (0, 1e6]")
+    // zero-norm convention shared with [[nearDupPairs]]: no defined
+    // cosine → participates in no comparison (keeps NaN off both
+    // engines' thresholds)
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val b = bench.select(col("vec_id").as("bench_id"),
+        col("embedding").as("bv"))
+      .withColumn("bn", l2norm(col("bv")))
+      .filter(col("bn") > 0.0)
+    c.crossJoin(broadcast(b))
+      .select(col("vec_id"),
+        floor(dot(col("bv"), col("v")) / (col("bn") * col("nrm")) * 1e6)
+          .cast("long").as("sim_x1e6"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim_x1e6")).as("max_sim_x1e6"),
+        sum(when(col("sim_x1e6") >= tauX1e6, 1L).otherwise(0L))
+          .as("n_over"))
+      .withColumn("keep", col("max_sim_x1e6") < tauX1e6)
+  }
+
   /** All pairs with cosine similarity >= minSim (near-dup detection).
     * Dispatches on the threshold: below [[LshCrossoverSim]] the exact
     * block-tiled kernel ([[allPairsBlocked]]) — LSH cannot prune there,

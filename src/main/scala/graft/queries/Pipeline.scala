@@ -2325,7 +2325,26 @@ object Pipeline {
       (s, dir) => Dedup.neardupPageRank(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8)
           .select(col("doc_a"), col("doc_b")), iters = 3)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── embedding-space decontamination
+    // ([[Similarity.embeddingContamination]]): the semantic
+    // complement of q51's n-gram contamination — for each train-side
+    // vector, the max cosine against the held-out vec_id%10=3
+    // benchmark slice; keep = below τ = 0.9. The bench side
+    // broadcasts (eval-set-sized); the corpus streams once; the one
+    // exchange carries one slim pre-aggregated row per vector. Floor
+    // is monotone, so the max/flag/count replay exactly on the
+    // floor-scaled integers.
+    Q("q125_embedding_contamination", "pipeline:similarity-decontam",
+      Some(embeddingContaminationOracle(tauX1e6 = 900000L)),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.embeddingContamination(
+          e.filter(col("vec_id") % 10 =!= 3),
+          e.filter(col("vec_id") % 10 === 3),
+          tauX1e6 = 900000L).orderBy("vec_id")
+      }))
 
   /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
   private def unigramSurprisalOracle: String =
@@ -2535,6 +2554,27 @@ object Pipeline {
       |  CAST($byteSum AS BIGINT) AS n_masked_bytes
       |FROM s$n ORDER BY doc_id""".stripMargin
   }
+
+  /** q125's oracle — the same cross join with the q27 float
+    * conventions (fold dot, norm product, floor·10⁶), aggregated per
+    * train vector; the zero-norm filter mirrors the operator's
+    * shared convention (vacuous on this data, kept for parity). */
+  private def embeddingContaminationOracle(tauX1e6: Long): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e
+      |  WHERE ${normSql("v")} > 0),
+      |c AS (SELECT * FROM n WHERE vec_id % 10 != 3),
+      |b AS (SELECT * FROM n WHERE vec_id % 10 = 3),
+      |s AS (
+      |  SELECT c.vec_id,
+      |    CAST(floor(${dotSql("b.v", "c.v")} / (b.nrm * c.nrm) * 1000000)
+      |      AS BIGINT) AS sim
+      |  FROM c CROSS JOIN b)
+      |SELECT vec_id, max(sim) AS max_sim_x1e6,
+      |  CAST(sum(CASE WHEN sim >= $tauX1e6 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_over,
+      |  max(sim) < $tauX1e6 AS keep
+      |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** q123's oracle — q22's pair CTEs, then each power-iteration sweep
     * as a static CTE: contrib = pr div deg summed over incoming

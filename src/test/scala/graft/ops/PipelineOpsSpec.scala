@@ -781,6 +781,28 @@ class PipelineOpsSpec extends SparkSpec {
       (22L, 2L, 1000000L, 1000000L)))
   }
 
+  test("embeddingContamination: hand-worked max/count/keep; negative " +
+    "cosines kept out of n_over; zero-norm rows dropped") {
+    def vecs(rows: (Long, Seq[Double])*) =
+      rows.toSeq.toDF("vec_id", "embedding")
+    val corpus = vecs(
+      0L -> Seq(2.0, 0.0),   // cos(b1)=1.0, cos(b2)=0.0 → flagged
+      1L -> Seq(1.0, 1.0),   // cos=0.70710678 both → kept
+      2L -> Seq(-3.0, 0.0),  // cos(b1)=-1, cos(b2)=0 → max 0, kept
+      3L -> Seq(0.0, 0.0))   // zero norm → no row
+    val bench = vecs(100L -> Seq(1.0, 0.0), 101L -> Seq(0.0, 1.0))
+    val out = Similarity.embeddingContamination(corpus, bench,
+        tauX1e6 = 900000L)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1000000L, 1L, false),
+      (1L, 707106L, 0L, true),
+      (2L, 0L, 0L, true)))
+    intercept[IllegalArgumentException](
+      Similarity.embeddingContamination(corpus, bench, tauX1e6 = 0L))
+  }
+
   test("neardupPageRank guards the sweep count (past ~20, pin lineage)") {
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException](
