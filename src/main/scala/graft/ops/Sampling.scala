@@ -8,6 +8,57 @@ import Hashing.h60
 /** Corpus-balancing sampling for training-data pipelines. */
 object Sampling {
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    * sampling for estimation of arbitrary subset sums") — WEIGHTED
+    * sampling without replacement with the unbiased subset-sum
+    * estimator, the principled way to downsample a corpus by token
+    * mass and still report exact-in-expectation token totals:
+    *
+    *   u_i        = (h30_i + 1) / 2³⁰      (hash-derived uniform)
+    *   priority_i = ⌊w_i · 2³⁰ / (h30_i + 1)⌋   (≈ w_i / u_i, in
+    *                w units — all int64, exact on both engines)
+    *   sample     = top k by (priority desc, doc_id)
+    *   τ          = the (k+1)-th priority (0 when the corpus has ≤ k
+    *                rows — then the sample is exhaustive and exact)
+    *   ŵ_i        = max(w_i, τ)            (the paper's estimator:
+    *                E[Σ_sample ŵ] = Σ_corpus w, any subset)
+    *
+    * w_i is the whitespace token count (what a data pipeline bills
+    * by); h30 is the TOP 30 bits of the salted [[Hashing.h60]], so
+    * u is content-independent, stable under corpus growth, and
+    * engine-portable; w·2³⁰ bounds w < 8.5·10⁹ tokens per doc before
+    * int64 overflow (far past any real document). Discrete hashes
+    * can tie where the paper's continuous u cannot — the (priority,
+    * doc_id) order makes ties deterministic on both engines.
+    *
+    * Plan: the weight+priority projection is per-row (zero
+    * shuffles); top-(k+1) is TakeOrdered (per-partition heaps + a
+    * (k+1)-row driver merge); τ and the ranks are windows over those
+    * k+1 rows only. One corpus pass at any scale.
+    * Output: (rank, doc_id, w, priority, tau, w_hat). */
+  def prioritySample(docs: DataFrame, k: Int,
+                     salt: String = "prio"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val scored = docs.select(col("doc_id"),
+        coalesce(size(Hashing.tokens(col("text"))).cast("long"), lit(0L))
+          .as("w"),
+        h60(concat_ws(":", lit(salt), col("doc_id"))).as("h"))
+      .select(col("doc_id"), col("w"),
+        Hashing.idiv(col("w") * lit(1073741824L),
+          shiftright(col("h"), 30) + lit(1L)).as("priority"))
+    val top = scored.orderBy(col("priority").desc, col("doc_id"))
+      .limit(k + 1)
+    val win = Window.orderBy(col("priority").desc, col("doc_id"))
+    val ranked = top.withColumn("rank", row_number().over(win).cast("long"))
+    val tau = ranked
+      .agg(max(when(col("rank") === (k + 1), col("priority"))).as("t"))
+    ranked.filter(col("rank") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("rank"), col("doc_id"), col("w"), col("priority"),
+        coalesce(col("t"), lit(0L)).as("tau"),
+        greatest(col("w"), coalesce(col("t"), lit(0L))).as("w_hat"))
+  }
+
   /** Deterministic train/val/test assignment by content-independent
     * hash: bucket = h60("split:" + doc_id) mod 1000, train below
     * `trainPerMille`, val below `trainPerMille + valPerMille`, test

@@ -2344,7 +2344,20 @@ object Pipeline {
           e.filter(col("vec_id") % 10 =!= 3),
           e.filter(col("vec_id") % 10 === 3),
           tauX1e6 = 900000L).orderBy("vec_id")
-      }))
+      }),
+
+    // ── priority sampling ([[Sampling.prioritySample]]): Duffield/
+    // Lund/Thorup weighted sampling WITHOUT replacement by token
+    // mass, with the unbiased subset-sum estimator ŵ = max(w, τ)
+    // riding in the result — the principled corpus downsampler where
+    // q36/q75/q119 thin by RATE. Hash-derived uniforms (salted h60
+    // top 30 bits) make it deterministic, growth-stable, and
+    // engine-portable; priorities are all-int64 (⌊w·2³⁰/(h30+1)⌋).
+    // One projection pass + TakeOrdered(k+1) — zero shuffles.
+    Q("q126_priority_sample", "pipeline:sampling-priority",
+      Some(prioritySampleOracle(k = 25)),
+      (s, dir) => Sampling.prioritySample(docsF(s, dir), k = 25)
+        .orderBy("rank")))
 
   /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
   private def unigramSurprisalOracle: String =
@@ -2554,6 +2567,30 @@ object Pipeline {
       |  CAST($byteSum AS BIGINT) AS n_masked_bytes
       |FROM s$n ORDER BY doc_id""".stripMargin
   }
+
+  /** q126's oracle — the same all-integer priority arithmetic
+    * (salted h60 top 30 bits, ⌊w·2³⁰/(h30+1)⌋), ranked by
+    * (priority desc, doc_id), τ = the (k+1)-th priority (0 when the
+    * corpus is exhausted), ŵ = greatest(w, τ). */
+  private def prioritySampleOracle(k: Int): String =
+    s"""WITH s AS (
+      |  SELECT doc_id,
+      |    COALESCE(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+      |      AS BIGINT), 0) AS w,
+      |    ${h60Sql("('prio:' || CAST(doc_id AS VARCHAR))")} AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id, w,
+      |  (w * 1073741824) // ((h >> 30) + 1) AS priority FROM s),
+      |top AS (
+      |  SELECT doc_id, w, priority,
+      |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+      |  FROM p ORDER BY rank LIMIT ${k + 1}),
+      |t AS (SELECT max(CASE WHEN rank = ${k + 1} THEN priority END)
+      |  AS tau FROM top)
+      |SELECT rank, doc_id, w, priority,
+      |  COALESCE(t.tau, 0) AS tau,
+      |  greatest(w, COALESCE(t.tau, 0)) AS w_hat
+      |FROM top, t WHERE rank <= $k ORDER BY rank""".stripMargin
 
   /** q125's oracle — the same cross join with the q27 float
     * conventions (fold dot, norm product, floor·10⁶), aggregated per

@@ -803,6 +803,44 @@ class PipelineOpsSpec extends SparkSpec {
       Similarity.embeddingContamination(corpus, bench, tauX1e6 = 0L))
   }
 
+  test("prioritySample: matches the h60Scala-twin arithmetic exactly; " +
+    "every item heavier than tau is sampled; exhaustive corpus is " +
+    "exact (tau = 0, w_hat = w)") {
+    val texts = Seq(
+      0L -> "a b c d e f g h",        // w=8
+      1L -> "one two three",          // w=3
+      2L -> "x",                      // w=1
+      3L -> "p q r s t u v w x y z",  // w=11
+      4L -> "m n")                    // w=2
+    val docs = texts.toDF("doc_id", "text")
+    // driver-side twin of the operator's integer arithmetic
+    val model = texts.map { case (id, t) =>
+      val w = t.split("\\s+").length.toLong
+      val h30 = graft.ops.Hashing.h60Scala(s"prio:$id") >> 30
+      (id, w, w * 1073741824L / (h30 + 1L))
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val k = 3
+    val tau = model(k)._3
+    val expect = model.take(k).zipWithIndex.map { case ((id, w, p), i) =>
+      (i + 1L, id, w, p, tau, math.max(w, tau))
+    }
+    val got = Sampling.prioritySample(docs, k).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expect)
+    // the paper's inclusion property: priority >= w (u <= 1), so any
+    // item with w > tau has priority > tau and MUST be in the sample
+    model.filter(_._2 > tau).foreach { case (id, _, _) =>
+      assert(got.exists(_._2 == id), s"doc $id heavier than tau missing")
+    }
+    // exhaustive: k >= corpus -> tau 0, estimator exact
+    val all = Sampling.prioritySample(docs, k = 10).orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(all.length == 5)
+    assert(all.forall { case (w, t, wh) => t == 0L && wh == w })
+    intercept[IllegalArgumentException](Sampling.prioritySample(docs, 0))
+  }
+
   test("neardupPageRank guards the sweep count (past ~20, pin lineage)") {
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException](
