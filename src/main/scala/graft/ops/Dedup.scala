@@ -514,9 +514,11 @@ object Dedup {
       .select(col("id").as("doc_id"), col("cluster_root"), col("keep"))
   }
 
-  /** PageRank over the near-dup graph — centrality within duplicate
-    * neighborhoods (pick the canonical representative of a boilerplate
-    * cluster; weight hub documents for removal). Takes any (doc_a,
+  /** PageRank (Page, Brin, Motwani & Winograd 1999, "The PageRank
+    * Citation Ranking") over the near-dup graph — centrality within
+    * duplicate neighborhoods (pick the canonical representative of a
+    * boilerplate cluster; weight hub documents for removal). Takes
+    * any (doc_a,
     * doc_b) pair frame (q22 exact, q23 LSH, q74 IVF — they drop in
     * unchanged, the q113 composition contract) as an UNDIRECTED graph
     * restricted to pair-participating docs, and runs `iters` power

@@ -93,6 +93,36 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: [[hashSplit]]'s assignment
+    * keyed by the NEAR-DUP CLUSTER ROOT instead of the doc id, so an
+    * entire duplicate cluster lands in one split — the fix for the
+    * classic eval-leakage failure where a doc and its near-duplicate
+    * straddle train and test and the held-out score is fiction
+    * (the same failure q51/q125 DETECT; this prevents it at split
+    * time). Takes any (doc_id, cluster_root) frame — q35's exact
+    * clusters, q46's embedding clusters, the q67 capped
+    * materialization all drop in. Deliberately the SAME salt and
+    * arithmetic as [[hashSplit]]: a singleton (root = own id) gets
+    * the identical assignment the plain split would give it, so
+    * moving to cluster-safe splitting reassigns ONLY docs that are
+    * part of a multi-doc cluster (spec-pinned). Pure projection over
+    * the clusters frame — zero additional shuffles.
+    * Output: (doc_id, cluster_root, bucket, split). */
+  def leakageSafeSplit(clusters: DataFrame, trainPerMille: Int = 980,
+                       valPerMille: Int = 10): DataFrame = {
+    require(trainPerMille > 0 && valPerMille >= 0 &&
+      trainPerMille + valPerMille < 1000,
+      s"bad split: train=$trainPerMille val=$valPerMille")
+    clusters.select(col("doc_id"), col("cluster_root"))
+      .withColumn("bucket", pmod(Hashing.h60(
+        concat(lit("split:"), col("cluster_root").cast("string"))),
+        lit(1000L)))
+      .withColumn("split",
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < trainPerMille + valPerMille, "val")
+          .otherwise("test"))
+  }
+
   /** Per-language cap: keep at most `cap` documents per predicted
     * language, chosen in deterministic pseudo-random order (h60 of the
     * doc id, doc_id tie-break) so reruns and the oracle agree exactly.

@@ -2357,7 +2357,20 @@ object Pipeline {
     Q("q126_priority_sample", "pipeline:sampling-priority",
       Some(prioritySampleOracle(k = 25)),
       (s, dir) => Sampling.prioritySample(docsF(s, dir), k = 25)
-        .orderBy("rank")))
+        .orderBy("rank")),
+
+    // ── leakage-safe split ([[Sampling.leakageSafeSplit]]): q66's
+    // hash split keyed by q35's CLUSTER ROOT, so a near-dup cluster
+    // never straddles train/test — the split-time fix for the
+    // leakage q51/q125 detect after the fact. Same salt as q66, so
+    // singletons keep their plain-split assignment and only
+    // clustered docs move. Composition: clusters from the q35
+    // machinery, the split a pure projection on top.
+    Q("q127_leakage_safe_split", "pipeline:sampling-safe-split",
+      Some(leakageSafeSplitOracle),
+      (s, dir) => Sampling.leakageSafeSplit(
+        Dedup.dupClusters(docsF(s, dir), 0.8), 980, 10)
+        .orderBy("doc_id")))
 
   /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
   private def unigramSurprisalOracle: String =
@@ -2567,6 +2580,43 @@ object Pipeline {
       |  CAST($byteSum AS BIGINT) AS n_masked_bytes
       |FROM s$n ORDER BY doc_id""".stripMargin
   }
+
+  /** q127's oracle — q35's recursive-CTE component labels, then q66's
+    * split arithmetic over the ROOT instead of the doc id. */
+  private def leakageSafeSplitOracle: String =
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p0 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM p0
+      |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+      |lab AS (
+      |  SELECT d.doc_id,
+      |    CAST(least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS BIGINT)
+      |      AS cluster_root
+      |  FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
+      |  GROUP BY d.doc_id),
+      |b AS (
+      |  SELECT doc_id, cluster_root,
+      |    ${h60Sql("'split:' || CAST(cluster_root AS VARCHAR)")} % 1000
+      |      AS bucket
+      |  FROM lab)
+      |SELECT doc_id, cluster_root, CAST(bucket AS BIGINT) AS bucket,
+      |  CASE WHEN bucket < 980 THEN 'train'
+      |       WHEN bucket < 990 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
 
   /** q126's oracle — the same all-integer priority arithmetic
     * (salted h60 top 30 bits, ⌊w·2³⁰/(h30+1)⌋), ranked by

@@ -841,6 +841,29 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.prioritySample(docs, 0))
   }
 
+  test("leakageSafeSplit: clusters are split-atomic; singletons keep " +
+    "their plain hashSplit assignment; clustered docs take the ROOT's") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("doc_id", "cluster_root")
+    val out = Sampling.leakageSafeSplit(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    // atomicity: one split value per cluster_root
+    out.groupBy(_._2).foreach { case (root, rows) =>
+      assert(rows.map(_._3).distinct.size == 1,
+        s"cluster $root straddles splits: $rows")
+    }
+    // every doc's assignment IS the plain hashSplit of its root (and
+    // therefore singletons are unchanged vs doc-keyed splitting)
+    val plain = Sampling.hashSplit(
+        Seq(1L, 3L, 10L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { case (_, root, split) =>
+      assert(split == plain(root), s"root $root: $split != ${plain(root)}")
+    }
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplit(clusters, trainPerMille = 0))
+  }
+
   test("neardupPageRank guards the sweep count (past ~20, pin lineage)") {
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException](
