@@ -188,6 +188,34 @@ object Retrieval {
     graft.engine.TableStore.write(stats, warehouse, s"${table}_stats")
   }
 
+  /** Compact the postings index — the maintenance half that makes
+    * per-batch absorption sustainable: every [[absorbIntoPostingsIndex]]
+    * appends one file set per bucket, so after N batches a bucket
+    * holds N+1 small files and the serve-side probe pays N+1 opens
+    * per touched bucket. Compaction reads the table once and rewrites
+    * it through [[graft.engine.TableStore.writeBucketed]]'s staged
+    * atomic swap (same bucket spec, one sorted file per bucket task;
+    * readers never observe a half state; the pre-compaction layout
+    * survives as `.bak_` until the swap commits). Stats are untouched
+    * — compaction changes layout, not content; serve results are
+    * bit-identical before and after (spec + q128's unchanged oracle).
+    * The streaming vector ingest runs the same rhythm on the cell
+    * index ([[graft.streaming.StreamingVectorIngest]]); this is the
+    * lexical twin. Returns the (re-registered) catalog name. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                           warehouse: String, table: String,
+                           nBuckets: Int): String = {
+    val name = graft.engine.TableStore.bucketedName(spark, warehouse, table)
+    // materialize before the swap: writeBucketed drops the live table
+    // entry mid-publish, and a lazy plan reading the table it is
+    // replacing would race the rename
+    val rows = spark.table(name).cache()
+    rows.count()
+    try graft.engine.TableStore.writeBucketed(rows, warehouse, table,
+      nBuckets, Seq("token"), Seq("token"))
+    finally rows.unpersist(blocking = false)
+  }
+
   /** Serve top-k from a PERSISTED postings index
     * ([[buildPostingsIndex]]): the query-time plan is a bucket-pruned
     * index probe (`token IN (terms)` touches only the terms' buckets

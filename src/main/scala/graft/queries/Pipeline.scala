@@ -2312,6 +2312,34 @@ object Pipeline {
           k = 25).orderBy("rank")
       }),
 
+    // ── postings-index COMPACT ([[Retrieval.compactPostingsIndex]]):
+    // the maintenance half that makes per-batch absorption
+    // sustainable — build on 80%, absorb TWO 10% deltas (each leaving
+    // a file set per bucket), compact to one sorted file per bucket
+    // via the staged atomic swap, serve. Content is unchanged by
+    // construction, so q110's oracle gates the whole lifecycle:
+    // build → absorb → absorb → compact → serve ≡ the full-corpus
+    // scan.
+    Q("q128_postings_compact", "pipeline:retrieval-bm25-compact",
+      Some(bm25Oracle(Bm25Terms, k = 25)),
+      (s, dir) => {
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val d = docsF(s, dir)
+        val pt = Retrieval.buildPostingsIndex(
+          d.filter(col("doc_id") % 10 < 8), wh, "q128_postings",
+          nBuckets = 8)
+        Retrieval.absorbIntoPostingsIndex(pt, wh, "q128_postings",
+          d.filter(col("doc_id") % 10 === 8))
+        Retrieval.absorbIntoPostingsIndex(pt, wh, "q128_postings",
+          d.filter(col("doc_id") % 10 === 9))
+        val ct = Retrieval.compactPostingsIndex(s, wh, "q128_postings",
+          nBuckets = 8)
+        val stats = s.read.parquet(graft.engine.TableStore
+          .tablePath(wh, "q128_postings_stats"))
+        Retrieval.bm25TopKFromIndex(s.table(ct), stats, Bm25Terms,
+          k = 25).orderBy("rank")
+      }),
+
     // ── near-dup PageRank ([[Dedup.neardupPageRank]]): centrality
     // within duplicate neighborhoods over q22's exact pair set —
     // canonical-representative selection / boilerplate-hub weighting.

@@ -126,4 +126,31 @@ class RetrievalSpec extends SparkSpec {
       Seq("apple", "cherry"), k = 3).orderBy("rank").collect().toSeq
     assert(grown === scratch)
   }
+
+  test("compact: merges the absorb-appended file sets back to one " +
+    "file set, serve results bit-identical before and after") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("bm25compact").toString
+    val pt = Retrieval.buildPostingsIndex(docs(corpus.take(2): _*),
+      wh, "p", nBuckets = 2)
+    Retrieval.absorbIntoPostingsIndex(pt, wh, "p",
+      docs(corpus.slice(2, 3): _*))
+    Retrieval.absorbIntoPostingsIndex(pt, wh, "p",
+      docs(corpus.slice(3, 4): _*))
+    def files = new java.io.File(
+      graft.engine.TableStore.tablePath(wh, "p")).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val stats = spark.read.parquet(
+      graft.engine.TableStore.tablePath(wh, "p_stats"))
+    val before = Retrieval.bm25TopKFromIndex(spark.table(pt), stats,
+      Seq("apple", "cherry"), k = 3).orderBy("rank").collect().toSeq
+    val nBefore = files
+    val ct = Retrieval.compactPostingsIndex(spark, wh, "p", nBuckets = 2)
+    val nAfter = files
+    assert(nAfter < nBefore,
+      s"compaction did not shrink the file count: $nBefore -> $nAfter")
+    val after = Retrieval.bm25TopKFromIndex(spark.table(ct), stats,
+      Seq("apple", "cherry"), k = 3).orderBy("rank").collect().toSeq
+    assert(after === before)
+  }
 }
