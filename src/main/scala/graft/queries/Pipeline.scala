@@ -2398,7 +2398,22 @@ object Pipeline {
       Some(leakageSafeSplitOracle),
       (s, dir) => Sampling.leakageSafeSplit(
         Dedup.dupClusters(docsF(s, dir), 0.8), 980, 10)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ── scrub → sample composition: the round's new kernels chained
+    // the way a curation run uses them — mask the blocklist spans
+    // ([[TextAnalysis.blocklistScrub]]), then draw the token-mass
+    // priority sample ([[Sampling.prioritySample]]) over the
+    // SCRUBBED text (the mass a trainer would actually see). Both
+    // stages are pure projections + TakeOrdered, so the composition
+    // adds zero exchanges over q126; the oracle chains q121's
+    // replace CTEs into q126's integer priority arithmetic.
+    Q("q129_scrub_then_sample", "pipeline:text-blocklist-sampling",
+      Some(scrubThenSampleOracle(k = 25)),
+      (s, dir) => Sampling.prioritySample(
+        TextAnalysis.blocklistScrub(docsF(s, dir), ScrubPhrases)
+          .select(col("doc_id"), col("scrubbed").as("text")),
+        k = 25).orderBy("rank")))
 
   /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
   private def unigramSurprisalOracle: String =
@@ -2588,7 +2603,11 @@ object Pipeline {
     * records its occurrence count via the delete-replace length
     * trick (length is preserved by the mask, so every stage's count
     * is taken on the text the SEQUENTIAL semantics say it scans). */
-  private def blocklistScrubOracle: String = {
+  /** The scrub replace chain as CTE stages `s0..s<n>` — shared by
+    * q121 (which also reads the per-stage counts) and q129 (which
+    * feeds the final scrubbed text onward). `s<n>` carries
+    * (doc_id, t = scrubbed, c0..c<n-1>). */
+  private def scrubStagesSql: String = {
     val stages = ScrubPhrases.zipWithIndex.map { case (p, i) =>
       val prev = if (i == 0) "s0" else s"s$i"
       val carried = (0 until i).map(j => s"c$j").mkString("", ", ",
@@ -2597,16 +2616,45 @@ object Pipeline {
       s"""s${i + 1} AS (SELECT doc_id, replace(t, '$p', '$maskLit') AS t,
         |  $carried${occSql("t", p)} AS c$i FROM $prev)""".stripMargin
     }.mkString(",\n")
+    s"""s0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |$stages""".stripMargin
+  }
+
+  private def blocklistScrubOracle: String = {
     val n = ScrubPhrases.size
     val spanSum = (0 until n).map(i => s"c$i").mkString(" + ")
     val byteSum = (0 until n)
       .map(i => s"c$i * ${ScrubPhrases(i).length}").mkString(" + ")
-    s"""WITH s0 AS (SELECT doc_id, lower(text) AS t FROM documents),
-      |$stages
+    s"""WITH $scrubStagesSql
       |SELECT doc_id, t AS scrubbed,
       |  CAST($spanSum AS BIGINT) AS n_spans,
       |  CAST($byteSum AS BIGINT) AS n_masked_bytes
       |FROM s$n ORDER BY doc_id""".stripMargin
+  }
+
+  /** q129's oracle — the scrub chain feeding q126's integer priority
+    * arithmetic, with w counted over the SCRUBBED text. */
+  private def scrubThenSampleOracle(k: Int): String = {
+    val n = ScrubPhrases.size
+    s"""WITH $scrubStagesSql,
+      |sw AS (
+      |  SELECT doc_id,
+      |    COALESCE(CAST(len(regexp_split_to_array(trim(lower(t)), '\\s+'))
+      |      AS BIGINT), 0) AS w,
+      |    ${h60Sql("('prio:' || CAST(doc_id AS VARCHAR))")} AS h
+      |  FROM s$n),
+      |p AS (SELECT doc_id, w,
+      |  (w * 1073741824) // ((h >> 30) + 1) AS priority FROM sw),
+      |top AS (
+      |  SELECT doc_id, w, priority,
+      |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+      |  FROM p ORDER BY rank LIMIT ${k + 1}),
+      |tt AS (SELECT max(CASE WHEN rank = ${k + 1} THEN priority END)
+      |  AS tau FROM top)
+      |SELECT rank, doc_id, w, priority,
+      |  COALESCE(tt.tau, 0) AS tau,
+      |  greatest(w, COALESCE(tt.tau, 0)) AS w_hat
+      |FROM top, tt WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
   /** q127's oracle — q35's recursive-CTE component labels, then q66's

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 127, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 128, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -107,7 +107,7 @@ class QueriesSpec extends SparkSpec {
       // the corpus stream - the q25 bounded-build one-pass shape
       "q125_embedding_contamination",
       // q126 cross-joins its ONE-row tau frame onto the k sampled rows
-      "q126_priority_sample",
+      "q126_priority_sample", "q129_scrub_then_sample",
       // q118 cross-joins the slice LM's ONE-row token total onto both
       // scoring streams; q119 the ONE-row binding-budget min onto the
       // |sources|-row stats frame — the same scalar-broadcast shape
