@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import Hashing.{idiv, tokens}
 
@@ -186,6 +186,55 @@ object Retrieval {
       lit(n2).as("n_docs"), lit(t2).as("total_dl"),
       lit(1000L * t2 / n2).as("avgdl_x1000"))
     graft.engine.TableStore.write(stats, warehouse, s"${table}_stats")
+  }
+
+  /** Materialize a POSITIONAL postings index — (token, doc_id,
+    * positions), the layout phrase queries exist for: a classic
+    * postings row says "doc d contains t"; the sorted 1-based
+    * position list says WHERE, which is what adjacency (phrase)
+    * predicates consume at query time. Same bucketed-by-token layout
+    * and bucket-pruned probe story as [[buildPostingsIndex]]. One
+    * posexplode + one grouped collect; positions lists are
+    * per-(token, doc) sized — the standard positional-index payload
+    * (Manning et al., IR, ch. 2). */
+  def buildPositionalIndex(docs: DataFrame, warehouse: String,
+                           table: String, nBuckets: Int): String = {
+    val posting = docs
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos0", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos0").cast("long") + lit(1L)))
+        .as("positions"))
+      .select(col("token"), col("doc_id"), col("positions"))
+    graft.engine.TableStore.writeBucketed(posting, warehouse, table,
+      nBuckets, Seq("token"), Seq("token"))
+  }
+
+  /** Phrase search from a positional index: per doc, the number of
+    * token positions i where tokens i..i+m−1 spell `phrase` —
+    * OVERLAPPING occurrences included (the position-join definition,
+    * matching the lockstep-unnest adjacency oracle). The query-time
+    * plan probes the index once per DISTINCT phrase term (each probe
+    * bucket-pruned to that term's bucket), joins the m position
+    * lists per doc — join keys are doc_id, frames are
+    * matching-doc-sized — and evaluates adjacency per row over the
+    * first term's positions. No corpus scan, no tokenize at query
+    * time; only docs containing every term survive to the adjacency
+    * test. Output: (doc_id, n_occ), n_occ ≥ 1. */
+  def phraseCountFromIndex(postings: DataFrame,
+                           phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase query needs >= 2 terms")
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("token") === t)
+        .select(col("doc_id"), col("positions").as(s"p${i + 1}"))
+    }
+    val joined = frames.reduce(_.join(_, "doc_id"))
+    val adjacent = (2 to phrase.size)
+      .map(j => (x: Column) => array_contains(col(s"p$j"), x + lit(j - 1L)))
+    val occ = size(filter(col("p1"),
+      x => adjacent.map(f => f(x)).reduce(_ && _))).cast("long")
+    joined.select(col("doc_id"), occ.as("n_occ"))
+      .filter(col("n_occ") > 0L)
   }
 
   /** Compact the postings index — the maintenance half that makes

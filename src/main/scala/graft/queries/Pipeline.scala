@@ -2400,6 +2400,25 @@ object Pipeline {
         Dedup.dupClusters(docsF(s, dir), 0.8), 980, 10)
         .orderBy("doc_id")),
 
+    // ── phrase search from a POSITIONAL index
+    // ([[Retrieval.buildPositionalIndex]]/[[phraseCountFromIndex]]):
+    // the query class positional postings exist for — per doc, the
+    // count of positions spelling the phrase (overlapping included,
+    // the position-join definition). Build once; the serve plan is
+    // one bucket-pruned probe per distinct term + matching-doc-sized
+    // position-list joins + a per-row adjacency test. The oracle is
+    // the q111-style lockstep-unnest token stream self-joined on
+    // ord+1 adjacency.
+    Q("q130_phrase_search", "pipeline:retrieval-phrase",
+      Some(phraseSearchOracle(PhraseTerms)),
+      (s, dir) => {
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val pt = Retrieval.buildPositionalIndex(docsF(s, dir), wh,
+          "q130_positions", nBuckets = 8)
+        Retrieval.phraseCountFromIndex(s.table(pt), PhraseTerms)
+          .orderBy("doc_id")
+      }),
+
     // ── scrub → sample composition: the round's new kernels chained
     // the way a curation run uses them — mask the blocklist spans
     // ([[TextAnalysis.blocklistScrub]]), then draw the token-mass
@@ -2655,6 +2674,32 @@ object Pipeline {
       |  COALESCE(tt.tau, 0) AS tau,
       |  greatest(w, COALESCE(tt.tau, 0)) AS w_hat
       |FROM top, tt WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  /** q130's pinned phrase — two-term, corpus-frequent. */
+  private lazy val PhraseTerms: Seq[String] = Seq("spark", "window")
+
+  /** q130's oracle — the q111-style lockstep-unnest (token, ord)
+    * stream, self-joined on ord+1 adjacency per phrase step. */
+  private def phraseSearchOracle(phrase: Seq[String]): String = {
+    val joins = (2 to phrase.size).map(j =>
+      s"JOIN tok t$j ON t$j.doc_id = t1.doc_id AND t$j.ord = t1.ord + ${j - 1}")
+      .mkString(" ")
+    val preds = phrase.zipWithIndex
+      .map { case (t, i) => s"t${i + 1}.tokn = '$t'" }.mkString(" AND ")
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w) + 1), i -> i)) AS ord,
+      |    unnest(w) AS tokn
+      |  FROM d)
+      |SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      |FROM tok t1 $joins
+      |WHERE $preds
+      |GROUP BY t1.doc_id ORDER BY t1.doc_id""".stripMargin
   }
 
   /** q127's oracle — q35's recursive-CTE component labels, then q66's

@@ -127,6 +127,29 @@ class RetrievalSpec extends SparkSpec {
     assert(grown === scratch)
   }
 
+  test("phrase search from the positional index: hand-worked counts, " +
+    "overlapping self-runs included, 3-term phrases, absent terms") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("phraseidx").toString
+    val d = docs(
+      0L -> "big data big data big",   // "big data" at 1,3 → 2
+      1L -> "data big data",           // "big data" at 2 → 1
+      2L -> "big big big",             // self-run "big big": pos 1,2 → 2
+      3L -> "no match here")
+    val pt = Retrieval.buildPositionalIndex(d, wh, "pos", nBuckets = 2)
+    def count(phrase: Seq[String]) =
+      Retrieval.phraseCountFromIndex(spark.table(pt), phrase)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(count(Seq("big", "data")) == Seq((0L, 2L), (1L, 1L)))
+    // overlapping occurrences count (position-join semantics)
+    assert(count(Seq("big", "big")) == Seq((2L, 2L)))
+    assert(count(Seq("big", "data", "big")) == Seq((0L, 2L)))
+    assert(count(Seq("zz", "big")).isEmpty)
+    intercept[IllegalArgumentException](
+      Retrieval.phraseCountFromIndex(spark.table(pt), Seq("solo")))
+  }
+
   test("compact: merges the absorb-appended file sets back to one " +
     "file set, serve results bit-identical before and after") {
     val wh = java.nio.file.Files
