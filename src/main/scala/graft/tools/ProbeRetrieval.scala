@@ -86,6 +86,33 @@ object ProbeRetrieval {
       println(f"  (absorb leg alone: ${(System.nanoTime() - t0) / 1e9}%.2fs)")
       spark.table(pt2).count()
     }
+    // q125/q126 ladder legs. Note the contamination ladder is the
+    // WORST case on the bench side: ScaleGen grows the vec_id%10=3
+    // "benchmark" slice linearly with the corpus (10% of it), where a
+    // real benchmark is fixed-size — so the broadcast and the
+    // per-row dot count both scale up here and would not in
+    // production.
+    val emb = graft.engine.Tables.floored(spark, dir, "embeddings", "vec_id")
+    time("embeddingContamination tau=0.9 (10% bench slice)") {
+      graft.ops.Similarity.embeddingContamination(
+        emb.filter(col("vec_id") % 10 =!= 3),
+        emb.filter(col("vec_id") % 10 === 3), 900000L)
+        .filter(col("keep")).count()
+    }
+    // the production shape: a FIXED 200-vector benchmark against the
+    // growing corpus — the corpus-linear term a real deployment pays
+    val fixedBench = emb.filter(col("vec_id") % 10 === 3)
+      .orderBy("vec_id").limit(200)
+    time("embeddingContamination tau=0.9 (FIXED 200-vec bench)") {
+      graft.ops.Similarity.embeddingContamination(
+        emb.filter(col("vec_id") % 10 =!= 3), fixedBench, 900000L)
+        .filter(col("keep")).count()
+    }
+    time("prioritySample k=25") {
+      graft.ops.Sampling.prioritySample(docs, 25)
+        .agg(org.apache.spark.sql.functions.sum(col("w_hat")))
+        .head().getLong(0)
+    }
     // the q114 skew point: this corpus' ~30 distinct lengths put
     // lenBucket=16 at ~3 hot buckets vs lenBucket=1 at ~30 — the
     // scaladoc's shrink-lenBucket guidance, priced
