@@ -113,6 +113,48 @@ object Retrieval {
       .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25_x1M"))
   }
 
+  /** Per-document TF-IDF keyword extraction: the top `m` terms of
+    * each doc by tf·idf — the tagging/labeling primitive (cluster
+    * naming, topic surfacing, dedup-cluster summarization) beside
+    * the query-driven BM25 path. idf is the SAME smoothed rational
+    * [[bm25Scores]] uses ((10⁶·(2N−2df+1)) div (2df+1)), so one
+    * integer convention covers the whole lexical family, and
+    * ubiquitous tokens rank themselves out (df → N drives idf → ~0).
+    * score_x1M = tf · idf_x1M; ties broken by token string.
+    *
+    * Plan: one corpus-sized exchange for the (doc, token) tf
+    * aggregate — the honest cost of corpus-wide term statistics —
+    * then the vocabulary-sized df frame joins back BROADCAST (the
+    * q91/q111 vocabulary-broadcast posture: fine to ~10⁸ distinct
+    * tokens; a corpus whose vocabulary outgrows broadcast switches
+    * this join to a shuffled hash join on token, everything else
+    * unchanged), and the per-doc top-m compiles to WindowGroupLimit
+    * (bounded per-group heaps, no full sort).
+    * Output: (doc_id, rank, token, tf, score_x1M). */
+  def tfidfKeywords(docs: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m=$m must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = idiv(lit(1000000L) *
+      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)),
+      lit(2L) * col("df") + lit(1L))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_x1M").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"),
+        (col("tf") * idf).as("score_x1M"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("score_x1M"))
+  }
+
   /** Materialize the FULL inverted index — the search-tier artifact
     * the scan path recomputes per query: one row per (token, doc)
     * posting `(token, doc_id, dl, tf)`, bucketed AND sorted by token

@@ -2419,6 +2419,17 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    // ── TF-IDF keyword extraction ([[Retrieval.tfidfKeywords]]):
+    // top-3 terms per doc by tf·idf — the tagging/cluster-naming
+    // primitive, sharing the BM25 family's integer idf rational so
+    // ONE convention covers the lexical surface. One corpus-sized
+    // (doc, token) exchange, vocabulary-sized df broadcast back,
+    // WindowGroupLimit for the per-doc top-m.
+    Q("q131_tfidf_keywords", "pipeline:retrieval-tfidf",
+      Some(tfidfKeywordsOracle(m = 3)),
+      (s, dir) => Retrieval.tfidfKeywords(docsF(s, dir), m = 3)
+        .orderBy("doc_id", "rank")),
+
     // ── scrub → sample composition: the round's new kernels chained
     // the way a curation run uses them — mask the blocklist spans
     // ([[TextAnalysis.blocklistScrub]]), then draw the token-mass
@@ -2675,6 +2686,30 @@ object Pipeline {
       |  greatest(w, COALESCE(tt.tau, 0)) AS w_hat
       |FROM top, tt WHERE rank <= $k ORDER BY rank""".stripMargin
   }
+
+  /** q131's oracle — the identical integer idf rational and tf·idf
+    * product, per-doc top-m by (score desc, token). */
+  private def tfidfKeywordsOracle(m: Int): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+      |    '\\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY doc_id, token),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY token),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf,
+      |    tf.tf * ((1000000 * (2 * n.n_docs - 2 * df.df + 1))
+      |      // (2 * df.df + 1)) AS score_x1M,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ((1000000 * (2 * n.n_docs - 2 * df.df + 1))
+      |        // (2 * df.df + 1)) DESC, tf.token) AS rank
+      |  FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf,
+      |  CAST(score_x1M AS BIGINT) AS score_x1M
+      |FROM scored WHERE rank <= $m ORDER BY doc_id, rank""".stripMargin
 
   /** q130's pinned phrase — two-term, corpus-frequent. */
   private lazy val PhraseTerms: Seq[String] = Seq("spark", "window")

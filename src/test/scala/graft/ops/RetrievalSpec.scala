@@ -127,6 +127,23 @@ class RetrievalSpec extends SparkSpec {
     assert(grown === scratch)
   }
 
+  test("tfidfKeywords: hand-worked integer scores; rare terms beat " +
+    "frequent ones; score ties break by token") {
+    // df: apple 2, banana 2, cherry 2, durian 1 over N = 4
+    //   idf(df=2) = (1e6·5)//5 = 1,000,000; idf(df=1) = 7e6//3 = 2,333,333
+    val out = Retrieval.tfidfKeywords(docs(corpus: _*), m = 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, "apple", 2L, 2000000L), (0L, 2L, "banana", 1L, 1000000L),
+      (1L, 1L, "apple", 1L, 1000000L), (1L, 2L, "cherry", 1L, 1000000L),
+      (2L, 1L, "banana", 3L, 3000000L), (2L, 2L, "cherry", 1L, 1000000L),
+      (3L, 1L, "durian", 1L, 2333333L)))
+    intercept[IllegalArgumentException](
+      Retrieval.tfidfKeywords(docs(corpus: _*), m = 0))
+  }
+
   test("phrase search from the positional index: hand-worked counts, " +
     "overlapping self-runs included, 3-term phrases, absent terms") {
     val wh = java.nio.file.Files

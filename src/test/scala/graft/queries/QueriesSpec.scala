@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 129, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 130, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -105,7 +105,7 @@ class QueriesSpec extends SparkSpec {
       "q124_postings_absorb", "q128_postings_compact",
       // q125 cross-joins the BROADCAST eval-set-sized bench side onto
       // the corpus stream - the q25 bounded-build one-pass shape
-      "q125_embedding_contamination",
+      "q125_embedding_contamination", "q131_tfidf_keywords",
       // q126 cross-joins its ONE-row tau frame onto the k sampled rows
       "q126_priority_sample", "q129_scrub_then_sample",
       // q118 cross-joins the slice LM's ONE-row token total onto both
