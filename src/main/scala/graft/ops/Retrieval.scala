@@ -78,23 +78,70 @@ object Retrieval {
     * the served-index path ([[bm25TopKFromIndex]]): df from the
     * (already query-term-bounded) tf frame, then the integer Okapi
     * arithmetic with df and the 1-row stats broadcast back. */
-  private def scoreFromTf(tf: DataFrame, stats: DataFrame): DataFrame = {
-    // df per term: term-count-sized, broadcast back.
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-
+  /** The integer Okapi per-(doc, term) score — idf·tfn div 10⁶ —
+    * over a frame carrying (tf, dl, df, n_docs, avgdl_x1000). One
+    * definition serves the scan, served, and batched paths. */
+  private def termScoreX1M: Column = {
     val a = col("avgdl_x1000")
     val idf = idiv(lit(1000000L) * (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)),
       lit(2L) * col("df") + lit(1L))
     val tfn = idiv(lit(1000000L) * lit(22L) * col("tf") * a,
       lit(10L) * col("tf") * a + lit(3L) * a + lit(9000L) * col("dl"))
+    idiv(idf * tfn, lit(1000000L))
+  }
+
+  private def scoreFromTf(tf: DataFrame, stats: DataFrame): DataFrame = {
+    // df per term: term-count-sized, broadcast back.
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
 
     tf.join(broadcast(df), "token")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        idiv(idf * tfn, lit(1000000L)).as("term_score_x1M"))
+      .select(col("doc_id"), termScoreX1M.as("term_score_x1M"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("term_score_x1M")).as("bm25_x1M"))
+  }
+
+  /** BATCHED serving from the postings index: B probe queries in ONE
+    * index pass — the amortization a serving tier lives on. One
+    * bucket-pruned probe covers the UNION of every query's terms;
+    * global df comes from that probe BEFORE the query fan-out (a
+    * term shared by two queries must not double-count its docs);
+    * the tiny (query_id, token) map then fans each hit out to its
+    * queries by broadcast, per-(query, doc) scores aggregate in one
+    * exchange, and per-query top-k compiles to WindowGroupLimit
+    * (bounded heaps per query). Per query the result is EXACTLY
+    * [[bm25TopKFromIndex]]'s ranking (spec-pinned); the cost of B
+    * queries is one probe + one scored-set exchange instead of B of
+    * each. Output: (query_id, rank, doc_id, n_terms, bm25_x1M). */
+  def bm25TopKBatch(postings: DataFrame, stats: DataFrame,
+                    queries: Map[Long, Seq[String]], k: Int): DataFrame = {
+    require(queries.nonEmpty, "batch needs at least one query")
+    require(queries.values.forall(_.nonEmpty), "a query has no terms")
+    import org.apache.spark.sql.expressions.Window
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val allTerms = queries.values.flatten.toSeq.distinct
+    val qt = queries.toSeq
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val hits = postings.filter(col("token").isin(allTerms: _*))
+      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+    val df = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25_x1M").desc, col("doc_id"))
+    hits.join(broadcast(qt), "token")
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        termScoreX1M.as("term_score_x1M"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score_x1M")).as("bm25_x1M"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("bm25_x1M"))
   }
 
   /** Top-k retrieval: (rank, doc_id, n_terms, bm25_x1M), ranked by

@@ -2419,6 +2419,23 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    // ── BATCHED BM25 serving ([[Retrieval.bm25TopKBatch]]): three
+    // probe queries amortized into ONE bucket-pruned index pass —
+    // the serving-tier shape. Global df from the probe BEFORE the
+    // query fan-out (shared terms must not double-count docs); each
+    // per-query ranking ≡ the single-serve path (spec-pinned).
+    Q("q132_bm25_batch", "pipeline:retrieval-bm25-batch",
+      Some(bm25BatchOracle(BatchQueries, k = 10)),
+      (s, dir) => {
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val pt = Retrieval.buildPostingsIndex(docsF(s, dir), wh,
+          "q132_postings", nBuckets = 8)
+        val stats = s.read.parquet(graft.engine.TableStore
+          .tablePath(wh, "q132_postings_stats"))
+        Retrieval.bm25TopKBatch(s.table(pt), stats, BatchQueries,
+          k = 10).orderBy("query_id", "rank")
+      }),
+
     // ── TF-IDF keyword extraction ([[Retrieval.tfidfKeywords]]):
     // top-3 terms per doc by tf·idf — the tagging/cluster-naming
     // primitive, sharing the BM25 family's integer idf rational so
@@ -2685,6 +2702,60 @@ object Pipeline {
       |  COALESCE(tt.tau, 0) AS tau,
       |  greatest(w, COALESCE(tt.tau, 0)) AS w_hat
       |FROM top, tt WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  /** q132's pinned batch — overlapping term sets on purpose ("spark"
+    * and "merge" appear twice): df must come from the probe BEFORE
+    * the query fan-out or shared terms double-count their docs. */
+  private lazy val BatchQueries: Map[Long, Seq[String]] = Map(
+    0L -> Bm25Terms,
+    1L -> Seq("the", "data", "join", "spark"),
+    2L -> Seq("fast", "merge"))
+
+  /** q132's oracle — ONE tf/df chain over the union of terms (df
+    * global, computed before the query join — the double-count trap
+    * the pinned batch exercises), the (query_id, token) map as a
+    * VALUES list, per-query windows. */
+  private def bm25BatchOracle(qs: Map[Long, Seq[String]],
+                              k: Int): String = {
+    val allTerms = qs.values.flatten.toSeq.distinct
+    val inList = allTerms.map(t => s"'$t'").mkString(", ")
+    val valuesList = qs.toSeq.sortBy(_._1)
+      .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      |  FROM documents),
+      |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    (1000 * CAST(sum(dl) AS BIGINT)) // CAST(count(*) AS BIGINT)
+      |      AS avgdl_x1000
+      |  FROM dd),
+      |qt AS (SELECT * FROM (VALUES $valuesList) v(query_id, token)),
+      |tf AS (
+      |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(w) AS token FROM dd)
+      |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
+      |idf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    (((1000000 * (2 * s.n_docs - 2 * i.df + 1)) // (2 * i.df + 1))
+      |     * ((1000000 * 22 * tf.tf * s.avgdl_x1000) //
+      |        (10 * tf.tf * s.avgdl_x1000 + 3 * s.avgdl_x1000
+      |         + 9000 * tf.dl))) // 1000000 AS term_score
+      |  FROM tf JOIN qt USING (token) JOIN idf i ON i.token = tf.token
+      |  CROSS JOIN stats s),
+      |doc AS (
+      |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(term_score) AS BIGINT) AS bm25_x1M
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY bm25_x1M DESC, doc_id) AS rank FROM doc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(rank AS BIGINT) AS rank, doc_id, n_terms, bm25_x1M
+      |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** q131's oracle — the identical integer idf rational and tf·idf

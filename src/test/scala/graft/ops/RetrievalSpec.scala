@@ -127,6 +127,36 @@ class RetrievalSpec extends SparkSpec {
     assert(grown === scratch)
   }
 
+  test("bm25TopKBatch: each per-query ranking equals the single-serve " +
+    "path exactly, with overlapping term sets (the df double-count " +
+    "trap)") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("bm25batch").toString
+    val d = docs(corpus: _*)
+    val pt = Retrieval.buildPostingsIndex(d, wh, "p", nBuckets = 4)
+    val stats = spark.read.parquet(
+      graft.engine.TableStore.tablePath(wh, "p_stats"))
+    // "apple" is shared by queries 0 and 1 — df must stay global
+    val batch = Map(0L -> Seq("apple", "cherry"),
+      1L -> Seq("apple", "banana"), 2L -> Seq("durian"))
+    val got = Retrieval.bm25TopKBatch(spark.table(pt), stats, batch, 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val want = batch.toSeq.sortBy(_._1).flatMap { case (q, terms) =>
+      Retrieval.bm25TopKFromIndex(spark.table(pt), stats, terms, 3)
+        .orderBy("rank").collect()
+        .map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+    }
+    assert(got.toSeq == want)
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopKBatch(spark.table(pt), stats, Map.empty, 3))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopKBatch(spark.table(pt), stats,
+        Map(0L -> Seq.empty[String]), 3))
+  }
+
   test("tfidfKeywords: hand-worked integer scores; rare terms beat " +
     "frequent ones; score ties break by token") {
     // df: apple 2, banana 2, cherry 2, durian 1 over N = 4

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 130, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 131, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -103,6 +103,7 @@ class QueriesSpec extends SparkSpec {
       "q110_bm25_topk", "q111_collocation_lift",
       "q115_unigram_surprisal", "q122_bm25_indexed",
       "q124_postings_absorb", "q128_postings_compact",
+      "q132_bm25_batch",
       // q125 cross-joins the BROADCAST eval-set-sized bench side onto
       // the corpus stream - the q25 bounded-build one-pass shape
       "q125_embedding_contamination", "q131_tfidf_keywords",
