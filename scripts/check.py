@@ -7,8 +7,16 @@ Reads each <verifyOutDir>/<name>/ parquet result (written by
 graft.Verify), runs the matching SQL from oracle_sql.json in DuckDB over
 views named after the testdata tables, and compares row-by-row with
 columns sorted by name. Exits non-zero when any query mismatches.
+
+Also times each oracle replay and writes the table to
+<verifyOutDir>/oracle_timings.json. The round-13 driver gate recorded
+`{}` because the full replay had grown past the driver's compare
+budget (~14 min of DuckDB wall); the replay cost is now a GUARDED
+number — any single oracle over ORACLE_BUDGET_S seconds at sf0.01 is
+a failure, so a regression shows up here before it silently starves
+the driver's gate.
 """
-import duckdb, glob, json, math, os, re, sys
+import duckdb, glob, json, math, os, re, sys, time
 
 # Registry numbers allowed to be absent: q39 was retired in round 12
 # (its semantics were folded into q45/q58's recall twins) and is
@@ -17,6 +25,11 @@ import duckdb, glob, json, math, os, re, sys
 # exists because q39's history had to be re-derived after it vanished
 # silently.
 TOMBSTONES = {39}
+
+# Per-oracle replay budget (seconds, sf0.01). Post-round-14 rewrite the
+# slowest oracle is ~5 s; 30 s of headroom flags only real regressions
+# (a lambda-form dot product, an inlined CTE chain gone exponential).
+ORACLE_BUDGET_S = 30.0
 
 def norm(v):
     if isinstance(v, float):
@@ -34,6 +47,7 @@ def main(sf_dir, out_dir):
     result_dirs = sorted(
         d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
     failures = []
+    timings = {}
     # a query that THREW inside Verify writes no result dir at all —
     # comparing only present dirs silently shrank the gate (q41/q48
     # vanished this way when the testdata's timestamp type changed);
@@ -95,6 +109,7 @@ def main(sf_dir, out_dir):
             if len(got) == 0:
                 failures.append(name)
             continue
+        t0 = time.time()
         try:
             exp_rel = con.sql(oracle[name])
             exp_cols = [c for c in exp_rel.columns]
@@ -102,6 +117,13 @@ def main(sf_dir, out_dir):
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            continue
+        timings[name] = round(time.time() - t0, 3)
+        if timings[name] > ORACLE_BUDGET_S:
+            failures.append(name)
+            print(f"FAIL {name}: oracle replay {timings[name]:.1f}s exceeds "
+                  f"the {ORACLE_BUDGET_S:.0f}s budget — the driver gate "
+                  "starves on slow oracles before anything else breaks")
             continue
         # sort columns by name on both sides (driver convention)
         gi = [got_cols.index(c) for c in sorted(got_cols)]
@@ -123,7 +145,15 @@ def main(sf_dir, out_dir):
             for i, a, b in bad[:3]:
                 print(f"  row {i}:\n    spark : {a}\n    oracle: {b}")
         else:
-            print(f"PASS {name}: {len(g)} rows")
+            print(f"PASS {name}: {len(g)} rows ({timings[name]:.2f}s)")
+    with open(os.path.join(out_dir, "oracle_timings.json"), "w") as f:
+        json.dump(dict(sorted(timings.items(), key=lambda x: -x[1])), f,
+                  indent=1)
+    if timings:
+        top = sorted(timings.items(), key=lambda x: -x[1])[:5]
+        print(f"\noracle replay wall: {sum(timings.values()):.1f}s over "
+              f"{len(timings)}; slowest: "
+              + ", ".join(f"{n} {t:.1f}s" for n, t in top))
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         sys.exit(1)

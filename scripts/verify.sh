@@ -27,4 +27,24 @@ java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT" 2>&1 | grep -v '^2[0-9]\{3\}-' || true
-python3 scripts/check.py "$SF" "$OUT"
+# set -e: capture rc without exiting so the gate-diff below still runs
+python3 scripts/check.py "$SF" "$OUT" && CHECK_RC=0 || CHECK_RC=$?
+
+# Gate-divergence alarm (round 14): round 13 closed with the builder
+# claiming 129 green while the driver's CORRECTNESS artifact was `{}`,
+# and nothing noticed until the judge diffed timestamps. On a FULL run
+# (no filter), refuse to claim green when the newest driver artifact
+# recorded nothing: local green + empty driver gate = the claim is
+# self-reported, and the round docs must say so.
+if [ $CHECK_RC -eq 0 ] && [ -z "${2:-}" ]; then
+  LATEST=$(ls CORRECTNESS_r*.json 2>/dev/null | sort -V | tail -1)
+  if [ -n "$LATEST" ] && [ "$(python3 -c "import json;print(len(json.load(open('$LATEST'))))")" = "0" ]; then
+    echo ""
+    echo "GATE DIVERGENCE: local check is green but the driver's last"
+    echo "artifact ($LATEST) recorded ZERO queries. The driver gate did"
+    echo "not see this state — do not claim driver-verified green."
+    echo "(export GRAFT_ALLOW_GATE_DIVERGENCE=1 to override locally.)"
+    [ -z "${GRAFT_ALLOW_GATE_DIVERGENCE:-}" ] && exit 2
+  fi
+fi
+exit $CHECK_RC

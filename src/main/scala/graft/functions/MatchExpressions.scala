@@ -37,9 +37,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * fly (phrases are required ASCII and folded at build). Non-ASCII
   * input bytes walk the failure function like any non-matching byte;
   * since every phrase byte is ASCII, unicode text cannot create or
-  * destroy matches — with the same two Java/ICU case-folding exotics
-  * (İ, K) named in [[NormalizeTextExpr]]'s scaladoc as the only
-  * engine-divergence class for the oracle's `lower()`.
+  * destroy matches — so for match COUNTS the only divergence class
+  * vs the oracle's `lower()` is the same two Java/ICU case-folding
+  * exotics (İ, K) named in [[NormalizeTextExpr]]'s scaladoc. The
+  * SCRUBBED STRING is a stronger claim: this kernel passes cased
+  * non-ASCII bytes through unchanged ('Ü' stays 'Ü') while an oracle
+  * chained over `lower(text)` folds them ('ü'), so string-level
+  * oracle parity additionally requires text free of cased non-ASCII
+  * characters — the q121/q129 corpora satisfy this (all-ASCII), and
+  * [[MultiMatchScrubExpr]]'s scaladoc pins the precondition.
   *
   * Scale: a pure projection — zero shuffles at any corpus size; the
   * automaton is built once per executor (transient-lazy) and shared
@@ -262,6 +268,12 @@ object AhoCorasick {
       phraseAtB(node) = pid
     }
     val n = children.size
+    // the flat edge table packs (state << 8) | byte into one Int —
+    // injective only while state < 2^24; past that two states would
+    // silently share a key and the automaton would mis-transition
+    require(n < (1 << 24),
+      s"blocklist trie has $n nodes; the packed edge-table key " +
+        "supports < 2^24 — split the phrase set across expressions")
     val fail = new Array[Int](n)
     val dictLink = Array.fill(n)(-1)
     val phraseAt = phraseAtB.toArray
@@ -358,7 +370,14 @@ case class MultiMatchCountExpr(child: Expression, phrases: Seq[String])
   * replace chain itself is |phrases| full scans per row. The mask
   * char must appear in no phrase: `replace` RESCANS its output, and
   * only a phrase-free mask byte guarantees masking never creates an
-  * occurrence — the property the one-pass resolution relies on. */
+  * occurrence — the property the one-pass resolution relies on.
+  *
+  * Oracle-parity precondition (STRING level): the kernel case-folds
+  * ASCII A–Z only, so the scrubbed string matches the
+  * `lower(text)`-chained oracle only on text with no cased
+  * non-ASCII characters (a 'Ü' survives here, folds there). Match
+  * positions/counts are unaffected — phrases are ASCII, so cased
+  * non-ASCII bytes can never sit inside a match. */
 case class MultiMatchScrubExpr(child: Expression, phrases: Seq[String],
                                mask: String)
     extends UnaryExpression {

@@ -118,10 +118,13 @@ object Hashing {
   /** DuckDB SQL fragment computing the same value as [[h31]]. */
   def h31Sql(x: String): String = s"(${h60Sql(x)} % ${P31})"
 
-  /** DuckDB SQL fragment for the distinct word-3-gram shingle list. */
+  /** DuckDB SQL fragment for the distinct word-3-gram shingle list.
+    * The single-element-list lambda wrap binds the regexp split ONCE
+    * per row — the naive form re-evaluated the full-text split inside
+    * the per-shingle lambda (3 splits per position), which dominated
+    * the round-13 oracle replay on every shingle-family query. */
   def shingles3Sql(textCol: String): String =
-    s"list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(lower($textCol)), '\\s+')) - 1), " +
-      s"i -> regexp_split_to_array(trim(lower($textCol)), '\\s+')[i] || ' ' || " +
-      s"regexp_split_to_array(trim(lower($textCol)), '\\s+')[i+1] || ' ' || " +
-      s"regexp_split_to_array(trim(lower($textCol)), '\\s+')[i+2]))"
+    s"list_transform([regexp_split_to_array(trim(lower($textCol)), '\\s+')], " +
+      s"w -> list_distinct(list_transform(range(1, len(w) - 1), " +
+      s"i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))[1]"
 }

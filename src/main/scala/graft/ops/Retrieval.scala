@@ -74,10 +74,6 @@ object Retrieval {
     scoreFromTf(tf, stats)
   }
 
-  /** The scoring tail shared by the scan path ([[bm25Scores]]) and
-    * the served-index path ([[bm25TopKFromIndex]]): df from the
-    * (already query-term-bounded) tf frame, then the integer Okapi
-    * arithmetic with df and the 1-row stats broadcast back. */
   /** The integer Okapi per-(doc, term) score — idf·tfn div 10⁶ —
     * over a frame carrying (tf, dl, df, n_docs, avgdl_x1000). One
     * definition serves the scan, served, and batched paths. */
@@ -90,6 +86,10 @@ object Retrieval {
     idiv(idf * tfn, lit(1000000L))
   }
 
+  /** The scoring tail shared by the scan path ([[bm25Scores]]) and
+    * the served-index path ([[bm25TopKFromIndex]]): df from the
+    * (already query-term-bounded) tf frame, then the integer Okapi
+    * arithmetic with df and the 1-row stats broadcast back. */
   private def scoreFromTf(tf: DataFrame, stats: DataFrame): DataFrame = {
     // df per term: term-count-sized, broadcast back.
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -343,15 +343,25 @@ object Retrieval {
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
                            warehouse: String, table: String,
                            nBuckets: Int): String = {
+    import org.apache.hadoop.fs.Path
     val name = graft.engine.TableStore.bucketedName(spark, warehouse, table)
-    // materialize before the swap: writeBucketed drops the live table
-    // entry mid-publish, and a lazy plan reading the table it is
-    // replacing would race the rename
-    val rows = spark.table(name).cache()
-    rows.count()
-    try graft.engine.TableStore.writeBucketed(rows, warehouse, table,
+    // Pin the rewrite's input to a SNAPSHOT of the current file list
+    // and read by path: writeBucketed drops the live catalog entry
+    // mid-publish, and a plan still resolving through that entry would
+    // race the swap. The by-path plan needs no catalog — and, unlike
+    // the cache()+count() formulation this replaces, no second copy of
+    // the (corpus-sized) index in the block store. The staging write
+    // fully materializes into `.tmp_` BEFORE any rename touches these
+    // files, so the snapshot stays readable for the whole execution.
+    val schema = spark.table(name).schema
+    val dst = new Path(graft.engine.TableStore.tablePath(warehouse, table))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fs.makeQualified(dst))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+    val rows = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    graft.engine.TableStore.writeBucketed(rows, warehouse, table,
       nBuckets, Seq("token"), Seq("token"))
-    finally rows.unpersist(blocking = false)
   }
 
   /** Serve top-k from a PERSISTED postings index

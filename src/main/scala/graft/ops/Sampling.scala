@@ -264,8 +264,12 @@ object Sampling {
     * broadcasts back and keep is a pushed per-row predicate — the
     * corpus text is never shuffled.
     *
-    * Output: (doc_id, source, n_tokens, rate_pm, keep) for EVERY
-    * input row. */
+    * Output: (doc_id, source, n_tokens, rate_pm, keep) for every
+    * input row with a NON-NULL `byCol` — the rate join is an
+    * equi-join on the source key, and null != null on both engines,
+    * so null-source docs drop (matching the oracle). Callers with
+    * nullable sources bucket them first (coalesce to an "unknown"
+    * source) if they must be budgeted. */
   def mixtureBudget(docs: DataFrame, targetsPm: Map[String, Long],
                     byCol: String = "source",
                     salt: String = "budget"): DataFrame = {

@@ -78,13 +78,34 @@ object Pipeline {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** DuckDB fragment: sequential-fold dot product of DOUBLE[] columns —
-    * bit-identical to [[Similarity.dot]] (0.0-init left fold). */
+  /** DuckDB fragment: sequential-fold dot product of 64-dim DOUBLE[]
+    * columns — bit-identical to [[Similarity.dot]] (0.0-init left
+    * fold; SQL `+` is left-associative, so flat `a1 + a2 + …` adds in
+    * exactly the fold's order, and each product is the same single
+    * IEEE rounding). Flat arithmetic rather than
+    * list_reduce/list_transform because DuckDB evaluates lambdas
+    * interpretively (~0.1 ms per list) while flat expressions
+    * vectorize — the round-13 driver gate timed out on ~14 min of
+    * replay, most of it lambda dots in row-count × plane-count
+    * positions. Fixed 64 (the embeddings dimension): a shorter list
+    * would yield NULL (loud hash mismatch), never a wrong value. */
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    (1 to 64).map(i => s"$a[$i] * $b[$i]").mkString("(", " + ", ")")
 
-  private def normSql(v: String): String =
-    s"sqrt(list_reduce(list_transform($v, x -> x * x), (x, y) -> x + y))"
+  /** Flat sequential sum of squares of a 64-dim DOUBLE[] column —
+    * same fold order as the list_reduce(x*x) form it replaces. */
+  private def sqSumSql(v: String): String =
+    (1 to 64).map(i => s"$v[$i] * $v[$i]").mkString("(", " + ", ")")
+
+  private def normSql(v: String): String = s"sqrt(${sqSumSql(v)})"
+
+  /** Flat sequential-fold dot of 64-dim list column `v` against a
+    * literal coefficient vector (hyperplanes, pinned centroids,
+    * rotation rows — shortest-decimal reprs round-trip to identical
+    * doubles on both engines). */
+  private def dotLitSql(v: String, p: Seq[Double]): String =
+    p.zipWithIndex.map { case (c, i) => s"$v[${i + 1}] * $c" }
+      .mkString("(", " + ", ")")
 
   /** occurrences of a literal needle via the replace-length trick. */
   private def occSql(expr: String, needle: String): String =
@@ -100,15 +121,12 @@ object Pipeline {
     * (q26/q33 themselves stay rows-only). */
   private val annRecallOracle: String = {
     val planes = Similarity.hyperplanes(32, 64)
-    def dotLit(p: Array[Double]): String = {
-      val lst = p.map(_.toString).mkString("[", ", ", "]")
-      s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
-    }
+    def dotLit(p: Array[Double]): String = dotLitSql("v", p.toSeq)
     val sig = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm, $sig AS sig FROM e),
+      |n AS MATERIALIZED (SELECT vec_id, v, ${normSql("v")} AS nrm, $sig AS sig FROM e),
       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
       |ex_scored AS (
       |  SELECT query_id, vec_id,
@@ -169,10 +187,7 @@ object Pipeline {
     * top-k. q33 (trained centroids) stays rows-only; this is its hard
     * check. */
   private val ivfRecallOracle: String = {
-    def dotLit(c: Seq[Double]): String = {
-      val lst = c.map(_.toString).mkString("[", ", ", "]")
-      s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
-    }
+    def dotLit(c: Seq[Double]): String = dotLitSql("v", c)
     // same double arithmetic as IvfIndex.assign: c2 - 2.0 * <v, c>,
     // c2 pre-summed in Scala and embedded (both engines parse the
     // shortest-decimal repr back to the identical double)
@@ -181,9 +196,9 @@ object Pipeline {
       s"($c2 - 2.0 * ${dotLit(c)})"
     }.mkString("[", ",\n      ", "]")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
+      |n AS MATERIALIZED (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
       |d AS (SELECT vec_id, v, nrm, $dists AS dl FROM n),
-      |cells AS (SELECT vec_id, v, nrm, dl,
+      |cells AS MATERIALIZED (SELECT vec_id, v, nrm, dl,
       |  list_position(dl, list_min(dl)) - 1 AS cell FROM d),
       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
       |  list_transform(
@@ -272,23 +287,22 @@ object Pipeline {
                                      planted: Option[Int] = None): String =
     s"""WITH ${plantedEmbCtes(planted)},
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
-      |nz AS (SELECT * FROM n WHERE nrm > 0),
-      |cents AS (
+      |nz AS MATERIALIZED (SELECT * FROM n WHERE nrm > 0),
+      |cents AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
-      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
+      |    ${sqSumSql("v")} AS c2
       |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
       |        LIMIT (SELECT CAST(ceil(count(*) / ($cellSql)) AS BIGINT)
       |               FROM nz))),
       |dist AS (
       |  SELECT z.vec_id, c.cid,
-      |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
-      |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
+      |    c.c2 - 2.0 * ${dotSql("z.v", "c.cv")} AS d
       |  FROM nz z CROSS JOIN cents c),
       |rk AS (
       |  SELECT vec_id, cid,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
       |  FROM dist),
-      |av AS (SELECT vec_id, cid AS cell FROM rk WHERE r <= $nProbe),
+      |av AS MATERIALIZED (SELECT vec_id, cid AS cell FROM rk WHERE r <= $nProbe),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM av a JOIN av b
@@ -327,18 +341,17 @@ object Pipeline {
     : String =
     s"""WITH ${plantedEmbCtes(planted)},
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
-      |nz AS (SELECT * FROM n WHERE nrm > 0),
+      |nz AS MATERIALIZED (SELECT * FROM n WHERE nrm > 0),
       |hist AS (SELECT * FROM nz WHERE $histPred),
-      |cents AS (
+      |cents AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
-      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
+      |    ${sqSumSql("v")} AS c2
       |  FROM (SELECT vec_id, v FROM hist ORDER BY vec_id
       |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
       |               FROM hist))),
       |dist AS (
       |  SELECT z.vec_id, (z.vec_id % 3 = 2) AS is_delta, c.cid,
-      |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
-      |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
+      |    c.c2 - 2.0 * ${dotSql("z.v", "c.cv")} AS d
       |  FROM nz z CROSS JOIN cents c),
       |rk AS (
       |  SELECT vec_id, is_delta, cid,
@@ -2200,7 +2213,11 @@ object Pipeline {
     Q("q116_normalized_dedup", "pipeline:dedup-normalized",
       Some(normalizedDedupOracle),
       (s, dir) => Dedup.normalizedGroups(t(s, dir, "documents"))
-        .orderBy("canon_hash")),
+        // canon_hash is nullable (the deliberate null-text group);
+        // Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST — pin
+        // the engines to one order or a null-text corpus hash-diverges
+        // purely on row position
+        .orderBy(col("canon_hash").asc_nulls_last)),
 
     // ── per-language CCNet bucketing
     // ([[TextAnalysis.perLangSurprisalGate]]): q115's unigram-LM bits
@@ -3249,20 +3266,35 @@ object Pipeline {
   private lazy val PqDefault = Pq.PqConfig(m = 8, ksub = 128,
     bitsPerCode = 7, dim = 64)
 
-  /** DuckDB fragment: |cb slice|^2 for subspace `j` — the same
-    * 0.0-init ascending fold [[Pq]]'s kernels use for c2. */
-  private def pqSliceC2(cv: String, j: String, dsub: Int): String =
-    s"list_reduce(list_transform(range(1, ${dsub + 1}), " +
-      s"i -> $cv[$j*$dsub + i] * $cv[$j*$dsub + i]), (x, y) -> x + y)"
+  /** DuckDB fragment: |cb slice|^2 for subspace column `j` — the same
+    * 0.0-init ascending fold [[Pq]]'s kernels use for c2, unrolled to
+    * one flat-arithmetic CASE arm per literal subspace (these sit in
+    * corpus × ksub × m positions; the lambda form was the largest
+    * single cost of the round-13 oracle replay). */
+  private def pqSliceC2(cv: String, j: String, cfg: Pq.PqConfig): String = {
+    val arms = (0 until cfg.m).map { jj =>
+      val o = jj * cfg.dsub
+      val sum = (1 to cfg.dsub)
+        .map(i => s"$cv[${o + i}] * $cv[${o + i}]").mkString(" + ")
+      s"WHEN $jj THEN ($sum)"
+    }.mkString(" ")
+    s"(CASE $j $arms END)"
+  }
 
   /** DuckDB fragment: subspace-`j` dot of vector `a` against the
     * sample vector `cv`'s j-th slice (both indexed into the full
     * 64-dim list — same values, same ascending fold as the fused
-    * kernels' slice loops). */
+    * kernels' slice loops), unrolled like [[pqSliceC2]]. */
   private def pqSliceDot(a: String, cv: String, j: String,
-                         dsub: Int): String =
-    s"list_reduce(list_transform(range(1, ${dsub + 1}), " +
-      s"i -> $a[$j*$dsub + i] * $cv[$j*$dsub + i]), (x, y) -> x + y)"
+                         cfg: Pq.PqConfig): String = {
+    val arms = (0 until cfg.m).map { jj =>
+      val o = jj * cfg.dsub
+      val sum = (1 to cfg.dsub)
+        .map(i => s"$a[${o + i}] * $cv[${o + i}]").mkString(" + ")
+      s"WHEN $jj THEN ($sum)"
+    }.mkString(" ")
+    s"(CASE $j $arms END)"
+  }
 
   /** The shared PQ CTE chain ending in `codes (vec_id, pq_code)`:
     * sample codebook (LIMIT ksub + dense row_number code — the
@@ -3276,21 +3308,21 @@ object Pipeline {
       eDef: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
       : String = {
     val dsub = cfg.dsub
-    s"""${pfx}e AS ($eDef),
-      |${pfx}cb AS (
+    s"""${pfx}e AS MATERIALIZED ($eDef),
+      |${pfx}cb AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
       |  FROM (SELECT vec_id, v FROM ${pfx}e ORDER BY vec_id LIMIT ${cfg.ksub})),
       |${pfx}enc_d AS (
       |  SELECT e.vec_id, j.j, cb.code,
-      |    ${pqSliceC2("cb.cv", "j.j", dsub)}
-      |      - 2.0 * ${pqSliceDot("e.v", "cb.cv", "j.j", dsub)} AS d
+      |    ${pqSliceC2("cb.cv", "j.j", cfg)}
+      |      - 2.0 * ${pqSliceDot("e.v", "cb.cv", "j.j", cfg)} AS d
       |  FROM ${pfx}e e CROSS JOIN range(0, ${cfg.m}) j(j) CROSS JOIN ${pfx}cb cb),
       |${pfx}enc AS (
       |  SELECT vec_id, j, code FROM (
       |    SELECT vec_id, j, code,
       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
       |    FROM ${pfx}enc_d) WHERE rn = 1),
-      |${pfx}codes AS (
+      |${pfx}codes AS MATERIALIZED (
       |  SELECT vec_id,
       |    CAST(sum(code * (CAST(1 AS BIGINT) << (${cfg.bitsPerCode} * j))) AS BIGINT) AS pq_code
       |  FROM ${pfx}enc GROUP BY vec_id)""".stripMargin
@@ -3310,12 +3342,12 @@ object Pipeline {
   private def pqAdcCtes(cfg: Pq.PqConfig, nQ: Int,
                         pfx: String = ""): String = {
     val mask = (1 << cfg.bitsPerCode) - 1
-    s"""${pfx}q AS (SELECT vec_id AS query_id, v AS qv FROM ${pfx}e
+    s"""${pfx}q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ${pfx}e
       |  WHERE vec_id < $nQ),
       |${pfx}adc_d AS (
       |  SELECT q.query_id, c.vec_id, j.j,
-      |    ${pqSliceC2("cb.cv", "j.j", cfg.dsub)}
-      |      - 2.0 * ${pqSliceDot("q.qv", "cb.cv", "j.j", cfg.dsub)} AS d
+      |    ${pqSliceC2("cb.cv", "j.j", cfg)}
+      |      - 2.0 * ${pqSliceDot("q.qv", "cb.cv", "j.j", cfg)} AS d
       |  FROM ${pfx}codes c CROSS JOIN range(0, ${cfg.m}) j(j)
       |  JOIN ${pfx}q q ON c.vec_id <> q.query_id
       |  JOIN ${pfx}cb cb ON cb.code = (c.pq_code >> (${cfg.bitsPerCode} * j.j)) & $mask),
@@ -3392,12 +3424,7 @@ object Pipeline {
   private def pqRotRecallOracle(cfg: Pq.PqConfig, nQ: Int,
                                 k: Int): String = {
     val r = Covariance.pcaRotationRRLocal(opqFixture, m = cfg.m)
-    def rowLit(row: Array[Double]): String =
-      row.map(_.toString).mkString("[", ", ", "]")
-    val comps = r.map(row =>
-      s"""list_reduce(list_transform(range(1, 65),
-         |      t -> v[t] * (${rowLit(row)})[t]), (x, y) -> x + y)""".stripMargin)
-      .mkString(",\n    ")
+    val comps = r.map(row => dotLitSql("v", row.toSeq)).mkString(",\n    ")
     val rotDef = s"SELECT vec_id, [$comps] AS v FROM e"
     s"""WITH ${pqCodesCtes(cfg)},
       |${pqAdcCtes(cfg, nQ)},
@@ -3448,12 +3475,7 @@ object Pipeline {
                                    nQ: Int, k: Int,
                                    shortlist: Int): String = {
     val r = Covariance.pcaRotationRRLocal(opqFixture, m = cfg.m)
-    def rowLit(row: Array[Double]): String =
-      row.map(_.toString).mkString("[", ", ", "]")
-    val comps = r.map(row =>
-      s"""list_reduce(list_transform(range(1, 65),
-         |      t -> v[t] * (${rowLit(row)})[t]), (x, y) -> x + y)""".stripMargin)
-      .mkString(",\n    ")
+    val comps = r.map(row => dotLitSql("v", row.toSeq)).mkString(",\n    ")
     val rotDef = s"SELECT vec_id, [$comps] AS v FROM e"
     val cellSql = s"greatest(1, floor(sqrt(count(*)) / $nProbe + 0.5))"
     s"""WITH ${pqCodesCtes(cfg)},
@@ -3637,7 +3659,7 @@ object Pipeline {
       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
       |    FROM documents) t(w) WHERE w <> '' GROUP BY w),
-      |v0 AS (
+      |v0 AS MATERIALIZED (
       |  SELECT w, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
       |    i -> w[i]), ' ') || ' ' AS s, cnt FROM wv)""".stripMargin
 
@@ -3646,7 +3668,7 @@ object Pipeline {
     val stages = (1 to steps).map { i =>
       s"""p$i AS (
         |  ${bpePairCountsSql(s"v${i - 1}")}),
-        |b$i AS (
+        |b$i AS MATERIALIZED (
         |  SELECT pair, total, split_part(pair, ' ', 1) AS a,
         |    split_part(pair, ' ', 2) AS b
         |  FROM p$i ORDER BY total DESC, pair LIMIT 1),
@@ -3704,7 +3726,7 @@ object Pipeline {
       |    coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos),
       |      FALSE) AS prev_sel
       |  FROM e$tag),
-      |$outV AS (
+      |$outV AS MATERIALIZED (
       |  SELECT r.w,
       |    ' ' || string_agg(
       |      CASE WHEN r.sel THEN k.a || k.b
@@ -3755,7 +3777,7 @@ object Pipeline {
             |    WHERE c.a IN (kk.a, kk.b, kk.a || kk.b)
             |       OR c.b IN (kk.a, kk.b, kk.a || kk.b))""".stripMargin
         }
-        s"""s${r}_$j AS (
+        s"""s${r}_$j AS MATERIALIZED (
           |  SELECT pair, total, a, b FROM c$r c$guard
           |  ORDER BY total DESC, pair LIMIT 1)""".stripMargin
       }.mkString(",\n")
@@ -3766,7 +3788,7 @@ object Pipeline {
       }.mkString(",\n")
       s"""pb$r AS (
         |  ${bpePairCountsSql(prevV)}),
-        |c$r AS (
+        |c$r AS MATERIALIZED (
         |  SELECT pair, total, split_part(pair, ' ', 1) AS a,
         |    split_part(pair, ' ', 2) AS b
         |  FROM pb$r ORDER BY total DESC, pair LIMIT $pool),
@@ -3890,7 +3912,7 @@ object Pipeline {
       |  SELECT cluster_root, pos, CAST(sum(q) AS BIGINT) AS s_fp,
       |    CAST(count(*) AS BIGINT) AS nm
       |  FROM dims GROUP BY 1, 2),
-      |cents AS (
+      |cents AS MATERIALIZED (
       |  SELECT cluster_root,
       |    list_transform(list(struct_pack(p := pos, s := s_fp, n := nm)
       |        ORDER BY pos),
@@ -3925,21 +3947,20 @@ object Pipeline {
     // TWICE in one statement (raw + rotated corpus, prefix `r`); it
     // reads `e`/`cb`/`codes` from the same-prefix pqCodesCtes chain
     val p = pfx
-    s"""${p}q AS (SELECT vec_id AS query_id, v AS qv FROM ${p}e WHERE vec_id < $nQ),
+    s"""${p}q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ${p}e WHERE vec_id < $nQ),
       |${p}nn AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM ${p}e),
-      |${p}nz AS (SELECT vec_id, v FROM ${p}nn WHERE nrm > 0),
-      |${p}ccents AS (
+      |${p}nz AS MATERIALIZED (SELECT vec_id, v FROM ${p}nn WHERE nrm > 0),
+      |${p}ccents AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
-      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
+      |    ${sqSumSql("v")} AS c2
       |  FROM (SELECT vec_id, v FROM ${p}nz ORDER BY vec_id
       |        LIMIT (SELECT CAST(ceil(count(*) / ($cellSizeSql)) AS BIGINT)
       |               FROM ${p}nz))),
       |${p}cdist AS (
       |  SELECT z.vec_id, c.cid,
-      |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
-      |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
+      |    c.c2 - 2.0 * ${dotSql("z.v", "c.cv")} AS d
       |  FROM ${p}e z CROSS JOIN ${p}ccents c),
-      |${p}crk AS (
+      |${p}crk AS MATERIALIZED (
       |  SELECT vec_id, cid,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
       |  FROM ${p}cdist),
@@ -3952,8 +3973,8 @@ object Pipeline {
       |  WHERE p.vec_id <> qp.query_id),
       |${p}iadc_d AS (
       |  SELECT cd.query_id, cd.vec_id, j.j,
-      |    ${pqSliceC2("cb.cv", "j.j", cfg.dsub)}
-      |      - 2.0 * ${pqSliceDot("q.qv", "cb.cv", "j.j", cfg.dsub)} AS d
+      |    ${pqSliceC2("cb.cv", "j.j", cfg)}
+      |      - 2.0 * ${pqSliceDot("q.qv", "cb.cv", "j.j", cfg)} AS d
       |  FROM ${p}icand cd CROSS JOIN range(0, ${cfg.m}) j(j)
       |  JOIN ${p}codes c ON c.vec_id = cd.vec_id
       |  JOIN ${p}q q ON q.query_id = cd.query_id
@@ -4092,16 +4113,15 @@ object Pipeline {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
       |nz AS (SELECT vec_id, v FROM n WHERE nrm > 0),
-      |cents AS (
+      |cents AS MATERIALIZED (
       |  SELECT vec_id AS cid, v AS cv,
-      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS c2
+      |    ${sqSumSql("v")} AS c2
       |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
       |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
       |               FROM nz))),
       |dist AS (
       |  SELECT z.vec_id, c.cid,
-      |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
-      |      i -> z.v[i] * c.cv[i]), (x, y) -> x + y) AS d
+      |    c.c2 - 2.0 * ${dotSql("z.v", "c.cv")} AS d
       |  FROM nz z CROSS JOIN cents c),
       |rk AS (
       |  SELECT vec_id, cid,
@@ -4130,13 +4150,12 @@ object Pipeline {
   private def lloydTrainOracle(cellSize: Int, scaleBits: Int,
                                iters: Int): String = {
     val scale = (1L << scaleBits).toDouble
-    def c2Of(v: String): String =
-      s"list_reduce(list_transform($v, x -> x * x), (a, b) -> a + b)"
+    def c2Of(v: String): String = sqSumSql(v)
     val header =
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
-        |nz AS (SELECT vec_id, v FROM n WHERE nrm > 0),
-        |c0 AS (
+        |nz AS MATERIALIZED (SELECT vec_id, v FROM n WHERE nrm > 0),
+        |c0 AS MATERIALIZED (
         |  SELECT vec_id AS cid, v AS cv, ${c2Of("v")} AS c2
         |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
         |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
@@ -4154,8 +4173,7 @@ object Pipeline {
         |      FROM st$i GROUP BY cell) m USING (cid)))""".stripMargin
       s"""d$i AS (
         |  SELECT z.vec_id, c.cid,
-        |    c.c2 - 2.0 * list_reduce(list_transform(range(1, 65),
-        |      t -> z.v[t] * c.cv[t]), (x, y) -> x + y) AS d
+        |    c.c2 - 2.0 * ${dotSql("z.v", "c.cv")} AS d
         |  FROM nz z CROSS JOIN c${i - 1} c),
         |rk$i AS (
         |  SELECT vec_id, cid,
@@ -4235,14 +4253,14 @@ object Pipeline {
       case None =>
         "kept AS (SELECT doc_id, bi, bv FROM bands)"
     }
-    s"""sh AS (
+    s"""sh AS MATERIALIZED (
       |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM $src),
       |hh AS (SELECT doc_id, ${h31Sql("s")} AS h FROM sh),
       |mh AS (
       |  SELECT doc_id,
       |    $mins
       |  FROM hh GROUP BY doc_id),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  $bandRows),
       |$keptCtes,
       |cand AS (
@@ -4301,10 +4319,7 @@ object Pipeline {
     require(64 % bitsPerBand == 0 && nPlanes % bitsPerBand == 0,
       "bitsPerBand must divide 64 and nPlanes")
     val planes = Similarity.hyperplanes(nPlanes, 64)
-    def dotLit(p: Array[Double]): String = {
-      val lst = p.map(_.toString).mkString("[", ", ", "]")
-      s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
-    }
+    def dotLit(p: Array[Double]): String = dotLitSql("v", p.toSeq)
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotLit(p)} >= 0 THEN 1 ELSE 0 END) AS b$i"
     }.mkString(",\n      |    ")
@@ -4317,12 +4332,12 @@ object Pipeline {
     }.mkString("\n      |  UNION ALL ")
     s"""WITH ${plantedEmbCtes(planted)},
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
-      |nz AS (SELECT * FROM n WHERE nrm > 0),
-      |sb AS (
+      |nz AS MATERIALIZED (SELECT * FROM n WHERE nrm > 0),
+      |sb AS MATERIALIZED (
       |  SELECT vec_id,
       |    $bitCols
       |  FROM nz),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  $bandRows),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -4361,10 +4376,7 @@ object Pipeline {
     val bands16 = Similarity.lshBandsForBits(16)
     val nPlanesMax = math.max(8 * bands8, 16 * bands16)
     val planes = Similarity.hyperplanes(nPlanesMax, 64)
-    def dotLit(p: Array[Double]): String = {
-      val lst = p.map(_.toString).mkString("[", ", ", "]")
-      s"list_reduce(list_transform(range(1, 65), i -> v[i] * ($lst)[i]), (x, y) -> x + y)"
-    }
+    def dotLit(p: Array[Double]): String = dotLitSql("v", p.toSeq)
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotLit(p)} >= 0 THEN 1 ELSE 0 END) AS b$i"
     }.mkString(",\n      |    ")
@@ -4382,12 +4394,12 @@ object Pipeline {
       |  FROM (SELECT min(l) AS l2 FROM range(1, 48) t(l)
       |        WHERE (CAST(1 AS BIGINT) << l) >= (SELECT count(*) FROM e))),
       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
-      |nz AS (SELECT * FROM n WHERE nrm > 0),
+      |nz AS MATERIALIZED (SELECT * FROM n WHERE nrm > 0),
       |sb AS MATERIALIZED (
       |  SELECT vec_id,
       |    $bitCols
       |  FROM nz),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  ${bandArms(8, bands8)}
       |  UNION ALL ${bandArms(16, bands16)}),
       |cand AS (
@@ -4515,7 +4527,7 @@ object Pipeline {
       |  FROM gdocs),
       |lb AS (SELECT quantile_cont(n_tokens, 0.01) AS lo,
       |              quantile_cont(n_tokens, 0.99) AS hi FROM gtok),
-      |cur AS (
+      |cur AS MATERIALIZED (
       |  SELECT g.doc_id,
       |    regexp_replace(regexp_replace(regexp_replace(g.text,
       |      '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
