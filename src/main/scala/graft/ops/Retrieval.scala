@@ -171,12 +171,12 @@ object Retrieval {
     *
     * Plan: one corpus-sized exchange for the (doc, token) tf
     * aggregate — the honest cost of corpus-wide term statistics —
-    * then the vocabulary-sized df frame joins back BROADCAST (the
-    * q91/q111 vocabulary-broadcast posture: fine to ~10⁸ distinct
-    * tokens; a corpus whose vocabulary outgrows broadcast switches
-    * this join to a shuffled hash join on token, everything else
-    * unchanged), and the per-doc top-m compiles to WindowGroupLimit
-    * (bounded per-group heaps, no full sort).
+    * then the vocabulary-sized df frame joins back via
+    * [[VocabJoin]]'s counted dispatch (broadcast while the
+    * vocabulary fits the row budget, shuffled-hash on token when it
+    * outgrows it — results identical, VocabJoinSpec), and the
+    * per-doc top-m compiles to WindowGroupLimit (bounded per-group
+    * heaps, no full sort).
     * Output: (doc_id, rank, token, tf, score_x1M). */
   def tfidfKeywords(docs: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m=$m must be >= 1")
@@ -192,7 +192,7 @@ object Retrieval {
       lit(2L) * col("df") + lit(1L))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_x1M").desc, col("token"))
-    tf.join(broadcast(df), "token")
+    VocabJoin.join(tf, df, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"), col("tf"),
         (col("tf") * idf).as("score_x1M"))

@@ -582,10 +582,11 @@ object TextAnalysis {
     * only — curated references are orders smaller than the corpus, so
     * the (shingle) set broadcasts and the corpus-side shingle stream
     * joins it map-side (zero corpus shuffles); the only exchange is
-    * the per-doc count aggregation on (doc_id) narrow rows. At a
-    * reference too big to broadcast, drop the hint and the same plan
-    * becomes a shuffle join keyed on the shingle — still one pass
-    * over the corpus. All arithmetic integer or floor-scaled.
+    * the per-doc count aggregation on (doc_id) narrow rows. The join
+    * is [[VocabJoin]]'s counted dispatch: a reference too big to
+    * broadcast takes the shuffle-hash branch keyed on the shingle
+    * automatically — still one pass over the corpus. All arithmetic
+    * integer or floor-scaled.
     *
     * Output: (doc_id, n_tri, ref_hits, score_x1000, bucket). */
   def referenceOverlapScore(docs: DataFrame, refSource: String = "src0",
@@ -609,7 +610,7 @@ object TextAnalysis {
       .groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("s"), lit(1).as("hit"))
-    val agg = sh.join(broadcast(refVocab), Seq("s"), "left")
+    val agg = VocabJoin.join(sh, refVocab, Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(col("s")).as("n_tri"), count(col("hit")).as("ref_hits"))
     val score = when(col("n_tri") > 0,
@@ -785,9 +786,9 @@ object TextAnalysis {
     * rare-token gibberish scores high — threshold the top tail the
     * way CCNet thresholds LM perplexity.
     *
-    * Plan: one vocabulary aggregate (Heaps-sized, broadcasts; past
-    * broadcast scale, drop the hint and the same plan shuffle-joins
-    * on the token — still one corpus pass), one
+    * Plan: one vocabulary aggregate (Heaps-sized; [[VocabJoin]]'s
+    * counted dispatch broadcasts it while it fits and shuffle-hash
+    * joins on the token past that — still one corpus pass), one
     * corpus-stream join against it, one per-doc sum — the only
     * corpus-sized exchange is the (doc_id) aggregation of 3-int rows
     * (the q91 shape). Every doc appears: tokens('') = [''] is itself
@@ -807,7 +808,7 @@ object TextAnalysis {
       .select(col("t"),
         (length(bin(idiv(col("w_total"), col("c")))) - 1)
           .cast("long").as("bits"))
-    tok.join(broadcast(vocab), Seq("t"))
+    VocabJoin.join(tok, vocab, Seq("t"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("bits")).as("surprisal_bits"))
@@ -858,9 +859,11 @@ object TextAnalysis {
     val uni = toks.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val total = c12.agg(sum(col("c12")).as("n_bigrams"))
+    // one counted dispatch for the unigram frame, reused by both joins
+    val uniHint = VocabJoin.plan(uni)
     val scored = c12.filter(col("c12") >= minCount.toLong)
-      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .join(uniHint(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+      .join(uniHint(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         idiv(lit(1000000L) * col("c12") * col("n_bigrams"),
@@ -895,9 +898,9 @@ object TextAnalysis {
     * that.
     *
     * Plan: the q115 exchange shape with lang added to the keys —
-    * per-(lang, token) vocabulary (Heaps-sized, broadcasts; past
-    * broadcast scale drop the hint and the join keys on the token,
-    * still corpus-pass-free), one corpus-stream join, one per-doc
+    * per-(lang, token) vocabulary (Heaps-sized; [[VocabJoin]]'s
+    * counted dispatch broadcasts while it fits and shuffle-hash
+    * joins past that), one corpus-stream join, one per-doc
     * aggregation. The percentile machinery then sees only the
     * (lang, score) HISTOGRAM — bounded by langs × distinct scores at
     * any corpus size — under a lang-partitioned running-sum window,
@@ -916,7 +919,7 @@ object TextAnalysis {
       .select(col("lang"), col("t"),
         (length(bin(idiv(col("w_total"), col("c")))) - 1)
           .cast("long").as("bits"))
-    val scored = tok.join(broadcast(vocab), Seq("lang", "t"))
+    val scored = VocabJoin.join(tok, vocab, Seq("lang", "t"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("bits")).as("surprisal_bits"))
@@ -1033,8 +1036,10 @@ object TextAnalysis {
     * streams ONCE through the bigram kernel
     * ([[graft.functions.WordShinglesExpr]] n=2 NON-distinct — every
     * adjacent-pair instance scores) plus a first-token projection,
-    * through three broadcast probes, into one per-doc aggregation —
-    * the only corpus-sized exchange. n_backoff rides the output: the
+    * through three LM probes ([[VocabJoin]]'s counted dispatch:
+    * broadcast while the LM fits, shuffle-hash past that), into one
+    * per-doc aggregation — the only corpus-sized exchange.
+    * n_backoff rides the output: the
     * fall-through fraction is the model-coverage diagnostic a
     * perplexity pipeline reports next to the score. */
   def stupidBackoff(docs: DataFrame,
@@ -1045,21 +1050,26 @@ object TextAnalysis {
     val uni = ref.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val wTot = uni.agg(sum(col("c")).as("w_total"))
+    // counted dispatch, once per vocabulary frame: the unigram LM is
+    // joined four times below (one count), the bigram LM once — each
+    // broadcasts only while it fits the row budget
+    val uniHint = VocabJoin.plan(uni)
     val bgSeen = ref.select(explode(graft.functions.TextFunctions
         .wordShingles(col("w"), 2, distinct = false)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))),
+      .join(uniHint(uni.select(col("tok").as("w1"), col("c").as("c1"))),
         Seq("w1"))
       .select(col("bg"),
         (length(bin(idiv(col("c1"), col("c12")))) - 1)
           .cast("long").as("bits_seen"))
+    val bgHint = VocabJoin.plan(bgSeen)
     val bgInst = base.select(col("doc_id"),
         explode(graft.functions.TextFunctions
           .wordShingles(col("w"), 2, distinct = false)).as("bg"))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .join(broadcast(bgSeen), Seq("bg"), "left")
-      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))),
+      .join(bgHint(bgSeen), Seq("bg"), "left")
+      .join(uniHint(uni.select(col("tok").as("w2"), col("c").as("c2"))),
         Seq("w2"), "left")
       .crossJoin(broadcast(wTot))
       .select(col("doc_id"),
@@ -1073,7 +1083,7 @@ object TextAnalysis {
           .otherwise(lit(1L)).as("backoff"))
     val first = base.filter(size(col("w")) >= 1)
       .select(col("doc_id"), element_at(col("w"), 1).as("t"))
-      .join(broadcast(uni.select(col("tok").as("t"), col("c").as("c2"))),
+      .join(uniHint(uni.select(col("tok").as("t"), col("c").as("c2"))),
         Seq("t"), "left")
       .crossJoin(broadcast(wTot))
       .select(col("doc_id"),

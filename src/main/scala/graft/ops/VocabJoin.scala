@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-dispatched vocabulary joins — the auto form of the
+  * "vocabulary broadcasts" posture the text/LM family
+  * (referenceOverlap, collocations, unigramSurprisal, stupidBackoff,
+  * tfidfKeywords) runs on.
+  *
+  * Those operators join a corpus-sized token stream against a
+  * vocabulary-sized statistics frame (df, unigram counts, LM
+  * probabilities). Broadcasting that frame is right for every corpus
+  * whose vocabulary fits executor memory — heaps of text follow
+  * Heaps' law, so vocabulary grows ~√corpus and a 100 TB corpus is
+  * still ~10⁸ distinct tokens — but a tokenizer-free byte-noise
+  * corpus (or n-gram keys, whose count grows much faster) can
+  * outgrow it. The dispatch is the [[Similarity.lshBandConfig]]
+  * pattern: ONE column-pruned count() of the vocabulary frame up
+  * front picks the join strategy; results are identical either way
+  * (VocabJoinSpec pins both branches row-for-row), only the plan
+  * changes. The count costs one extra pass over the vocabulary
+  * aggregation (map-side combined 2-int rows — far cheaper than the
+  * join it sizes); operators that join the same frame several times
+  * pay it once via [[plan]].
+  *
+  * Above the budget the join hints `shuffle_hash`, not sort-merge:
+  * the vocabulary is still the smaller build side, and sorting the
+  * corpus-sized probe stream would dominate for no benefit.
+  */
+object VocabJoin {
+
+  /** Row budget for broadcasting a vocabulary frame. Default 10⁷
+    * rows (~hundreds of MB of tokens — inside a healthy executor/
+    * driver budget); override per session with
+    * `spark.conf.set("graft.vocab.broadcastMaxRows", n)`. Tests set
+    * it to 0 to force the shuffled branch. */
+  def maxBroadcastRows(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.vocab.broadcastMaxRows")
+      .map(_.toLong).getOrElse(10L * 1000L * 1000L)
+
+  /** Decide ONCE (one count of `vocab`) and return the strategy as a
+    * frame decorator — reusable across every join of that frame
+    * inside one operator (stupidBackoff joins its unigram LM four
+    * times; the decision is counted once). */
+  def plan(vocab: DataFrame): DataFrame => DataFrame = {
+    val fits = vocab.count() <= maxBroadcastRows(vocab)
+    v => if (fits) broadcast(v) else v.hint("shuffle_hash")
+  }
+
+  /** Single-join convenience over [[plan]]. */
+  def join(stream: DataFrame, vocab: DataFrame, keys: Seq[String],
+           joinType: String = "inner"): DataFrame =
+    stream.join(plan(vocab)(vocab), keys, joinType)
+}

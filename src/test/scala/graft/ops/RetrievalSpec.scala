@@ -215,7 +215,19 @@ class RetrievalSpec extends SparkSpec {
     val before = Retrieval.bm25TopKFromIndex(spark.table(pt), stats,
       Seq("apple", "cherry"), k = 3).orderBy("rank").collect().toSeq
     val nBefore = files
+    // storage-level guard: compaction must NOT materialize a second
+    // copy of the (production: corpus-sized) index in the block store
+    // — the rewrite reads a snapshotted file list by path instead.
+    // cache entries and persisted RDDs are both zero after the call;
+    // the pre-round-14 cache()+count() formulation fails this assert.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     val ct = Retrieval.compactPostingsIndex(spark, wh, "p", nBuckets = 2)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "compactPostingsIndex left a cached copy of the index")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "compactPostingsIndex left a persisted RDD")
     val nAfter = files
     assert(nAfter < nBefore,
       s"compaction did not shrink the file count: $nBefore -> $nAfter")

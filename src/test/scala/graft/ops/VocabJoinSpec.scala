@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The counted broadcast/shuffle dispatch for vocabulary joins
+  * (q91/q111/q115/q117/q118/q131's df/LM probes): both branches must
+  * produce identical rows, and the big-vocab branch must actually
+  * take a non-broadcast join — the posture the scaladocs promise at
+  * >10⁸-token vocabularies, pinned here by forcing the budget to 0. */
+class VocabJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val corpus = Seq(
+    0L -> "the cat sat on the mat",
+    1L -> "the dog ate the cat food",
+    2L -> "a mat and a cat and a dog",
+    3L -> "entirely novel words here")
+
+  private def withBudget[A](rows: Long)(f: => A): A = {
+    spark.conf.set("graft.vocab.broadcastMaxRows", rows.toString)
+    try f finally spark.conf.unset("graft.vocab.broadcastMaxRows")
+  }
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("both branches produce identical rows for every dispatched " +
+    "operator (unigramSurprisal, tfidfKeywords, stupidBackoff, " +
+    "referenceOverlap, collocations)") {
+    val d = docs(corpus: _*)
+    val dSrc = d.withColumn("source",
+      org.apache.spark.sql.functions.when($"doc_id" === 0L, "wiki")
+        .otherwise("web"))
+    def runAll() = Seq(
+      TextAnalysis.unigramSurprisal(d).orderBy("doc_id").collect().toSeq,
+      Retrieval.tfidfKeywords(d, m = 2)
+        .orderBy("doc_id", "rank").collect().toSeq,
+      TextAnalysis.stupidBackoff(d).orderBy("doc_id")
+        .collect().toSeq,
+      TextAnalysis.referenceOverlapScore(dSrc, refSource = "wiki",
+          minDf = 1)
+        .orderBy("doc_id").collect().toSeq,
+      TextAnalysis.collocations(d, minCount = 1, k = 5)
+        .collect().toSeq)
+    val broadcastBranch = withBudget(1000000L)(runAll())
+    val shuffleBranch = withBudget(0L)(runAll())
+    broadcastBranch.zip(shuffleBranch).zipWithIndex.foreach {
+      case ((b, s), i) => assert(b === s, s"operator #$i diverged")
+    }
+  }
+
+  test("the big-vocab branch takes a shuffled join, the small-vocab " +
+    "branch broadcasts (plan-asserted)") {
+    val d = docs(corpus: _*)
+    val small = withBudget(1000000L)(
+      TextAnalysis.unigramSurprisal(d))
+    assert(plan(small).contains("BroadcastHashJoin"),
+      "small-vocab branch should broadcast the vocabulary")
+    val big = withBudget(0L)(TextAnalysis.unigramSurprisal(d))
+    val bigPlan = plan(big)
+    assert(!bigPlan.contains("BroadcastHashJoin"),
+      "big-vocab branch must not broadcast the vocabulary:\n" + bigPlan)
+    assert(bigPlan.contains("ShuffledHashJoin"),
+      "big-vocab branch should shuffle-hash join on the token:\n" + bigPlan)
+  }
+}
