@@ -94,4 +94,25 @@ object IncrementalDedup {
         "left_anti") // false positives (and hash collisions) survive
     clean.unionByName(flagged).unionByName(nullText).drop("__h")
   }
+
+  /** Exact path WITHOUT the Bloom prefilter: one anti-join of the
+    * whole batch keyed on (hash, text). Output is identical to
+    * [[newDocsExact]] by construction — the Bloom only ever
+    * short-circuits rows the anti-join would keep anyway
+    * (IncrementalDedupSpec pins the equality). The right call while
+    * history is SMALL: the filter build costs an emptiness probe plus
+    * a full-history aggregation action per batch, and under broadcast
+    * size the anti-join is map-side anyway. [[graft.streaming.StreamingDedup]]
+    * dispatches between the two on the history table's on-disk size. */
+  def newDocsExactDirect(history: DataFrame, batch: DataFrame): DataFrame = {
+    val histKeyed = history.filter(col("text").isNotNull)
+      .select(Hashing.h60(col("text")).as("__hh"), col("text").as("__htext"))
+    val withHash = batch.withColumn("__h", Hashing.h60(col("text")))
+    val nullText = withHash.filter(col("text").isNull)
+    val notNull = withHash.filter(col("text").isNotNull)
+      .join(histKeyed,
+        col("__h") === col("__hh") && col("text") === col("__htext"),
+        "left_anti")
+    notNull.unionByName(nullText).drop("__h")
+  }
 }

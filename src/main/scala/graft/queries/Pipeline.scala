@@ -1901,13 +1901,25 @@ object Pipeline {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
           .unionByName(docs.filter(col("doc_id") % 10 === 5)
             .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-        (0 until 3).foreach { b =>
-          aug.filter(col("doc_id") % 3 === b)
-            .write.mode("append").parquet(src)
-          graft.streaming.StreamingDedup.run(
-            graft.streaming.StreamingDedup.docStream(s, src, aug.schema),
-            wh, "q103_history", ckpt)
-        }
+        // three mtime-ordered wave files, ONE drain sliced into three
+        // batches (maxFilesPerTrigger=1) — same cross-batch history
+        // semantics, one streaming-query startup instead of three.
+        // Per-batch exchanges sized to the drain's bounded key space
+        // (as the sessionize harnesses), restored after.
+        // one materialization of the planted corpus feeds all three
+        // wave writes (each write otherwise re-scans documents + the
+        // two clone unions)
+        val augP = graft.engine.Checkpoints.materialize(aug)
+        try (0 until 3).foreach { b =>
+          writeWave(augP.filter(col("doc_id") % 3 === b), src, b)
+        } finally graft.engine.Checkpoints.release(augP)
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try graft.streaming.StreamingDedup.run(
+          graft.streaming.StreamingDedup.docStream(s, src, aug.schema,
+            maxFilesPerTrigger = Some(1)),
+          wh, "q103_history", ckpt)
+        finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
         graft.engine.TableStore.read(s, wh, "q103_history")
           .select(col("doc_id").cast("long").as("doc_id"),
             col("batch_id").cast("long").as("batch_id"))
@@ -1998,13 +2010,15 @@ object Pipeline {
             col("id").as("pq_code")),
           wh, "q106_pqidx", nBuckets = 8, bucketCols = Seq("cell"))
         Seq(0, 1).foreach { wave =>
-          vecs.filter(col("vec_id") % 2 === wave)
-            .coalesce(1).write.mode("append").parquet(src)
-          graft.streaming.StreamingVectorIngest.run(
-            graft.streaming.StreamingVectorIngest.vecStream(
-              s, src, vecs.schema),
-            wh, "q106_stage", ckpt, cents, kCells, cb, PqDefault)
+          writeWave(vecs.filter(col("vec_id") % 2 === wave), src, wave)
         }
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try graft.streaming.StreamingVectorIngest.run(
+          graft.streaming.StreamingVectorIngest.vecStream(
+            s, src, vecs.schema, maxFilesPerTrigger = Some(1)),
+          wh, "q106_stage", ckpt, cents, kCells, cb, PqDefault)
+        finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
         graft.streaming.StreamingVectorIngest.compact(
           s, wh, "q106_stage", idx)
         Pq.ivfPqServe(s.table(idx), e, cents, kCells, cb, PqDefault,
@@ -2039,18 +2053,19 @@ object Pipeline {
         // size the agg's state stores to the bounded key space
         // (year x month x hour), as in q105; restored after
         val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           Seq(0, 1).foreach { wave =>
-            ev.filter(col("event_id") % 2 === wave).drop("event_id")
-              .coalesce(1).write.mode("append").parquet(src)
-            val stream = s.readStream
-              .schema("start_time timestamp, year string, month string")
-              .parquet(src)
-            graft.streaming.StreamingBuilders.runIncrementalUpsert(
-              s, graft.streaming.StreamingBuilders.heatMapStream(stream),
-              wh, "q107_heatmap", Seq("year", "month", "hour"), ckpt)
+            writeWave(ev.filter(col("event_id") % 2 === wave)
+              .drop("event_id"), src, wave)
           }
+          val stream = s.readStream
+            .schema("start_time timestamp, year string, month string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+          graft.streaming.StreamingBuilders.runIncrementalUpsert(
+            s, graft.streaming.StreamingBuilders.heatMapStream(stream),
+            wh, "q107_heatmap", Seq("year", "month", "hour"), ckpt)
         } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
         TableStore.read(s, wh, "q107_heatmap")
           .select(col("year"), col("month"), col("hour").cast("int").as("hour"),
@@ -2079,15 +2094,16 @@ object Pipeline {
         val row = docs.agg(min("doc_id"), max("doc_id")).head()
         val mid = (row.getLong(0) + row.getLong(1)) / 2
         val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
-          Seq(col("doc_id") <= mid, col("doc_id") > mid).foreach { wave =>
-            docs.filter(wave).coalesce(1).write.mode("append").parquet(src)
-            graft.streaming.StreamingSentenceDedup.run(
-              graft.streaming.StreamingSentenceDedup.docStream(
-                s, src, docs.schema),
-              wh, ckpt)
-          }
+          Seq(col("doc_id") <= mid, col("doc_id") > mid).zipWithIndex
+            .foreach { case (wave, w) =>
+              writeWave(docs.filter(wave), src, w)
+            }
+          graft.streaming.StreamingSentenceDedup.run(
+            graft.streaming.StreamingSentenceDedup.docStream(
+              s, src, docs.schema, maxFilesPerTrigger = Some(1)),
+            wh, ckpt)
         } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
         TableStore.read(s, wh,
             graft.streaming.StreamingSentenceDedup.DocsTable)
@@ -3146,11 +3162,33 @@ object Pipeline {
       |FROM s GROUP BY user_id, sess
       |ORDER BY user_id, start_micros""".stripMargin
 
+  /** Write one arrival wave as ONE parquet file with a PINNED,
+    * strictly-increasing modification time. The streaming gate
+    * harnesses (q103/q105–q109) pre-write every wave and drain ONCE
+    * with maxFilesPerTrigger=1 — one streaming-query startup and one
+    * plan compile for the whole lifecycle instead of one per wave
+    * (round-14 amortization; the cross-batch state semantics are
+    * identical because batches inside one AvailableNow drain carry
+    * the same checkpointed state a drain-per-wave sequence does).
+    * The mtime pin is what makes the slicing DETERMINISTIC: the file
+    * source orders files oldest-mtime-first, and two waves written
+    * within one clock tick would otherwise tie and could swap batch
+    * assignment under the hash gate. */
+  private def writeWave(df: DataFrame, srcDir: String, wave: Int): Unit = {
+    val d = new java.io.File(srcDir)
+    val before = Option(d.listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    df.coalesce(1).write.mode("append").parquet(srcDir)
+    d.listFiles().filter(f => !before(f.getName))
+      .foreach(_.setLastModified(1000000000000L + wave * 60000L))
+  }
+
   /** The q105/q109 drain lifecycle, shared: two strict chronological
-    * time-range waves + a per-user sentinel flush, each drained to
-    * completion (Trigger.AvailableNow against one checkpoint) so
+    * time-range waves + a per-user sentinel flush, arriving as three
+    * mtime-ordered files sliced into three micro-batches of ONE
+    * AvailableNow drain (maxFilesPerTrigger=1 — [[writeWave]]) so
     * cross-batch state is genuinely exercised — a session spanning
-    * the wave boundary is emitted once, by the wave whose event
+    * the wave boundary is emitted once, by the batch whose event
     * closed it. The sentinel (one event per user, a day beyond the
     * last) closes every real session and itself stays open in the
     * state store, never emitted. The sink is q103's idempotent
@@ -3159,8 +3197,7 @@ object Pipeline {
     * spark.sql.shuffle.partitions at checkpoint creation; a cluster
     * deployment sizes them to user cardinality at provisioning) and
     * the conf is restored after. The 4-wave full-table parity stays
-    * spec'd at sf0.1 in StreamingParitySpec — each extra wave here
-    * would cost a full streaming-query startup of pure overhead. */
+    * spec'd at sf0.1 in StreamingParitySpec. */
   private def sessionizeDrain(s: SparkSession, dir: String, qTag: String,
                               timeout: Boolean): DataFrame = {
     val root = new java.io.File(
@@ -3182,17 +3219,13 @@ object Pipeline {
     // strict time ranges, so equal-ts ties never straddle a wave
     val cuts = Seq(tMin + (tMax - tMin) / 2)
     val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).foreach {
-        case (lo, hi) =>
-          // one file per wave: the file-source listing (re-walked
-          // every drain) stays 3 entries, not 3 x parallelism
-          events.filter(col("ts_micros") > lo && col("ts_micros") <= hi)
-            .coalesce(1).write.mode("append").parquet(src)
-          graft.streaming.StatefulSessionize.run(
-            s, src, gapMinutes = 30, wh, table, ckpt, timeout)
-      }
+      (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).zipWithIndex
+        .foreach { case ((lo, hi), w) =>
+          writeWave(events.filter(
+            col("ts_micros") > lo && col("ts_micros") <= hi), src, w)
+        }
       // sentinel wave: one event per user at one COMMON instant a day
       // beyond the global max. The shared instant matters for the
       // timeout variant: after the sentinel batch the watermark is
@@ -3201,13 +3234,14 @@ object Pipeline {
       // PER-USER sentinels the global max would expire every earlier
       // user's sentinel timer and emit the sentinel itself (observed:
       // +126 one-event sessions at sf0.01 before this was fixed).
-      events.select(col("user_id")).distinct()
+      writeWave(events.select(col("user_id")).distinct()
         .withColumn("ts_micros", lit(tMax + 86400L * 1000000L))
         .withColumn("event_id", lit(-1L))
-        .select("user_id", "ts_micros", "event_id")
-        .coalesce(1).write.mode("append").parquet(src)
+        .select("user_id", "ts_micros", "event_id"), src, wave = 2)
+      // one drain, one batch per mtime-ordered wave file
       graft.streaming.StatefulSessionize.run(
-        s, src, gapMinutes = 30, wh, table, ckpt, timeout)
+        s, src, gapMinutes = 30, wh, table, ckpt, timeout,
+        maxFilesPerTrigger = Some(1))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
     TableStore.read(s, wh, table)
       .select(col("user_id").cast("long").as("user_id"),

@@ -112,13 +112,17 @@ object StatefulSessionize {
   def processBatch(batch: Dataset[Session], batchId: Long,
                    warehouse: String, table: String): Unit = {
     import org.apache.spark.sql.functions.lit
+    // the foreachBatch frame is a VIEW: each action re-runs the whole
+    // micro-batch plan, so persist across the emptiness probe and the
+    // write (the standard multiple-action foreachBatch contract)
+    batch.persist()
     // empty batches write nothing (a parquet dir with zero row groups
     // is unreadable, and there is nothing to make idempotent)
-    if (!batch.isEmpty) {
+    try if (!batch.isEmpty) {
       graft.engine.TableStore.overwritePartitions(
         batch.toDF().withColumn("batch_id", lit(batchId)),
         warehouse, table, Seq("batch_id"))
-    }
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Drain every file currently under `srcDir` (Trigger.AvailableNow)
@@ -144,9 +148,12 @@ object StatefulSessionize {
     * wins over a pending timeout.) */
   def run(spark: SparkSession, srcDir: String, gapMinutes: Int,
           warehouse: String, table: String, checkpoint: String,
-          timeout: Boolean = false): Unit = {
+          timeout: Boolean = false,
+          maxFilesPerTrigger: Option[Int] = None): Unit = {
     implicit val ee = Encoders.product[Ev]
-    val in = spark.readStream.schema(ee.schema).parquet(srcDir).as[Ev]
+    val rdr = spark.readStream.schema(ee.schema)
+    maxFilesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n))
+    val in = rdr.parquet(srcDir).as[Ev]
     val sessionized =
       if (timeout) sessionsWithTimeout(in, gapMinutes, "0 seconds")
       else sessions(in, gapMinutes)

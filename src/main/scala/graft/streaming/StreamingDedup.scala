@@ -42,11 +42,27 @@ import graft.ops.IncrementalDedup
   */
 object StreamingDedup {
 
+  /** History size (bytes on disk) below which [[processBatch]] skips
+    * the Bloom prefilter for a direct anti-join: under it the history
+    * side broadcasts anyway and the filter build's two extra actions
+    * dominate; above it the Bloom keeps per-batch work batch-sized.
+    * Same dispatch-by-one-cheap-measurement idea as
+    * [[graft.ops.VocabJoin]], with the measurement free (driver-side
+    * file metadata). */
+  val BloomMinHistoryBytes: Long = 64L * 1024 * 1024
+
   /** Streaming source over document parquet files appearing under
-    * `dir`. */
-  def docStream(spark: SparkSession, dir: String,
-                schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    * `dir`. `maxFilesPerTrigger` slices an AvailableNow drain into
+    * one micro-batch per that many files (oldest mtime first) — the
+    * one-drain-many-batches shape the gate harnesses use so a
+    * multi-wave lifecycle pays ONE streaming-query startup instead of
+    * one per wave. */
+  def docStream(spark: SparkSession, dir: String, schema: StructType,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
 
   /** History schema = doc schema + the batch_id partition column. */
   private def historySchema(doc: StructType): StructType =
@@ -80,8 +96,22 @@ object StreamingDedup {
       .filter(col("__rn") === 1).drop("__rn")
     val candidates = firstPerText
       .unionByName(batch.filter(col("text").isNull))
-    val fresh = IncrementalDedup
-      .newDocsExact(history, candidates, expectedItems, fpp)
+    // size-dispatched history probe (driver-side FS metadata, no job):
+    // while the history table is small the Bloom build's two actions
+    // (emptiness probe + filter aggregation) cost more than they save
+    // — a direct anti-join is one job and broadcast-sized. Past the
+    // byte threshold the Bloom path takes over (the 100-TB shape:
+    // per-batch work proportional to the batch, never a history join).
+    val histPath = new org.apache.hadoop.fs.Path(
+      TableStore.tablePath(warehouse, table))
+    val hfs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val histBytes =
+      if (hfs.exists(histPath)) hfs.getContentSummary(histPath).getLength
+      else 0L
+    val fresh = (if (histBytes < BloomMinHistoryBytes)
+        IncrementalDedup.newDocsExactDirect(history, candidates)
+      else IncrementalDedup
+        .newDocsExact(history, candidates, expectedItems, fpp))
       .transform(graft.engine.Checkpoints.pin)
     // empty batches write nothing: a parquet dir with zero row
     // groups is unreadable, and there is nothing to make idempotent

@@ -48,9 +48,15 @@ object StreamingSentenceDedup {
   val DocsTable = "SentDedupDocs"
   val SeenTable = "SentDedupSeen"
 
-  def docStream(spark: SparkSession, dir: String,
-                schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** Streaming source; `maxFilesPerTrigger` slices an AvailableNow
+    * drain into one batch per that many files (oldest first) — see
+    * [[StreamingDedup.docStream]]. */
+  def docStream(spark: SparkSession, dir: String, schema: StructType,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
 
   private val seenSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("h", LongType),
@@ -84,9 +90,14 @@ object StreamingSentenceDedup {
       .withColumn("firstHere",
         col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos"))
       .drop("f")
+    // ONE pin covers the shared upstream (split → hash → first-at →
+    // history probe): outDocs and freshHashes both aggregate from it,
+    // and pinning them separately re-ran the whole chain twice per
+    // micro-batch
     val keptFlags = firstInBatch
       .join(seen.withColumn("inHist", lit(true)), Seq("h"), "left")
       .withColumn("keep", col("firstHere") && col("inHist").isNull)
+      .transform(graft.engine.Checkpoints.pin)
     val outDocs = keptFlags
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_sentences"),
@@ -100,7 +111,6 @@ object StreamingSentenceDedup {
       .transform(graft.engine.Checkpoints.pin)
     val freshHashes = keptFlags.filter(col("keep"))
       .select(col("h")).distinct()
-      .transform(graft.engine.Checkpoints.pin)
     if (!outDocs.isEmpty) {
       TableStore.overwritePartitions(
         outDocs.withColumn("batch_id", lit(batchId)),
@@ -112,11 +122,11 @@ object StreamingSentenceDedup {
         warehouse, SeenTable, Seq("batch_id"))
     }
     // the pins are batch-internal: release them or a long-running
-    // session accrues two block-store entries per micro-batch (the
-    // same lifecycle discipline as minhashDupPairs's internal caches;
+    // session accrues block-store entries per micro-batch (the same
+    // lifecycle discipline as minhashDupPairs's internal caches;
     // Dataset.unpersist is a silent no-op on pinned frames)
     graft.engine.Checkpoints.release(outDocs)
-    graft.engine.Checkpoints.release(freshHashes)
+    graft.engine.Checkpoints.release(keptFlags)
   }
 
   /** Drain everything currently in the source (Trigger.AvailableNow).

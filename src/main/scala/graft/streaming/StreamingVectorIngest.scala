@@ -39,10 +39,16 @@ import graft.ops.{IvfIndex, Pq}
   */
 object StreamingVectorIngest {
 
-  /** Streaming source over embedding parquet files under `dir`. */
-  def vecStream(spark: SparkSession, dir: String,
-                schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** Streaming source over embedding parquet files under `dir`.
+    * `maxFilesPerTrigger` slices an AvailableNow drain into one batch
+    * per that many files (oldest first) — see
+    * [[StreamingDedup.docStream]]. */
+  def vecStream(spark: SparkSession, dir: String, schema: StructType,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
 
   private val stagingSchema: StructType = StructType(Seq(
     StructField("cell", LongType), StructField("vec_id", LongType),

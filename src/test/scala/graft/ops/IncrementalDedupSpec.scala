@@ -26,4 +26,22 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(exact == (0 until 50).map(i => 20000L + i).toSet) // exactly the new ones
   }
+
+  test("newDocsExactDirect equals newDocsExact row-for-row, nulls and " +
+    "hash-collision columns included — the small-history branch " +
+    "StreamingDedup dispatches to") {
+    val history = ((0 until 500).map(i => (i.toLong, s"historical doc $i")) :+
+      (999L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = ((0 until 20).map(i => (10000L + i, s"historical doc ${i * 3}")) ++
+      (0 until 20).map(i => (20000L + i, s"fresh doc $i")) :+
+      (30000L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val exact = IncrementalDedup.newDocsExact(history, batch, 10000L, 0.03)
+      .orderBy("doc_id").collect().toSeq
+    val direct = IncrementalDedup.newDocsExactDirect(history, batch)
+      .orderBy("doc_id").collect().toSeq
+    assert(direct === exact)
+    // and both admit null-text rows (null equals nothing in history)
+    assert(direct.exists(_.getLong(0) == 30000L))
+  }
 }
