@@ -229,6 +229,62 @@ object Dedup {
     out
   }
 
+  /** Asymmetric shingle-CONTAINMENT pairs over the df-capped shingle
+    * universe — the quote/subset detector Jaccard structurally
+    * misses: a short document fully embedded in a long one has
+    * containment(short→long) = |S∩| / |S_short| ≈ 1 while its Jaccard
+    * |S∩| / |S∪| can be arbitrarily small (the union is long-sized).
+    * Production use: quote removal, doc-inside-doc boilerplate,
+    * version-supersession (RefinedWeb-style sub-document pruning
+    * one level up, at whole-doc granularity).
+    *
+    * All arithmetic integer (house oracle discipline): the threshold
+    * is per-mille (`minCx1000`), the keep predicate is the
+    * cross-multiplied `1000·common >= minCx1000·min(n_a, n_b)`
+    * (common ≤ min(n_a, n_b), so the smaller side always carries the
+    * larger containment — testing the min side tests "either
+    * direction"), and both direction scores ride the output as
+    * `(1000·common) div n`.
+    *
+    * Scale shape = [[ngramJaccardPairsCapped]]'s: the df cap bounds
+    * the pairing cost at maxDf²·|shingles| (containment has no
+    * useful symmetric prefix filter — the large side must keep its
+    * full postings, so the stop-shingle guard is the honest
+    * mechanism), candidates stream through one equi-join on the
+    * capped universe, and the result materializes through the cache
+    * with lineage intact. Output: (doc_a, doc_b, common, n_a, n_b,
+    * cont_ab_x1000, cont_ba_x1000), doc_a < doc_b. */
+  def containmentPairs(docs: DataFrame, minCx1000: Long,
+                       maxDf: Long = 64L): DataFrame = {
+    require(minCx1000 > 0 && minCx1000 <= 1000,
+      s"minCx1000 is a per-mille threshold in (0, 1000], got $minCx1000")
+    val sh = shingleIndex(docs).cache()
+    val stop = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    val kept = sh.join(broadcast(stop), Seq("s"), "left_anti").cache()
+    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val out = pairs
+      .join(cnt.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(cnt.as("y"), col("doc_b") === col("y.doc_id"))
+      .filter(lit(1000L) * col("common") >=
+        lit(minCx1000) * least(col("x.n"), col("y.n")))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"),
+        Hashing.idiv(lit(1000L) * col("common"), col("x.n"))
+          .as("cont_ab_x1000"),
+        Hashing.idiv(lit(1000L) * col("common"), col("y.n"))
+          .as("cont_ba_x1000"))
+      .cache()
+    out.count()
+    kept.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** MinHash signatures: 16 universal hashes over shingle h31 values.
     * One row per doc with columns mh_0..mh_15; single shuffle. */
   def minhashSignatures(docs: DataFrame): DataFrame =

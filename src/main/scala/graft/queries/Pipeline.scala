@@ -2374,17 +2374,19 @@ object Pipeline {
       }),
 
     // ── near-dup PageRank ([[Dedup.neardupPageRank]]): centrality
-    // within duplicate neighborhoods over q22's exact pair set —
-    // canonical-representative selection / boilerplate-hub weighting.
-    // Integer fixed point (d = 0.85 ≡ 17/20), so the ENTIRE 3-sweep
-    // trajectory hash-checks as chained static CTEs (the Lloyd-loop
-    // pattern for graphs). The graph is pair-set-sized; every sweep
-    // is one edge-sized join + agg — the corpus-sized work is q22's
-    // well-understood pair derivation.
+    // within duplicate neighborhoods — canonical-representative
+    // selection / boilerplate-hub weighting. The registered pair
+    // source is the CAPPED MinHash-LSH form (q61's operator — the
+    // shape users run at scale; exact pairs stay gated by q22, and
+    // any pair source drops in). Integer fixed point (d = 0.85 ≡
+    // 17/20), so the ENTIRE 3-sweep trajectory hash-checks as
+    // chained static CTEs (the Lloyd-loop pattern for graphs). The
+    // graph is pair-set-sized; every sweep is one edge-sized join +
+    // agg — the corpus-sized work is the banded pair derivation.
     Q("q123_neardup_pagerank", "pipeline:dedup-pagerank",
-      Some(pageRankOracle(iters = 3)),
+      Some(pageRankOracle(iters = 3, maxBucket = 16)),
       (s, dir) => Dedup.neardupPageRank(
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8)
+        Dedup.minhashDupPairsCapped(t(s, dir, "documents"), 0.8, 16)
           .select(col("doc_a"), col("doc_b")), iters = 3)
         .orderBy("doc_id")),
 
@@ -2480,6 +2482,32 @@ object Pipeline {
       (s, dir) => Retrieval.tfidfKeywords(docsF(s, dir), m = 3)
         .orderBy("doc_id", "rank")),
 
+    // ── asymmetric containment dedup ([[Dedup.containmentPairs]]):
+    // the quote/subset detector Jaccard structurally misses — a short
+    // doc embedded in a long one has containment ≈ 1 while Jaccard
+    // shrinks with the long side's size. The corpus carries no organic
+    // subset pairs, so the harness PLANTS them deterministically (the
+    // q103/q72 pattern): every doc_id % 25 = 0 doc contributes a
+    // "quote" clone (+5,000,000 id) of its first max(3, ⌊2n/5⌋)
+    // tokens — pure integer arithmetic, and the token join rebuilds
+    // byte-identical text on both engines, so the whole derivation
+    // replays. All-integer scores ((1000·common) div n) and the
+    // cross-multiplied keep predicate ride the hash.
+    Q("q133_containment_pairs", "pipeline:dedup-containment",
+      Some(containmentOracle(minCx1000 = 800, maxDf = 64)),
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val w = graft.ops.Hashing.tokens(col("text"))
+        val m = greatest(lit(3L),
+          graft.ops.Hashing.idiv(lit(2L) * size(w).cast("long"), lit(5L)))
+        val quotes = base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            array_join(slice(w, lit(1), m.cast("int")), " ").as("text"))
+        Dedup.containmentPairs(base.unionByName(quotes),
+            minCx1000 = 800, maxDf = 64)
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // ── scrub → sample composition: the round's new kernels chained
     // the way a curation run uses them — mask the blocklist spans
     // ([[TextAnalysis.blocklistScrub]]), then draw the token-mass
@@ -2494,6 +2522,45 @@ object Pipeline {
         TextAnalysis.blocklistScrub(docsF(s, dir), ScrubPhrases)
           .select(col("doc_id"), col("scrubbed").as("text")),
         k = 25).orderBy("rank")))
+
+  /** q133's oracle: the planted-quote corpus (first max(3, ⌊2n/5⌋)
+    * tokens of every doc_id % 25 = 0 doc, id +5,000,000 — integer
+    * arithmetic and a single-space token join, so the text replays
+    * byte-identically), then the df-capped containment chain: both
+    * direction scores as (1000·common) div n, keep when
+    * 1000·common ≥ minCx1000·min(n_a, n_b) — common ≤ min(n_a, n_b),
+    * so the min side carries the larger containment and testing it
+    * tests "either direction". */
+  private def containmentOracle(minCx1000: Long, maxDf: Long): String =
+    s"""WITH qw AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |quotes AS (
+      |  SELECT doc_id + 5000000 AS doc_id,
+      |    array_to_string(w[1:CAST(greatest(3, (2 * len(w)) // 5) AS BIGINT)],
+      |      ' ') AS text
+      |  FROM qw),
+      |d AS (SELECT doc_id, text FROM documents
+      |      UNION ALL SELECT doc_id, text FROM quotes),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM d),
+      |kept AS MATERIALIZED (
+      |  SELECT doc_id, s FROM sh
+      |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > $maxDf)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common,
+      |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+      |  (1000 * common) // x.n AS cont_ab_x1000,
+      |  (1000 * common) // y.n AS cont_ba_x1000
+      |FROM pairs JOIN cnt x ON x.doc_id = doc_a
+      |JOIN cnt y ON y.doc_id = doc_b
+      |WHERE 1000 * common >= $minCx1000 * least(x.n, y.n)
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q115's oracle — the same integer bits via length(bin(x)) − 1. */
   private def unigramSurprisalOracle: String =
@@ -2674,7 +2741,9 @@ object Pipeline {
     * so the prefix shadows the longer phrase entirely; "hash value"
     * precedes "value" so standalone "value" still matches but the
     * nested one is gone; "table table" self-runs greedily. */
-  private lazy val ScrubPhrases: Seq[String] = Seq(
+  // private[graft]: the scale probes (graft.tools) ladder the scrub
+  // composition with the registry's own fixture, not a drifting copy
+  private[graft] lazy val ScrubPhrases: Seq[String] = Seq(
     "fast", "fast merge", "hash value", "value",
     "table table", "spark window")
 
@@ -2923,13 +2992,19 @@ object Pipeline {
       |  max(sim) < $tauX1e6 AS keep
       |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  /** q123's oracle — q22's pair CTEs, then each power-iteration sweep
-    * as a static CTE: contrib = pr div deg summed over incoming
-    * edges, damped 17/20 with the +150,000 teleport term. `//` is
-    * DuckDB floor division ≡ Spark IntegralDivide on these positive
-    * int64s. Undirected with deg ≥ 1 ⇒ every node appears in every
-    * sweep — no COALESCE needed anywhere. */
-  private def pageRankOracle(iters: Int): String = {
+  /** q123's oracle — the CAPPED-LSH pair CTEs (q61's chain, the
+    * production pair source: band buckets over `maxBucket` drop
+    * before expansion, exact-Jaccard verify after), then each
+    * power-iteration sweep as a static CTE: contrib = pr div deg
+    * summed over incoming edges, damped 17/20 with the +150,000
+    * teleport term. `//` is DuckDB floor division ≡ Spark
+    * IntegralDivide on these positive int64s. Undirected with
+    * deg ≥ 1 ⇒ every node appears in every sweep — no COALESCE
+    * needed anywhere. Round 14: the registered pair source moved
+    * from exact q22 pairs to this capped form — the shape users run
+    * at scale (PLANS' x100 ladder feeds from it); exact pairs stay
+    * gated by q22 itself. */
+  private def pageRankOracle(iters: Int, maxBucket: Int): String = {
     val sweeps = (1 to iters).map { k =>
       s"""r$k AS (
         |  SELECT e.v AS doc_id,
@@ -2941,13 +3016,7 @@ object Pipeline {
       .map(k => s"r$k.pr AS pr${k}_x1M").mkString(", ")
     val prJoins = (1 to iters)
       .map(k => s"JOIN r$k ON r$k.doc_id = d.u").mkString(" ")
-    s"""WITH sh AS (
-      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS s FROM documents),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH ${cappedLshCtes(Some(maxBucket))},
       |dup AS (
       |  SELECT doc_a, doc_b FROM pairs
       |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b

@@ -9,6 +9,42 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("containmentPairs: a quote embedded in a long doc scores " +
+    "containment ~1000 where its Jaccard is far below threshold; " +
+    "unrelated docs pair with nothing; the df cap drops boilerplate") {
+    // long doc: 30 distinct words -> 28 shingles; quote: its first 6
+    // words -> 4 shingles, ALL present in the long doc.
+    val longWords = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 6).map(i => s"w$i").mkString(" ")
+    val other = (100 to 120).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, longWords), (2L, quote), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, minCx1000 = 800)
+      .collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 2L)))
+    val r = got.head
+    assert(r.getAs[Long]("common") === 4L)
+    assert(r.getAs[Long]("n_a") === 28L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    // containment of the quote side = 4/4 -> 1000; long side 4/28
+    assert(r.getAs[Long]("cont_ba_x1000") === 1000L)
+    assert(r.getAs[Long]("cont_ab_x1000") === 1000L * 4 / 28)
+    // the SAME pair is invisible to Jaccard at this threshold:
+    // 4 / (28 + 4 - 4) = 0.143
+    assert(Dedup.ngramJaccardPairs(docs, 0.8).count() === 0L)
+    // df cap: a shingle shared by every doc leaves the universe - a
+    // corpus of 3 docs all wrapped in the same boilerplate trigram
+    // context pairs on content only
+    val boiler = Seq((1L, s"common header block $longWords"),
+      (2L, s"common header block $quote"),
+      (3L, s"common header block $other")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(boiler, minCx1000 = 800, maxDf = 2)
+      .collect().toSeq
+    // the "common header block ..." bridge shingles have df=3 > 2 and
+    // drop; only the true quote relation survives
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 2L)))
+  }
+
   test("minhashDupPairs releases its operator-internal caches: only the " +
     "pinned pair set survives the call") {
     val docs = graft.engine.Tables(spark, "/root/testdata/sf0.01", "documents")
