@@ -393,6 +393,75 @@ object Pq {
     serveFromIndexed(indexed, embeddings, cents, kCells, cb, cfg,
       nProbe, nQueries, k, shortlist)
 
+  private def deletesPath(warehouse: String, table: String): String =
+    graft.engine.TableStore.tablePath(warehouse, s"${table}_deletes")
+
+  /** DELETE from a persisted IVF-PQ index — the Lucene/faiss
+    * tombstone pattern, the verb that completes the lifecycle beside
+    * build ([[buildIvfPqIndex]]), absorb
+    * ([[IvfIndex.absorbIntoCellIndex]]'s twin), compact
+    * ([[graft.streaming.StreamingVectorIngest.compact]]) and serve:
+    * the ids append to a side `<table>_deletes` parquet (|deletes|
+    * cost — the corpus-sized index is NOT touched), [[liveIndex]]
+    * excludes them at serve time by broadcast anti-join (tombstone
+    * count is bounded between purges), and [[purgeDeletes]]
+    * physically drops them at the next maintenance window.
+    * Idempotent: re-deleting an id is harmless (exclusion is an
+    * anti-join; purge deduplicates). */
+  def deleteFromIndex(warehouse: String, table: String,
+                      ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(deletesPath(warehouse, table))
+
+  /** The accumulated tombstone set (empty frame when none). */
+  def indexTombstones(spark: org.apache.spark.sql.SparkSession,
+                      warehouse: String, table: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(deletesPath(warehouse, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).select("vec_id")
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** The index minus its tombstones — what serving reads between
+    * purges. The anti-join sits ABOVE the bucketed scan, so cell
+    * (bucket) pruning still applies to the probe. */
+  def liveIndex(spark: org.apache.spark.sql.SparkSession,
+                warehouse: String, table: String): DataFrame = {
+    val name = graft.engine.TableStore.bucketedName(spark, warehouse, table)
+    spark.table(name).join(
+      broadcast(indexTombstones(spark, warehouse, table).distinct()),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Physically drop tombstoned rows: the q128 compactor pattern —
+    * snapshot the index's file list, read by path (no catalog race
+    * with the staged swap, no in-memory copy), anti-join the
+    * tombstones, rewrite through the atomic bucketed swap, then clear
+    * the tombstone table. Crash between swap and clear leaves
+    * tombstones naming already-purged ids — the anti-join of absent
+    * ids is a no-op, so the sequence is idempotent and serve results
+    * never change across the window. Also merges the per-absorb file
+    * sets back to one per bucket (a purge IS a compaction). */
+  def purgeDeletes(spark: org.apache.spark.sql.SparkSession,
+                   warehouse: String, table: String,
+                   nBuckets: Int): String = {
+    import org.apache.hadoop.fs.Path
+    val name = graft.engine.TableStore.bucketedName(spark, warehouse, table)
+    val schema = spark.table(name).schema
+    val dst = new Path(graft.engine.TableStore.tablePath(warehouse, table))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fs.makeQualified(dst))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+    val live = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      .join(broadcast(indexTombstones(spark, warehouse, table).distinct()),
+        Seq("vec_id"), "left_anti")
+    val out = graft.engine.TableStore.writeBucketed(live, warehouse, table,
+      nBuckets, Seq("cell"))
+    fs.delete(new Path(deletesPath(warehouse, table)), true)
+    out
+  }
+
   private def serveFromIndexed(indexed: DataFrame, embeddings: DataFrame,
                                cents: DataFrame, kCells: Long,
                                cb: Array[Array[Array[Double]]],

@@ -100,4 +100,51 @@ object Sketches {
         (col("cms_est") >= coalesce(col("exact_cnt"), lit(0L)))
           .as("no_underestimate"))
   }
+
+  /** Heavy hitters via the sketch→rescue pattern (the frequency twin
+    * of [[graft.ops.IncrementalDedup]]'s bloom→rescue): every token
+    * with exact count ≥ `minCount`, found WITHOUT shuffling the full
+    * per-token count frame. Three passes, each bounded:
+    *
+    *  1. the corpus folds into the d×w grid (exchange ≤
+    *     partitions·d·w rows at any corpus size);
+    *  2. the DISTINCT token stream (vocabulary-sized — Heaps,
+    *     sublinear) probes the broadcast grid; the CMS
+    *     no-underestimate guarantee makes the survivors a strict
+    *     SUPERSET of the true heavy hitters — zero false negatives,
+    *     by construction, for any hash family;
+    *  3. exact rescue recounts ONLY the candidates (the corpus
+    *     filtered by the broadcast candidate set — candidates are
+    *     ≤ N/minCount true hitters + the εN-overcount collisions, a
+    *     sliver), and exact < minCount false positives drop.
+    *
+    * The exact groupBy this replaces shuffles one row per distinct
+    * token; here the only vocabulary-sized exchange is the DISTINCT
+    * in pass 2 — and an incremental deployment replaces passes 1–2
+    * with a maintained [[cmsMerge]] grid and skips the distinct
+    * entirely (probe only NEW tokens per batch). In a training
+    * pipeline this feeds the stop-shingle/df-cap lists (q47/q61's
+    * guards) and boilerplate alarms. Output: (token, exact_cnt,
+    * cms_est), exact_cnt ≥ minCount, cms_est ≥ exact_cnt always. */
+  def heavyHitters(docs: DataFrame, minCount: Long, depth: Int = 4,
+                   width: Int = 1024): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val sk = cmsSketch(docs, depth, width)
+    val tok = docs.select(explode(tokens(col("text"))).as("t"))
+    val pb = tok.distinct()
+      .select(col("t"), posexplode(array((0 until depth).map(i =>
+        kmBucket(i, col("t"), width)): _*))
+        .as(Seq("row_i", "bucket")))
+      .select(col("t"), col("row_i").cast("long").as("row_i"),
+        col("bucket"))
+    val cand = pb.join(broadcast(sk), Seq("row_i", "bucket"), "left")
+      .groupBy("t")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .filter(col("cms_est") >= minCount)
+    val exact = tok.join(broadcast(cand.select("t")), Seq("t"))
+      .groupBy("t").agg(count(lit(1)).as("exact_cnt"))
+    cand.join(exact, Seq("t"))
+      .filter(col("exact_cnt") >= minCount)
+      .select(col("t").as("token"), col("exact_cnt"), col("cms_est"))
+  }
 }

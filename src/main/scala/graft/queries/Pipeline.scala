@@ -2164,6 +2164,72 @@ object Pipeline {
       (s, dir) => Sketches.cmsEstimates(docsF(s, dir), CmsProbes,
         depth = 4, width = 16).orderBy("token")),
 
+    // ── heavy hitters via sketch→rescue ([[Sketches.heavyHitters]]):
+    // q112's grid driving a CANDIDATE cut over the distinct-token
+    // stream (no-underestimate ⇒ zero false negatives, by
+    // construction), then one selective exact recount trimming the
+    // collision false positives — the full-vocabulary count shuffle
+    // never happens. width 64 at sf token counts forces real
+    // collision candidates through the rescue, so the trim itself is
+    // under the hash. Feeds the q47/q61 stop-shingle/df-cap lists.
+    // width 8 over the 31-token test vocabulary guarantees collision
+    // candidates at EVERY sf (the low-count tail's estimates inflate
+    // past 500 while its exact counts stay under), so the rescue trim
+    // itself is exercised and hash-checked: 31 candidates -> 30
+    // confirmed at sf0.001/0.01/0.1.
+    Q("q134_heavy_hitters", "pipeline:sketch-heavy-hitters",
+      Some(heavyHittersOracle(minCount = 500, depth = 4, width = 8)),
+      (s, dir) => Sketches.heavyHitters(docsF(s, dir), minCount = 500,
+        depth = 4, width = 8).orderBy("token")),
+
+    // ── DELETE from the persisted IVF-PQ index ([[Pq.deleteFromIndex]]
+    // / [[Pq.purgeDeletes]]): the verb that completes the vector
+    // lifecycle (build q89/q94, absorb q80, compact q106, serve) —
+    // Lucene/faiss tombstones: |deletes|-cost marks, serve-side
+    // broadcast anti-join between purges, physical drop through the
+    // read-by-path atomic rewrite (q128's compactor pattern) at the
+    // maintenance window. The gate serves the SAME queries through
+    // BOTH states — tombstoned (anti-join live view) and purged
+    // (rewritten table) — and both must equal the oracle's
+    // delete-filtered chain row-for-row: the purge changed layout,
+    // never answers. vec_id % 7 = 3 deletes ~14%, enough to move
+    // several top-5 lists vs q89.
+    Q("q135_index_delete", "pipeline:ivfpq-delete",
+      Some(ivfPqDeleteOracle(PqDefault, cellSize = 64, nProbe = 4,
+        nQ = 20, k = 5, shortlist = 50, deletePred = "vec_id % 7 = 3")),
+      (s, dir) => {
+        val wh = s"target/graft-wh/${new java.io.File(dir).getName}"
+        val e = t(s, dir, "embeddings")
+        Pq.buildIvfPqIndex(e, PqDefault, cellSize = 64, wh,
+          "q135_pqidx", nBuckets = 8)
+        Pq.deleteFromIndex(wh, "q135_pqidx",
+          e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+        val (cents, kCells) = IvfIndex.sampleQuantizerDf(e, 64)
+        val cb = Pq.sampleCodebooks(e, PqDefault)
+        // the tombstoned serve PINS (k·nQ rows, lineage truncated)
+        // before the purge swaps the table and clears the tombstones
+        // out from under its plan. materialize (cache+count) is NOT
+        // enough here: the purge's staged swap DROPs the catalog
+        // entry, and DropTable CASCADE-uncaches every cached plan
+        // referencing the table — the union then recomputed this
+        // serve against post-purge state (observed: FILE_NOT_EXIST
+        // on the cleared tombstone file). A pin is a LogicalRDD with
+        // no catalog reference, so the drop cannot evict it.
+        val tombstoned = graft.engine.Checkpoints.pin(
+          Pq.ivfPqServe(
+            Pq.liveIndex(s, wh, "q135_pqidx"), e, cents, kCells, cb,
+            PqDefault, nProbe = 4, nQueries = 20, k = 5, shortlist = 50)
+            .withColumn("phase", lit("tombstoned")))
+        val ct = Pq.purgeDeletes(s, wh, "q135_pqidx", nBuckets = 8)
+        val purged = Pq.ivfPqServe(s.table(ct), e, cents, kCells, cb,
+          PqDefault, nProbe = 4, nQueries = 20, k = 5, shortlist = 50)
+          .withColumn("phase", lit("purged"))
+        tombstoned.unionByName(purged)
+          .select(col("phase"), col("query_id"), col("rank"),
+            col("vec_id"), col("l2_x1e6"))
+          .orderBy("phase", "query_id", "rank")
+      }),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
@@ -3117,6 +3183,38 @@ object Pipeline {
       |ORDER BY e.token""".stripMargin
   }
 
+  /** q134's oracle: q112's grid, the distinct-token candidate cut at
+    * the estimate, then the exact recount of candidates only — the
+    * confirmed set and both counts under the hash. */
+  private def heavyHittersOracle(minCount: Long, depth: Int,
+                                 width: Int): String =
+    s"""WITH tok AS MATERIALIZED (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      |  FROM documents),
+      |rows_ AS (SELECT CAST(i AS BIGINT) AS row_i FROM range($depth) r(i)),
+      |sk AS MATERIALIZED (
+      |  SELECT row_i,
+      |    ((${h60Sql("t")}) + row_i * (${h60bSql("t")})) % $width AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+      |dt AS (SELECT DISTINCT t FROM tok),
+      |pb AS (
+      |  SELECT dt.t, r.row_i,
+      |    ((${h60Sql("dt.t")}) + r.row_i * (${h60bSql("dt.t")}))
+      |      % $width AS bucket
+      |  FROM dt CROSS JOIN rows_ r),
+      |cand AS MATERIALIZED (
+      |  SELECT t, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
+      |  FROM pb LEFT JOIN sk ON sk.row_i = pb.row_i AND sk.bucket = pb.bucket
+      |  GROUP BY 1 HAVING min(coalesce(sk.cnt, 0)) >= $minCount),
+      |ex AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok
+      |  WHERE t IN (SELECT t FROM cand) GROUP BY 1)
+      |SELECT c.t AS token, x.exact_cnt, c.cms_est
+      |FROM cand c JOIN ex x ON x.t = c.t
+      |WHERE x.exact_cnt >= $minCount
+      |ORDER BY token""".stripMargin
+
   /** DuckDB twin of [[graft.ops.Retrieval.bm25TopK]] — same rational
     * constants, same `//` truncation (all terms positive). */
   private def bm25Oracle(terms: Seq[String], k: Int): String = {
@@ -4044,7 +4142,8 @@ object Pipeline {
     * shortlist, exact rerank. */
   private def ivfPqCtes(cfg: Pq.PqConfig, cellSizeSql: String, nProbe: Int,
                         nQ: Int, shortlist: Int,
-                        pfx: String = ""): String = {
+                        pfx: String = "",
+                        deletePred: Option[String] = None): String = {
     val mask = (1 << cfg.bitsPerCode) - 1
     // like pqCodesCtes, the chain is prefixable so q104 can run it
     // TWICE in one statement (raw + rotated corpus, prefix `r`); it
@@ -4067,7 +4166,8 @@ object Pipeline {
       |  SELECT vec_id, cid,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
       |  FROM ${p}cdist),
-      |${p}placed AS (SELECT vec_id, cid AS cell FROM ${p}crk WHERE r = 1),
+      |${p}placed AS (SELECT vec_id, cid AS cell FROM ${p}crk
+      |  WHERE r = 1${deletePred.map(d => s" AND NOT ($d)").getOrElse("")}),
       |${p}qprob AS (SELECT vec_id AS query_id, cid AS cell FROM ${p}crk
       |          WHERE r <= $nProbe AND vec_id < $nQ),
       |${p}icand AS (
@@ -4099,6 +4199,31 @@ object Pipeline {
       |  FROM ${p}isl c JOIN ${p}e e ON e.vec_id = c.vec_id
       |  JOIN ${p}q q ON q.query_id = c.query_id)""".stripMargin
   }
+
+  /** q135's oracle: q89's serving chain with the deleted ids excluded
+    * at placement (a tombstoned/purged vector leaves the candidate
+    * universe; quantizer, codebooks and query set stay full-corpus —
+    * the pinned-quantizer contract), the SAME ranking emitted twice
+    * under phase tags — the Spark side serves once through the
+    * tombstone anti-join and once from the purged rewrite, and both
+    * must equal this chain row-for-row. */
+  private def ivfPqDeleteOracle(cfg: Pq.PqConfig, cellSize: Int,
+                                nProbe: Int, nQ: Int, k: Int,
+                                shortlist: Int,
+                                deletePred: String): String =
+    s"""WITH ${pqCodesCtes(cfg)},
+      |${ivfPqCtes(cfg, s"$cellSize.0", nProbe, nQ, shortlist,
+          deletePred = Some(deletePred))},
+      |ranked AS (
+      |  SELECT query_id, CAST(rank AS INT) AS rank, vec_id, l2_x1e6 FROM (
+      |    SELECT query_id, vec_id, l2_x1e6,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY l2_x1e6, vec_id) AS rank
+      |    FROM irr) WHERE rank <= $k)
+      |SELECT p.phase, r.query_id, r.rank, r.vec_id, r.l2_x1e6
+      |FROM ranked r CROSS JOIN (
+      |  SELECT unnest(['purged', 'tombstoned']) AS phase) p
+      |ORDER BY p.phase, r.query_id, r.rank""".stripMargin
 
   /** q89: the IVF-PQ serving path end-to-end. */
   private def ivfPqTopKOracle(cfg: Pq.PqConfig, cellSize: Int, nProbe: Int,
