@@ -453,9 +453,13 @@ object Pq {
     val files = fs.listStatus(fs.makeQualified(dst))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(_.getPath.toString)
+    // repartition on the bucket key = one file per bucket out (the
+    // q128 compactor contract; repartition's HashPartitioning IS the
+    // bucket id function) — a purge is also a compaction
     val live = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
       .join(broadcast(indexTombstones(spark, warehouse, table).distinct()),
         Seq("vec_id"), "left_anti")
+      .repartition(nBuckets, col("cell"))
     val out = graft.engine.TableStore.writeBucketed(live, warehouse, table,
       nBuckets, Seq("cell"))
     fs.delete(new Path(deletesPath(warehouse, table)), true)

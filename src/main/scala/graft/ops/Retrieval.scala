@@ -202,6 +202,54 @@ object Retrieval {
         col("score_x1M"))
   }
 
+  /** Per-CLUSTER TF-IDF labels — [[tfidfKeywords]] lifted from docs
+    * to near-dup clusters: the top `m` terms of each cluster's pooled
+    * text by tf·idf, where idf treats each CLUSTER as one document
+    * (N = distinct clusters in the `clusters` frame — including
+    * token-less ones, mirroring q131's all-docs N; df = clusters
+    * containing the token). This is the SemDeDup/cluster-triage
+    * naming primitive: after q35/q46/q67 build duplicate clusters,
+    * this says WHAT each cluster is (the license block, the template
+    * family, the quote chain) so curation can act on named groups
+    * instead of opaque root ids. Any (doc_id, cluster_root) frame
+    * drops in — exact q35, embedding q46, capped q67 (the q113
+    * composition contract).
+    *
+    * Plan: the cluster map joins the corpus stream (cluster frames
+    * are corpus-row-sized but 2-int columns; Spark picks the join
+    * side), then exactly q131's exchange shape keyed by cluster —
+    * one corpus-sized (cluster, token) aggregate, vocabulary-sized
+    * df via [[VocabJoin]]'s counted dispatch, per-cluster top-m
+    * through WindowGroupLimit. Same smoothed integer idf rational as
+    * the whole lexical family. Output:
+    * (cluster_root, rank, token, tf, score_x1M). */
+  def clusterKeywords(docs: DataFrame, clusters: DataFrame,
+                      m: Int): DataFrame = {
+    require(m >= 1, s"m=$m must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = docs
+      .join(clusters.select(col("doc_id"), col("cluster_root")), "doc_id")
+      .select(col("cluster_root"), explode(tokens(col("text"))).as("token"))
+    val tf = tagged.groupBy(col("cluster_root"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nGroups = clusters.select(col("cluster_root")).distinct()
+      .agg(count(lit(1)).as("n_groups"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = idiv(lit(1000000L) *
+      (lit(2L) * col("n_groups") - lit(2L) * col("df") + lit(1L)),
+      lit(2L) * col("df") + lit(1L))
+    val w = Window.partitionBy("cluster_root")
+      .orderBy(col("score_x1M").desc, col("token"))
+    VocabJoin.join(tf, df, Seq("token"))
+      .crossJoin(broadcast(nGroups))
+      .select(col("cluster_root"), col("token"), col("tf"),
+        (col("tf") * idf).as("score_x1M"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("cluster_root"), col("rank"), col("token"), col("tf"),
+        col("score_x1M"))
+  }
+
   /** Materialize the FULL inverted index — the search-tier artifact
     * the scan path recomputes per query: one row per (token, doc)
     * posting `(token, doc_id, dl, tf)`, bucketed AND sorted by token
@@ -359,7 +407,18 @@ object Retrieval {
     val files = fs.listStatus(fs.makeQualified(dst))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(_.getPath.toString)
+    // repartition on the bucket key before the bucketed write:
+    // repartition's HashPartitioning and Spark's bucket id are the
+    // same pmod(murmur3, n), so each task holds exactly ONE bucket
+    // and the output is exactly one sorted file per bucket — the
+    // guaranteed-shrink contract a compactor exists for. (Without
+    // it, bucketBy splits per input task: files = tasks × buckets,
+    // and the count depends on how the scan packed the input files.)
+    // The exchange is the compactor's honest cost; a shuffle-free
+    // variant would group the absorb files by the bucket id in their
+    // NAMES and merge per bucket outside the DataFrame API.
     val rows = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      .repartition(nBuckets, col("token"))
     graft.engine.TableStore.writeBucketed(rows, warehouse, table,
       nBuckets, Seq("token"), Seq("token"))
   }

@@ -2182,6 +2182,22 @@ object Pipeline {
       (s, dir) => Sketches.heavyHitters(docsF(s, dir), minCount = 500,
         depth = 4, width = 8).orderBy("token")),
 
+    // ── per-cluster TF-IDF labels ([[Retrieval.clusterKeywords]]):
+    // q131 lifted from docs to near-dup clusters — after q67's capped
+    // clustering says WHICH docs group, this says WHAT each cluster
+    // is (top-m pooled-text terms, idf over clusters), the
+    // SemDeDup/cluster-triage naming primitive. Composition: q67's
+    // capped cluster chain feeds q131's integer tf·idf keyed by root;
+    // the oracle chains the SAME capped CTEs into the SAME rational.
+    Q("q136_cluster_keywords", "pipeline:retrieval-cluster-labels",
+      Some(clusterKeywordsOracle(m = 3)),
+      (s, dir) => {
+        val docs = docsF(s, dir)
+        Retrieval.clusterKeywords(docs,
+            Dedup.dupClusters(docs, 0.8, bucketCap = Some(16)), m = 3)
+          .orderBy("cluster_root", "rank")
+      }),
+
     // ── DELETE from the persisted IVF-PQ index ([[Pq.deleteFromIndex]]
     // / [[Pq.purgeDeletes]]): the verb that completes the vector
     // lifecycle (build q89/q94, absorb q80, compact q106, serve) —
@@ -4836,6 +4852,42 @@ object Pipeline {
       |     - floor(start_offset / 512.0) AS BIGINT) AS chunks_crossed,
       |  lang, rate_ppm
       |FROM off ORDER BY doc_id""".stripMargin
+
+  /** q136's oracle: q67's capped cluster chain (signatures → bands →
+    * cap → verify → recursive CC), then q131's integer tf·idf keyed
+    * by cluster root — N = distinct roots (every doc labels, so this
+    * is the cluster count), df = clusters containing the token, the
+    * family's one smoothed rational. */
+  private def clusterKeywordsOracle(m: Int): String =
+    s"""WITH RECURSIVE ${cappedLshCtes(Some(16))},
+      |jp AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+      |${ccCtes("documents")},
+      |tok AS (
+      |  SELECT l.root AS k,
+      |    unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS token
+      |  FROM documents d JOIN lab l ON l.doc_id = d.doc_id),
+      |tf AS MATERIALIZED (
+      |  SELECT k, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |ng AS (SELECT CAST(count(DISTINCT root) AS BIGINT) AS n FROM lab),
+      |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+      |        GROUP BY 1),
+      |sc AS (
+      |  SELECT t.k, t.token, t.tf,
+      |    t.tf * ((1000000 * (2 * ng.n - 2 * q.df + 1)) // (2 * q.df + 1))
+      |      AS score_x1M
+      |  FROM tf t JOIN dfq q USING (token) CROSS JOIN ng),
+      |rk AS (
+      |  SELECT k, token, tf, score_x1M,
+      |    CAST(row_number() OVER (PARTITION BY k
+      |      ORDER BY score_x1M DESC, token) AS BIGINT) AS rank
+      |  FROM sc)
+      |SELECT CAST(k AS BIGINT) AS cluster_root, rank, token, tf, score_x1M
+      |FROM rk WHERE rank <= $m
+      |ORDER BY cluster_root, rank""".stripMargin
 
   private def lshMaterializeOracle(maxBucket: Option[Int]): String =
     s"""WITH RECURSIVE ${cappedLshCtes(maxBucket)},

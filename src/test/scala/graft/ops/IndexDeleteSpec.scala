@@ -40,6 +40,10 @@ class IndexDeleteSpec extends SparkSpec {
 
     val nBefore = spark.table(
       graft.engine.TableStore.bucketedName(spark, wh, "idx")).count()
+    // the shared test session may carry other suites' cache entries —
+    // clear first so the post-purge emptiness assert sees only what
+    // THIS purge would have left behind
+    spark.catalog.clearCache()
     val ct = Pq.purgeDeletes(spark, wh, "idx", nBuckets = 4)
     assert(spark.sharedState.cacheManager.isEmpty,
       "purge left a cached copy of the index")

@@ -24,6 +24,37 @@ class RetrievalSpec extends SparkSpec {
     2L -> "banana banana banana cherry",
     3L -> "durian")
 
+  test("clusterKeywords: cluster-specific terms outrank the token " +
+    "shared by every cluster; idf counts CLUSTERS (incl. token-less " +
+    "singletons); ranks tie-break by token") {
+    val sp = spark
+    import sp.implicits._
+    // clusters: {0,1} (root 0), {2} (root 2), {3} (root 3, null text).
+    // 'common' appears in both token-bearing clusters (df=2);
+    // cluster terms appear in one (df=1). N = 3 clusters.
+    val d = docs(
+      0L -> "alpha alpha common",
+      1L -> "alpha beta",
+      2L -> "gamma gamma common",
+      3L -> null.asInstanceOf[String])
+    val cl = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L))
+      .toDF("doc_id", "cluster_root")
+    val got = Retrieval.clusterKeywords(d, cl, m = 2)
+      .orderBy("cluster_root", "rank").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // idf_x1M: df=1 → (10^6·(6−2+1)) div 3 = 1,666,666; df=2 →
+    // (10^6·(6−4+1)) div 5 = 600,000
+    assert(got === Seq(
+      (0L, 1L, "alpha", 3L, 3L * 1666666L),
+      (0L, 2L, "beta", 1L, 1666666L),
+      (2L, 1L, "gamma", 2L, 2L * 1666666L),
+      (2L, 2L, "common", 1L, 600000L)))
+    // the null-text cluster labels nothing but still counts in N —
+    // the same all-docs convention q131 uses
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("bm25TopK matches the by-hand fixed-point arithmetic") {
     val out = Retrieval.bm25TopK(docs(corpus: _*),
       Seq("apple", "cherry"), k = 3).collect()

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 131, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 134, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -112,7 +112,11 @@ class QueriesSpec extends SparkSpec {
       // q118 cross-joins the slice LM's ONE-row token total onto both
       // scoring streams; q119 the ONE-row binding-budget min onto the
       // |sources|-row stats frame — the same scalar-broadcast shape
-      "q118_stupid_backoff", "q119_mixture_budget")
+      "q118_stupid_backoff", "q119_mixture_budget",
+      // q135 serves q94's shape twice (tombstoned live view + purged
+      // rewrite) — the broadcast-chunk probe assignment + broadcast
+      // rerank fetch both times
+      "q135_index_delete")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
