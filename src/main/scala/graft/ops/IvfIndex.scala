@@ -895,4 +895,107 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "label", "sim_x1e6")
   }
+
+  /** Metadata-FILTERED approximate top-k — the "filtered vector
+    * search" problem every serving stack hits (Milvus/pgvector/faiss
+    * `IDSelector`): top-k nearest neighbors among only the corpus
+    * vectors satisfying `pred` (a predicate over `vec_id`/`label`;
+    * query vectors are the first `nQueries` ids, unrestricted).
+    *
+    * The interesting part is the DISPATCH, and it is part of the
+    * operator's contract (the branch condition replays in the q137
+    * oracle as SQL over the same counts):
+    *
+    *   - **pre-filter** (selectivity ≤ `preFilterMaxPermille`‰): scan
+    *     the matching vectors EXACTLY — when the filter keeps a sliver
+    *     of the corpus, probing IVF cells is strictly worse (most
+    *     probed candidates fail the predicate, recall degrades for no
+    *     savings) while the exact scan is |match|·nQueries work and
+    *     gives perfect recall. This is what production engines do
+    *     below a selectivity knee.
+    *   - **post-filter** (broad predicates): normal IVF serve — one
+    *     corpus assignment against the broadcast sample quantizer
+    *     ([[assignViaJoin]], the 100-TB form), candidates from the
+    *     query's nProbe probed cells with the predicate applied
+    *     INSIDE the probe (before any vector payload moves), exact
+    *     cosine rerank of survivors only.
+    *
+    * One counted aggregation picks the branch (the
+    * [[Similarity.lshBandConfig]] / [[VocabJoin.plan]] one-count
+    * pattern); the returned frame carries the taken branch as a
+    * `mode` column so the decision itself sits under the hash gate.
+    *
+    * Scale shape: the dispatch count and the pre-filter scan are one
+    * corpus pass each; the post-filter branch moves (vec_id, cell,
+    * label) rows through the chunked-broadcast assignment once, and
+    * every later join keys on BOUNDED frames (nQueries·nProbe query
+    * cells, ≤ nProbe·cellSize·nQueries candidate ids) broadcast
+    * against one streaming corpus probe — no corpus shuffle in either
+    * branch. Zero-norm vectors are excluded on both sides (the family
+    * convention — cosine is undefined for them).
+    *
+    * Output: (mode, query_id, rank, vec_id, label, sim_x1e6). */
+  def filteredTopK(embeddings: DataFrame, pred: Column, nQueries: Int,
+                   k: Int, cellSize: Int, nProbe: Int,
+                   preFilterMaxPermille: Int = 50): DataFrame = {
+    require(nQueries >= 1, "nQueries must be positive")
+    require(k >= 1, "k must be positive")
+    require(cellSize >= 1, "cellSize must be positive")
+    require(nProbe >= 1, "nProbe must be positive")
+    require(preFilterMaxPermille >= 0 && preFilterMaxPermille <= 1000,
+      s"preFilterMaxPermille is a per-mille share, got $preFilterMaxPermille")
+    val base = embeddings
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      .filter(col("nrm") > 0d)
+      .cache()
+    // ONE count job decides the branch; n feeds the quantizer cut on
+    // the post-filter side so the corpus is never re-counted
+    val st = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("m")).head()
+    val (nAll, m) = (st.getLong(0), st.getLong(1))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val sim = floor(dotProduct(col("qv"), col("v")) /
+      (col("qn") * col("nrm")) * 1e6).cast("long").as("sim_x1e6")
+    val scored =
+      if (m * 1000L <= preFilterMaxPermille.toLong * nAll) {
+        base.filter(pred)
+          .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .select(lit("prefilter").as("mode"), col("query_id"),
+            col("vec_id"), col("label"), sim)
+      } else {
+        val (cents, kc) = lowestKCut(base, nAll, cellSize)
+        // corpus → home cell (nProbe=1: each vector lives in exactly
+        // its nearest cell); label rides as a keepCol so the predicate
+        // can run before any 64-float payload moves
+        val home = assignViaJoin(base.select("vec_id", "v", "label"),
+          cents, nProbe = 1, kEstimate = Some(kc), keepCols = Seq("label"))
+        val qCells = assignViaJoin(
+          queries.select(col("query_id").as("vec_id"), col("qv").as("v")),
+          cents, nProbe = nProbe, kEstimate = Some(kc))
+          .select(col("vec_id").as("query_id"), col("cell"))
+        val candIds = home.join(broadcast(qCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .filter(pred)
+          .select("query_id", "vec_id")
+        // rerank only survivors: the bounded (candidate × query-vector)
+        // frame broadcasts and the corpus streams through it once
+        val candQ = candIds.join(broadcast(queries), Seq("query_id"))
+        base.select(col("vec_id"), col("v"), col("label"), col("nrm"))
+          .join(broadcast(candQ), Seq("vec_id"))
+          .select(lit("postfilter").as("mode"), col("query_id"),
+            col("vec_id"), col("label"), sim)
+      }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_x1e6").desc, col("vec_id"))
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("mode", "query_id", "rank", "vec_id", "label", "sim_x1e6")
+      .transform(graft.engine.Checkpoints.materialize)
+    base.unpersist(blocking = false)
+    out
+  }
 }

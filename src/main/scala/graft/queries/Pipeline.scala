@@ -2246,6 +2246,36 @@ object Pipeline {
           .orderBy("phase", "query_id", "rank")
       }),
 
+    // ── metadata-FILTERED ANN ([[IvfIndex.filteredTopK]]): the
+    // filtered-vector-search problem (Milvus/pgvector/faiss
+    // IDSelector) with the production DISPATCH under the hash gate —
+    // one selectivity count picks exact pre-filter scan (rare
+    // predicates: IVF probing would waste candidates and lose recall)
+    // vs IVF probe with the predicate applied inside the probed cells
+    // (broad predicates). Two predicates drive BOTH branches through
+    // one gated result; the oracle replays the dispatch arithmetic,
+    // so an engine disagreement on the branch itself hash-fails.
+    Q("q137_filtered_ann", "pipeline:similarity-filtered-ann",
+      Some(filteredAnnOracle(Seq(
+        ("broad", (z: String) => s"$z.label % 2 = 0"),
+        ("rare", (z: String) => s"$z.vec_id % 50 = 7")),
+        nQ = 20, k = 5, cellSize = 64, nProbe = 4, thrPermille = 50)),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val broad = IvfIndex.filteredTopK(e,
+            pmod(col("label"), lit(2)) === 0,
+            nQueries = 20, k = 5, cellSize = 64, nProbe = 4)
+          .withColumn("pred_id", lit("broad"))
+        val rare = IvfIndex.filteredTopK(e,
+            pmod(col("vec_id"), lit(50)) === 7,
+            nQueries = 20, k = 5, cellSize = 64, nProbe = 4)
+          .withColumn("pred_id", lit("rare"))
+        broad.unionByName(rare)
+          .select(col("pred_id"), col("mode"), col("query_id"),
+            col("rank"), col("vec_id"), col("label"), col("sim_x1e6"))
+          .orderBy("pred_id", "query_id", "rank")
+      }),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
@@ -4240,6 +4270,84 @@ object Pipeline {
       |FROM ranked r CROSS JOIN (
       |  SELECT unnest(['purged', 'tombstoned']) AS phase) p
       |ORDER BY p.phase, r.query_id, r.rank""".stripMargin
+
+  /** q137's oracle — metadata-filtered ANN with BOTH dispatch
+    * branches replayed and the branch CONDITION itself in SQL: each
+    * predicate's chain computes the same (n, m) selectivity counts
+    * the Spark side dispatches on, derives the exact pre-filter
+    * ranking AND the IVF post-filter ranking, and emits whichever
+    * the shared arithmetic picks — so a dispatch disagreement
+    * between the engines is a hash mismatch, not a silent plan
+    * difference. The IVF half replays the sample-quantizer
+    * conventions of [[ivfPairsOracleWithCell]] (lowest-id LIMIT cut,
+    * (d, cid) assignment ties, cid = vec_id per the
+    * [[graft.ops.IvfIndex.sampleQuantizerDf]] relabeling argument).
+    * `preds` are (tag, alias => SQL) so the predicate can be
+    * qualified at each of its three positions. */
+  private def filteredAnnOracle(preds: Seq[(String, String => String)],
+                                nQ: Int, k: Int, cellSize: Int,
+                                nProbe: Int, thrPermille: Int): String = {
+    val shared =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, ${normSql("v")} AS nrm FROM e),
+        |nz AS MATERIALIZED (SELECT * FROM n WHERE nrm > 0),
+        |qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |  FROM nz WHERE vec_id < $nQ),
+        |cents AS MATERIALIZED (
+        |  SELECT vec_id AS cid, v AS cv, ${sqSumSql("v")} AS c2
+        |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id
+        |        LIMIT (SELECT CAST(ceil(count(*) / $cellSize.0) AS BIGINT)
+        |               FROM nz))),
+        |dist AS (
+        |  SELECT z.vec_id, c.cid, c.c2 - 2.0 * ${dotSql("z.v", "c.cv")} AS d
+        |  FROM nz z CROSS JOIN cents c),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        |  FROM dist),
+        |home AS MATERIALIZED (SELECT vec_id, cid AS cell FROM rk WHERE r <= 1),
+        |qc AS (SELECT vec_id AS query_id, cid AS cell FROM rk
+        |  WHERE r <= $nProbe AND vec_id < $nQ)""".stripMargin
+    val chains = preds.zipWithIndex.map { case ((tag, p), i) =>
+      val chain =
+        s"""st_$i AS (SELECT count(*) AS n_all,
+          |    coalesce(sum(CASE WHEN ${p("nz")} THEN 1 ELSE 0 END), 0) AS m
+          |  FROM nz),
+          |pre_$i AS (
+          |  SELECT q.query_id, z.vec_id, z.label,
+          |    CAST(floor(${dotSql("q.qv", "z.v")} / (q.qn * z.nrm) * 1000000)
+          |      AS BIGINT) AS sim_x1e6
+          |  FROM nz z CROSS JOIN qs q
+          |  WHERE z.vec_id <> q.query_id AND (${p("z")})),
+          |prerk_$i AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY sim_x1e6 DESC, vec_id) AS r FROM pre_$i),
+          |post_$i AS (
+          |  SELECT qc.query_id, z.vec_id, z.label,
+          |    CAST(floor(${dotSql("q.qv", "z.v")} / (q.qn * z.nrm) * 1000000)
+          |      AS BIGINT) AS sim_x1e6
+          |  FROM qc JOIN home h ON h.cell = qc.cell
+          |  JOIN nz z ON z.vec_id = h.vec_id
+          |  JOIN qs q ON q.query_id = qc.query_id
+          |  WHERE z.vec_id <> qc.query_id AND (${p("z")})),
+          |postrk_$i AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY sim_x1e6 DESC, vec_id) AS r FROM post_$i)""".stripMargin
+      val sel =
+        s"""SELECT '$tag' AS pred_id, 'prefilter' AS mode, query_id,
+          |  CAST(r AS INT) AS rank, vec_id, label, sim_x1e6
+          |FROM prerk_$i WHERE r <= $k
+          |  AND (SELECT 1000 * m <= $thrPermille * n_all FROM st_$i)
+          |UNION ALL
+          |SELECT '$tag', 'postfilter', query_id, CAST(r AS INT), vec_id,
+          |  label, sim_x1e6
+          |FROM postrk_$i WHERE r <= $k
+          |  AND (SELECT 1000 * m > $thrPermille * n_all FROM st_$i)""".stripMargin
+      (chain, sel)
+    }
+    s"""WITH $shared,
+      |${chains.map(_._1).mkString(",\n")}
+      |${chains.map(_._2).mkString("\nUNION ALL\n")}
+      |ORDER BY pred_id, query_id, rank""".stripMargin
+  }
 
   /** q89: the IVF-PQ serving path end-to-end. */
   private def ivfPqTopKOracle(cfg: Pq.PqConfig, cellSize: Int, nProbe: Int,

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 134, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 136, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -107,6 +107,9 @@ class QueriesSpec extends SparkSpec {
       // q125 cross-joins the BROADCAST eval-set-sized bench side onto
       // the corpus stream - the q25 bounded-build one-pass shape
       "q125_embedding_contamination", "q131_tfidf_keywords",
+      // q136 composes q131's tf·idf over cluster roots — the same
+      // scalar-broadcast (N, avgdl-style one-row frame) shape
+      "q136_cluster_keywords",
       // q126 cross-joins its ONE-row tau frame onto the k sampled rows
       "q126_priority_sample", "q129_scrub_then_sample",
       // q118 cross-joins the slice LM's ONE-row token total onto both
@@ -116,7 +119,12 @@ class QueriesSpec extends SparkSpec {
       // q135 serves q94's shape twice (tombstoned live view + purged
       // rewrite) — the broadcast-chunk probe assignment + broadcast
       // rerank fetch both times
-      "q135_index_delete")
+      "q135_index_delete",
+      // q137's pre-filter branch is the q25 bounded-build one-pass
+      // shape (broadcast ~20 queries, non-equi self-exclusion); its
+      // post-filter branch runs assignViaJoin's broadcast-chunk
+      // cross join — both bounded build sides by design
+      "q137_filtered_ann")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
