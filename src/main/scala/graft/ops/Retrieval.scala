@@ -160,6 +160,66 @@ object Retrieval {
       .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25_x1M"))
   }
 
+  /** Hybrid retrieval: the lexical top-`nLex` ([[bm25TopK]]) and the
+    * embedding top-`nVec` (exact cosine from the query vector
+    * `queryVecId`, the doc universe keyed `vec_id = doc_id`) fused by
+    * Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009) — the
+    * standard "hybrid search" serving shape (Elasticsearch/Vespa/
+    * Weaviate): each list contributes 1/(rrfK + rank), absent docs
+    * contribute nothing, and the fused order is robust to the two
+    * scores living on incomparable scales (integer BM25 vs cosine).
+    * House integer form: contribution = 10^6 div (rrfK + rank), so
+    * the fused score replays exactly in the oracle; ties on doc_id.
+    *
+    * Scale shape: each side is its already-audited operator (BM25's
+    * one pre-filtered corpus exchange; the vector side the q25
+    * broadcast-queries one-pass scan — swap in the IVF serve for a
+    * persisted index). The fusion itself touches only the two
+    * ≤(nLex + nVec)-row rank lists: a full outer join of bounded
+    * frames, zero corpus work.
+    *
+    * Output: (rank, doc_id, lex_rank, vec_rank, rrf_x1M), ranks 0
+    * when the doc is absent from that list. */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+                 terms: Seq[String], queryVecId: Long, nLex: Int,
+                 nVec: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.dotProduct
+    require(nLex >= 1 && nVec >= 1 && k >= 1, "list sizes must be positive")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    val lex = bm25TopK(docs, terms, nLex)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val n = embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      .filter(col("nrm") > 0d)
+    val q = n.filter(col("doc_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vs = n.filter(col("doc_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        floor(dotProduct(col("qv"), col("v")) / (col("qn") * col("nrm"))
+          * 1e6).cast("long").as("sim_x1e6"))
+    val vec = vs.orderBy(col("sim_x1e6").desc, col("doc_id")).limit(nVec)
+      .withColumn("vec_rank", row_number()
+        .over(Window.orderBy(col("sim_x1e6").desc, col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "vec_rank")
+    val contrib = (r: Column) =>
+      when(r > 0L, idiv(lit(1000000L), lit(rrfK.toLong) + r)).otherwise(0L)
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_x1M",
+        contrib(col("lex_rank")) + contrib(col("vec_rank")))
+    fused.orderBy(col("rrf_x1M").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf_x1M").desc, col("doc_id")))
+        .cast("long"))
+      .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf_x1M")
+  }
+
   /** Per-document TF-IDF keyword extraction: the top `m` terms of
     * each doc by tf·idf — the tagging/labeling primitive (cluster
     * naming, topic surfacing, dedup-cluster summarization) beside

@@ -2276,6 +2276,21 @@ object Pipeline {
           .orderBy("pred_id", "query_id", "rank")
       }),
 
+    // ── hybrid retrieval ([[Retrieval.hybridTopK]]): q110's BM25 list
+    // and the q25-convention exact cosine list fused by integer
+    // Reciprocal Rank Fusion — the Elasticsearch/Vespa "hybrid
+    // search" serving shape, composing the two retrieval families
+    // this engine already gates into the ranking a user actually
+    // serves. Fusion touches only the two bounded rank lists; the
+    // oracle chains the shared bm25Ctes fragment with the q25 float
+    // conventions and the same 10^6 div (60 + rank) arithmetic.
+    Q("q138_hybrid_rrf", "pipeline:retrieval-hybrid",
+      Some(hybridOracle(Bm25Terms, qid = 7L, nLex = 20, nVec = 20,
+        k = 10, rrfK = 60)),
+      (s, dir) => Retrieval.hybridTopK(docsF(s, dir),
+        t(s, dir, "embeddings"), Bm25Terms, queryVecId = 7L,
+        nLex = 20, nVec = 20, k = 10).orderBy("rank")),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
@@ -3263,9 +3278,13 @@ object Pipeline {
 
   /** DuckDB twin of [[graft.ops.Retrieval.bm25TopK]] — same rational
     * constants, same `//` truncation (all terms positive). */
-  private def bm25Oracle(terms: Seq[String], k: Int): String = {
+  /** The BM25 scoring chain (corpus stats → per-(doc, term) integer
+    * Okapi scores → per-doc totals in `doc`) as a reusable CTE
+    * fragment — q110/q122 rank it directly, q138 fuses it with the
+    * vector list. */
+  private def bm25Ctes(terms: Seq[String]): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH d AS (
+    s"""d AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
       |  FROM documents),
       |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
@@ -3289,12 +3308,56 @@ object Pipeline {
       |doc AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
       |    CAST(sum(term_score) AS BIGINT) AS bm25_x1M
-      |  FROM scored GROUP BY 1),
+      |  FROM scored GROUP BY 1)""".stripMargin
+  }
+
+  private def bm25Oracle(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25Ctes(terms)},
       |top AS (SELECT * FROM doc ORDER BY bm25_x1M DESC, doc_id LIMIT $k)
       |SELECT CAST(row_number() OVER (ORDER BY bm25_x1M DESC, doc_id)
       |    AS BIGINT) AS rank, doc_id, n_terms, bm25_x1M
       |FROM top ORDER BY rank""".stripMargin
-  }
+
+  /** q138's oracle — hybrid retrieval: the BM25 chain's top-nLex list
+    * and the exact-cosine top-nVec list (q25's float conventions, the
+    * doc universe keyed vec_id = doc_id) fused by integer Reciprocal
+    * Rank Fusion: contribution = 10^6 div (rrfK + rank) per list, 0
+    * when absent, ties on doc_id. */
+  private def hybridOracle(terms: Seq[String], qid: Long, nLex: Int,
+                           nVec: Int, k: Int, rrfK: Int): String =
+    s"""WITH ${bm25Ctes(terms)},
+      |lexr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25_x1M DESC,
+      |      doc_id) AS BIGINT) AS lex_rank
+      |  FROM (SELECT * FROM doc ORDER BY bm25_x1M DESC, doc_id
+      |        LIMIT $nLex)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e
+      |  WHERE ${normSql("v")} > 0),
+      |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $qid),
+      |vs AS (
+      |  SELECT vec_id AS doc_id,
+      |    CAST(floor(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) * 1000000)
+      |      AS BIGINT) AS sim_x1e6
+      |  FROM n CROSS JOIN q WHERE vec_id <> $qid),
+      |vecr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim_x1e6 DESC,
+      |      doc_id) AS BIGINT) AS vec_rank
+      |  FROM (SELECT * FROM vs ORDER BY sim_x1e6 DESC, doc_id
+      |        LIMIT $nVec)),
+      |fused AS (
+      |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |    coalesce(l.lex_rank, 0) AS lex_rank,
+      |    coalesce(v.vec_rank, 0) AS vec_rank,
+      |    (CASE WHEN l.lex_rank IS NULL THEN 0
+      |          ELSE 1000000 // ($rrfK + l.lex_rank) END)
+      |    + (CASE WHEN v.vec_rank IS NULL THEN 0
+      |            ELSE 1000000 // ($rrfK + v.vec_rank) END) AS rrf_x1M
+      |  FROM lexr l FULL OUTER JOIN vecr v ON v.doc_id = l.doc_id),
+      |top AS (SELECT * FROM fused ORDER BY rrf_x1M DESC, doc_id LIMIT $k)
+      |SELECT CAST(row_number() OVER (ORDER BY rrf_x1M DESC, doc_id)
+      |    AS BIGINT) AS rank, doc_id, lex_rank, vec_rank, rrf_x1M
+      |FROM top ORDER BY rank""".stripMargin
 
   /** DuckDB twin of [[TextAnalysis.collocations]] — lockstep unnest
     * builds the adjacent pairs, integer lift, same tie-break. */

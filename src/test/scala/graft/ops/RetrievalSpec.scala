@@ -96,6 +96,34 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, "a", "b", 3L, 3L, 3L, 2000000L)))
   }
 
+  test("hybridTopK: hand-worked RRF fusion — both-lists doc beats " +
+    "either single-list doc, absent ranks carry 0, integer 10^6 div " +
+    "(60 + rank) contributions") {
+    val sp = spark
+    import sp.implicits._
+    // lexical side over `corpus` with terms = ["apple"]:
+    //   doc0 (tf=2, dl=3): tfn = 1.1e11 div 84500 = 1,301,775 → rank 1
+    //   doc1 (tf=1, dl=2): tfn = 5.5e10 div 50500 = 1,089,108 → rank 2
+    // vector side from query vec 9 = [1, 0]:
+    //   vec1 = [1, 0] → sim 1,000,000 → rank 1
+    //   vec5 = [.6, .8] → sim 600,000 → rank 2
+    // fused (rrfK = 60): doc1 both lists = 16129 + 16393 = 32522;
+    // doc0 lex-only = 16393; doc5 vec-only = 16129.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (5L, Seq(0.6f, 0.8f), 0),
+      (9L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Retrieval.hybridTopK(docs(corpus: _*), emb,
+        Seq("apple"), queryVecId = 9L, nLex = 5, nVec = 5, k = 4)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Seq(
+      (1L, 1L, 2L, 1L, 32522L),
+      (2L, 0L, 1L, 0L, 16393L),
+      (3L, 5L, 0L, 2L, 16129L)))
+  }
+
   test("collocations ranks ties lexicographically") {
     val out = TextAnalysis.collocations(docs(colloCorpus: _*),
       minCount = 1, k = 10).collect()

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 136, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 137, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -124,7 +124,10 @@ class QueriesSpec extends SparkSpec {
       // shape (broadcast ~20 queries, non-equi self-exclusion); its
       // post-filter branch runs assignViaJoin's broadcast-chunk
       // cross join — both bounded build sides by design
-      "q137_filtered_ann")
+      "q137_filtered_ann",
+      // q138 composes q110's scalar-broadcast BM25 stats AND the
+      // q25-shape one-row query-vector broadcast onto the corpus scan
+      "q138_hybrid_rrf")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
