@@ -416,6 +416,84 @@ object Dedup {
     out
   }
 
+  /** Band-collision CANDIDATE pairs only — [[minhashDupPairsCapped]]
+    * stopped before verification, exposed so a different verifier
+    * (edit distance in [[editVerifiedPairs]], a cross-encoder at a
+    * model boundary) can consume the same bucket-capped MinHash
+    * recall machinery. Same cap semantics and determinism as the
+    * verified form; output (doc_a, doc_b), doc_a < doc_b, distinct. */
+  def minhashCandidatesCapped(docs: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    // signatures cached: the band self-join scans them twice
+    val sigs = minhashSignatures(docs).cache()
+    val allBands = lshBands(sigs)
+    val oversized = allBands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select("band_idx", "band_val")
+    val bands = allBands
+      .join(oversized, Seq("band_idx", "band_val"), "left_anti")
+      .cache()
+    val out = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .transform(graft.engine.Checkpoints.materialize)
+    bands.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    out
+  }
+
+  /** EDIT-DISTANCE verification of near-dup candidates — the verifier
+    * for corpora where shingle Jaccard is too coarse (short texts,
+    * heavy token reordering false-positives) or where the dedup
+    * policy is stated in character edits ("drop if within d edits",
+    * the ExactSubstr/fuzzy-dedup family). `candidates` is any
+    * (doc_a, doc_b) frame ([[minhashCandidatesCapped]],
+    * [[simhashDupPairs]]'s pairs, a planted set); each pair gets the
+    * exact Levenshtein distance of its texts, BANDED at `maxDist` —
+    * Spark's thresholded `levenshtein` runs the Ukkonen-style
+    * O(maxDist·len) band, not the full O(len²) matrix, and returns
+    * -1 past the band, so pairs farther than `maxDist` cost only the
+    * band and are dropped (the oracle's unbanded
+    * `levenshtein() <= maxDist` keeps exactly the same set).
+    *
+    * Distances are code-point edits; both engines count ASCII
+    * identically (the corpus precondition the scrub family already
+    * pins — see [[graft.functions.MultiMatchScrubExpr]]).
+    *
+    * Scale shape: the candidate frame is bounded by the upstream cap,
+    * so it BROADCASTS (the q113 posture) and the corpus text column
+    * streams through two broadcast-hash probes — no corpus shuffle;
+    * the quadratic-looking work is the banded kernel on |candidates|
+    * text pairs, the honest verification cost. Output: (doc_a, doc_b,
+    * n_a, n_b, dist, edit_sim_x1000 = 1000 − (1000·dist) div
+    * max(n_a, n_b, 1)), doc_a < doc_b. */
+  def editVerifiedPairs(docs: DataFrame, candidates: DataFrame,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val txt = docs.select(col("doc_id"), col("text"))
+    val withA = txt
+      .join(broadcast(candidates), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("text").as("text_a"))
+    val paired = txt
+      .join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("text_a"),
+        col("text").as("text_b"))
+    paired
+      .select(col("doc_a"), col("doc_b"),
+        length(col("text_a")).cast("long").as("n_a"),
+        length(col("text_b")).cast("long").as("n_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist)
+          .cast("long").as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist.toLong)
+      .withColumn("edit_sim_x1000",
+        lit(1000L) - idiv(lit(1000L) * col("dist"),
+          greatest(col("n_a"), col("n_b"), lit(1L))))
+  }
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation, with the iteration kernel at the RDD layer.
     *

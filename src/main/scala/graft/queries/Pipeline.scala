@@ -2291,6 +2291,25 @@ object Pipeline {
         t(s, dir, "embeddings"), Bm25Terms, queryVecId = 7L,
         nLex = 20, nVec = 20, k = 10).orderBy("rank")),
 
+    // ── edit-distance near-dup verification ([[Dedup.editVerifiedPairs]]):
+    // q61's bucket-capped MinHash candidates verified by BANDED
+    // Levenshtein instead of shingle Jaccard — the fuzzy-dedup policy
+    // stated in character edits. Spark's thresholded levenshtein runs
+    // the O(maxDist·len) band and returns -1 past it; the oracle's
+    // unbanded levenshtein() <= maxDist keeps the identical set, so
+    // the band's exactness-inside-the-band is itself hash-checked.
+    // Candidate false positives (band collisions between unrelated
+    // docs) die at the distance filter on both engines.
+    Q("q139_edit_verified_pairs", "pipeline:dedup-edit-distance",
+      Some(editVerifiedOracle(maxBucket = 16, maxDist = 64)),
+      (s, dir) => {
+        val d = docsF(s, dir)
+        Dedup.editVerifiedPairs(d,
+            Dedup.minhashCandidatesCapped(d, maxBucket = 16),
+            maxDist = 64)
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
@@ -3131,6 +3150,27 @@ object Pipeline {
     * from exact q22 pairs to this capped form — the shape users run
     * at scale (PLANS' x100 ladder feeds from it); exact pairs stay
     * gated by q22 itself. */
+  /** q139's oracle — the capped-LSH candidate CTEs (the `cand` frame;
+    * the fragment's unreferenced Jaccard tail is not executed) joined
+    * to the texts, exact levenshtein, banded keep. DuckDB's
+    * levenshtein is unbanded; equality with Spark's thresholded
+    * kernel holds because the band is exact at or under `maxDist`
+    * and both engines drop everything past it. */
+  private def editVerifiedOracle(maxBucket: Int, maxDist: Int): String =
+    s"""WITH ${cappedLshCtes(Some(maxBucket))},
+      |ed AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(length(a.text) AS BIGINT) AS n_a,
+      |    CAST(length(b.text) AS BIGINT) AS n_b,
+      |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      |  FROM cand c
+      |  JOIN documents a ON a.doc_id = c.doc_a
+      |  JOIN documents b ON b.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, n_a, n_b, dist,
+      |  1000 - ((1000 * dist) // greatest(n_a, n_b, 1)) AS edit_sim_x1000
+      |FROM ed WHERE dist <= $maxDist
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private def pageRankOracle(iters: Int, maxBucket: Int): String = {
     val sweeps = (1 to iters).map { k =>
       s"""r$k AS (
