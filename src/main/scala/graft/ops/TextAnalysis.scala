@@ -1102,4 +1102,89 @@ object TextAnalysis {
         idiv(lit(1000L) * col("surprisal_bits"),
           greatest(col("n_tokens"), lit(1L))).as("bits_x1000_per_token"))
   }
+
+  /** TRAINED multinomial Naive Bayes text classifier — the
+    * fastText/DCLM-style supervised curation filter (GPT-3's quality
+    * classifier, DCLM's fastText gate) instantiated on the corpus's
+    * own `lang` labels: train on the doc_id % `trainMod` = `trainRem`
+    * slice, classify every held-out document, report prediction and
+    * correctness. Any (label, text) supervision drops into the same
+    * shape — lang is what the synthetic corpus carries.
+    *
+    * The model is the integer-bits NB the LM family already speaks
+    * (q115's floor(log2) = length(bin(x)) − 1 convention, so every
+    * score replays in the oracle):
+    *
+    *   bits(t, c)  = ⌊log2((T_c + V) div (cnt(t, c) + 1))⌋
+    *                 — Laplace-smoothed per-token surprisal in class c
+    *                 (T_c = class token total, V = train vocabulary)
+    *   default(c)  = ⌊log2(T_c + V)⌋              (unseen token, cnt 0)
+    *   prior(c)    = ⌊log2(N div N_c)⌋            (class doc share)
+    *   score(d, c) = prior(c) + Σ_tokens bits     (lower = more likely)
+    *   pred(d)     = argmin score, ties to the lexicographically
+    *                 smallest class
+    *
+    * floor-log2 quantization coarsens probabilities to powers of two —
+    * the honest cost of integer-exact cross-engine scoring; the
+    * classifier stays a real NB (monotone per-token evidence), just a
+    * coarsely binned one.
+    *
+    * Plan shape: the model is three vocabulary-sized aggregates off
+    * one train-slice pass (cnt cached — T_c, V and the bits table
+    * read it, not the corpus); scoring explodes the held-out stream
+    * once, replicates it across the |classes| (≤ handfuls) broadcast
+    * class frame, probes the (class, token) bits table under
+    * [[VocabJoin]]'s counted dispatch, and aggregates slim int rows
+    * per (doc, class) — the q91 posture with a small class factor.
+    * No corpus-sized join-back, no driver-side model state.
+    *
+    * Output: (doc_id, lang, pred_lang, bits_total, correct) for every
+    * held-out doc with at least one token. */
+  def nbLangClassifier(docs: DataFrame, trainMod: Int = 10,
+                       trainRem: Int = 7): DataFrame = {
+    require(trainMod >= 2, s"trainMod must be >= 2, got $trainMod")
+    require(trainRem >= 0 && trainRem < trainMod,
+      s"trainRem must be in [0, $trainMod), got $trainRem")
+    import org.apache.spark.sql.expressions.Window
+    val isTrain = pmod(col("doc_id"), lit(trainMod.toLong)) === trainRem
+    val train = docs.filter(isTrain)
+    val cnt = train
+      .select(col("lang").as("c_lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy("c_lang", "t").agg(count(lit(1)).as("c"))
+      .cache()
+    val tc = cnt.groupBy("c_lang").agg(sum(col("c")).as("t_c"))
+    val v = cnt.select("t").distinct().agg(count(lit(1)).as("v"))
+    val cls = train.groupBy(col("lang").as("c_lang"))
+      .agg(count(lit(1)).as("n_c"))
+    val nTot = train.agg(count(lit(1)).as("n"))
+    // per-class constants: unseen-token default + prior, ≤|classes| rows
+    val cdef = cls.join(tc, Seq("c_lang"), "left")
+      .crossJoin(broadcast(v)).crossJoin(broadcast(nTot))
+      .select(col("c_lang"),
+        (length(bin(coalesce(col("t_c"), lit(0L)) + col("v"))) - 1)
+          .cast("long").as("bdef"),
+        (length(bin(idiv(col("n"), col("n_c")))) - 1)
+          .cast("long").as("bprior"))
+    val bits = cnt.join(tc, Seq("c_lang")).crossJoin(broadcast(v))
+      .select(col("c_lang"), col("t"),
+        (length(bin(idiv(col("t_c") + col("v"), col("c") + lit(1L)))) - 1)
+          .cast("long").as("b"))
+    val testTok = docs.filter(!isTrain)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+    val scored = VocabJoin.join(
+        testTok.crossJoin(broadcast(cdef)), bits, Seq("c_lang", "t"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("c_lang"), col("bprior"))
+      .agg(sum(coalesce(col("b"), col("bdef"))).as("sb"))
+      .select(col("doc_id"), col("lang"), col("c_lang"),
+        (col("bprior") + col("sb")).as("bits_total"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("bits_total").asc, col("c_lang").asc)
+    val out = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("lang"), col("c_lang").as("pred_lang"),
+        col("bits_total"), (col("lang") === col("c_lang")).as("correct"))
+      .transform(graft.engine.Checkpoints.materialize)
+    cnt.unpersist(blocking = false)
+    out
+  }
 }

@@ -2310,6 +2310,19 @@ object Pipeline {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // ── TRAINED NB classifier ([[TextAnalysis.nbLangClassifier]]):
+    // the fastText/DCLM-style supervised curation gate — train on the
+    // q118 slice convention (doc_id % 10 = 7) against the corpus's
+    // lang labels, classify every held-out doc. Integer-bits NB in
+    // the family's floor(log2) convention, so model training AND
+    // inference replay in the oracle: priors, Laplace-smoothed
+    // per-(class, token) bits, unseen-token defaults, argmin with
+    // the class-name tie-break — all under the hash.
+    Q("q140_nb_classifier", "pipeline:text-nb-classifier",
+      Some(nbClassifierOracle(mod = 10, rem = 7)),
+      (s, dir) => TextAnalysis.nbLangClassifier(docsF(s, dir))
+        .orderBy("doc_id")),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
@@ -2772,6 +2785,50 @@ object Pipeline {
       |  CAST(floor(lo * 100) AS BIGINT) AS lo_x100,
       |  CAST(floor(hi * 100) AS BIGINT) AS hi_x100
       |FROM sc JOIN b ON b.lang = sc.lang ORDER BY doc_id""".stripMargin
+
+  /** q140's oracle — the trained-NB chain replayed: class/doc counts
+    * over the train slice, the Laplace-smoothed integer-bits table
+    * (the family's length(bin(x)) − 1 = floor(log2) convention),
+    * per-class defaults and priors, the held-out stream replicated
+    * across classes, argmin with the class-name tie-break. */
+  private def nbClassifierOracle(mod: Int, rem: Int): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      |  FROM documents),
+      |tr AS (SELECT * FROM tok WHERE doc_id % $mod = $rem),
+      |cls AS (SELECT lang AS c_lang, CAST(count(*) AS BIGINT) AS n_c
+      |  FROM documents WHERE doc_id % $mod = $rem GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id % $mod = $rem),
+      |cnt AS (SELECT lang AS c_lang, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM tr GROUP BY 1, 2),
+      |tcd AS (SELECT c_lang, CAST(sum(c) AS BIGINT) AS t_c
+      |  FROM cnt GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tr),
+      |bits AS (
+      |  SELECT cnt.c_lang, cnt.t,
+      |    CAST(length(bin((t_c + v) // (c + 1))) - 1 AS BIGINT) AS b
+      |  FROM cnt JOIN tcd USING (c_lang) CROSS JOIN vv),
+      |cdef AS (
+      |  SELECT cls.c_lang,
+      |    CAST(length(bin(coalesce(tcd.t_c, 0) + v)) - 1 AS BIGINT) AS bdef,
+      |    CAST(length(bin(n // n_c)) - 1 AS BIGINT) AS bprior
+      |  FROM cls LEFT JOIN tcd ON tcd.c_lang = cls.c_lang
+      |  CROSS JOIN vv CROSS JOIN nn),
+      |te AS (SELECT doc_id, lang, t FROM tok WHERE doc_id % $mod <> $rem),
+      |scored AS (
+      |  SELECT te.doc_id, te.lang, d.c_lang,
+      |    d.bprior + CAST(sum(coalesce(b.b, d.bdef)) AS BIGINT)
+      |      AS bits_total
+      |  FROM te CROSS JOIN cdef d
+      |  LEFT JOIN bits b ON b.c_lang = d.c_lang AND b.t = te.t
+      |  GROUP BY te.doc_id, te.lang, d.c_lang, d.bprior),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY bits_total, c_lang) AS r FROM scored)
+      |SELECT doc_id, lang, c_lang AS pred_lang, bits_total,
+      |  (lang = c_lang) AS correct
+      |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin
 
   /** q118's oracle — the slice LM (unigram, bigram with precomputed
     * seen-bits, 1-row W), the corpus bigram-instance stream via the

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 138, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 139, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -127,7 +127,11 @@ class QueriesSpec extends SparkSpec {
       "q137_filtered_ann",
       // q138 composes q110's scalar-broadcast BM25 stats AND the
       // q25-shape one-row query-vector broadcast onto the corpus scan
-      "q138_hybrid_rrf")
+      "q138_hybrid_rrf",
+      // q140 replicates the held-out token stream across the
+      // ≤|classes|-row broadcast class-constants frame (plus the
+      // one-row V / N scalars onto vocabulary-sized aggregates)
+      "q140_nb_classifier")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
