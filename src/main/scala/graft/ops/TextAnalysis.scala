@@ -1103,6 +1103,67 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1L))).as("bits_x1000_per_token"))
   }
 
+  /** Cross-entropy-difference data selection (Moore & Lewis 2010) over
+    * a HASHED feature space (the DSIR move, Xie et al. 2023): score
+    * every document by how much better the TARGET slice's unigram LM
+    * explains it than the whole-corpus LM, keep the most target-like.
+    * The classic curation shape for "give me more data that looks
+    * like this high-quality seed set".
+    *
+    * Integer-bits form (the q115/q140 floor(log2) convention — both
+    * LMs replay in the oracle): tokens hash into `buckets` fixed
+    * buckets (pmod(h60(t), B) — the LM frame is B rows at ANY corpus
+    * size, the DSIR trade of collision noise for bounded state);
+    * per-bucket surprisal in each LM is
+    * ⌊log2((T + B) div (c + 1))⌋ (Laplace over the bucket space);
+    * per doc,
+    *
+    *   ce_diff_x1000 = (1000 · Σ_tokens (bits_target − bits_raw))
+    *                   div n_tokens
+    *
+    * negative/low = target-like. `keep` = ce_diff_x1000 ≤
+    * `thetaX1000`. The signed division truncates toward zero in both
+    * engines (Spark IntegralDivide ≡ DuckDB `//`, verified on
+    * negatives). The raw LM counts the WHOLE corpus (target
+    * included), Moore–Lewis's in-domain vs general formulation.
+    *
+    * Plan: one token-stream aggregation builds BOTH LMs (the target
+    * counts ride the same groupBy as conditional sums — no second
+    * corpus pass for the slice), the B-row LM frame broadcasts back
+    * onto the stream, and the only corpus-sized exchanges are the
+    * two (bucket) and (doc_id) aggregations of slim int rows.
+    *
+    * Output: (doc_id, is_target, n_tokens, ce_diff_x1000, keep);
+    * docs with null text have no tokens and no row. */
+  def crossEntropySelect(docs: DataFrame, targetPred: Column,
+                         buckets: Int = 1024,
+                         thetaX1000: Long = 0L): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val tok = docs
+      .select(col("doc_id"), targetPred.as("is_t"),
+        explode(tokens(col("text"))).as("t"))
+      .withColumn("b", pmod(h60(col("t")), lit(buckets.toLong)))
+      .select("doc_id", "is_t", "b")
+    val cnt = tok.groupBy("b").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val tot = cnt.agg(sum(col("c_r")).as("t_r"), sum(col("c_t")).as("t_t"))
+    val lm = cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (length(bin(idiv(col("t_t") + lit(buckets.toLong),
+          col("c_t") + lit(1L)))) - 1).cast("long").as("bits_t"),
+        (length(bin(idiv(col("t_r") + lit(buckets.toLong),
+          col("c_r") + lit(1L)))) - 1).cast("long").as("bits_r"))
+    tok.join(broadcast(lm), Seq("b"))
+      .groupBy(col("doc_id"), col("is_t"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits_t") - col("bits_r")).as("dsum"))
+      .select(col("doc_id"), col("is_t").as("is_target"), col("n_tokens"),
+        idiv(lit(1000L) * col("dsum"),
+          greatest(col("n_tokens"), lit(1L))).as("ce_diff_x1000"))
+      .withColumn("keep", col("ce_diff_x1000") <= thetaX1000)
+  }
+
   /** TRAINED multinomial Naive Bayes text classifier — the
     * fastText/DCLM-style supervised curation filter (GPT-3's quality
     * classifier, DCLM's fastText gate) instantiated on the corpus's

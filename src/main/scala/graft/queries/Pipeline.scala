@@ -2323,6 +2323,21 @@ object Pipeline {
       (s, dir) => TextAnalysis.nbLangClassifier(docsF(s, dir))
         .orderBy("doc_id")),
 
+    // ── cross-entropy-difference selection
+    // ([[TextAnalysis.crossEntropySelect]]): Moore–Lewis 2010 over
+    // DSIR-style hashed features — target-slice LM vs whole-corpus LM
+    // built in ONE token aggregation (B = 256 buckets, so the LM
+    // frame is fixed-size at any corpus), per-doc surprisal
+    // difference in the family's integer bits, keep = target-like.
+    // B = 256 at the sf vocabularies forces real bucket collisions
+    // through the hash gate.
+    Q("q141_ce_select", "pipeline:sample-ce-select",
+      Some(ceSelectOracle(targetSrc = "src0", buckets = 256,
+        thetaX1000 = 0L)),
+      (s, dir) => TextAnalysis.crossEntropySelect(docsF(s, dir),
+          col("source") === "src0", buckets = 256, thetaX1000 = 0L)
+        .orderBy("doc_id")),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
@@ -2785,6 +2800,37 @@ object Pipeline {
       |  CAST(floor(lo * 100) AS BIGINT) AS lo_x100,
       |  CAST(floor(hi * 100) AS BIGINT) AS hi_x100
       |FROM sc JOIN b ON b.lang = sc.lang ORDER BY doc_id""".stripMargin
+
+  /** q141's oracle — both hashed-bucket LMs from one grouped count,
+    * the integer-bits surprisal difference, the signed truncating
+    * division (DuckDB `//` ≡ Spark IntegralDivide on negatives). */
+  private def ceSelectOracle(targetSrc: String, buckets: Int,
+                             thetaX1000: Long): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, (source = '$targetSrc') AS is_t,
+      |    ${h60Sql("t")} % $buckets AS b
+      |  FROM (SELECT doc_id, source,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      |  FROM documents)),
+      |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+      |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS t_r,
+      |    CAST(sum(c_t) AS BIGINT) AS t_t FROM cnt),
+      |lm AS (SELECT b,
+      |    CAST(length(bin((t_t + $buckets) // (c_t + 1))) - 1 AS BIGINT)
+      |      AS bits_t,
+      |    CAST(length(bin((t_r + $buckets) // (c_r + 1))) - 1 AS BIGINT)
+      |      AS bits_r
+      |  FROM cnt CROSS JOIN tot)
+      |SELECT doc_id, is_t AS is_target,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  ((1000 * CAST(sum(bits_t - bits_r) AS BIGINT)) //
+      |    greatest(CAST(count(*) AS BIGINT), 1)) AS ce_diff_x1000,
+      |  (((1000 * CAST(sum(bits_t - bits_r) AS BIGINT)) //
+      |    greatest(CAST(count(*) AS BIGINT), 1)) <= $thetaX1000) AS keep
+      |FROM tok JOIN lm USING (b)
+      |GROUP BY doc_id, is_t ORDER BY doc_id""".stripMargin
 
   /** q140's oracle — the trained-NB chain replayed: class/doc counts
     * over the train slice, the Laplace-smoothed integer-bits table

@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 139, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 140, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -130,8 +130,10 @@ class QueriesSpec extends SparkSpec {
       "q138_hybrid_rrf",
       // q140 replicates the held-out token stream across the
       // ≤|classes|-row broadcast class-constants frame (plus the
-      // one-row V / N scalars onto vocabulary-sized aggregates)
-      "q140_nb_classifier")
+      // one-row V / N scalars onto vocabulary-sized aggregates);
+      // q141 cross-joins its ONE-row LM-totals frame onto the B-row
+      // bucket counts — the scalar-broadcast shape
+      "q140_nb_classifier", "q141_ce_select")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
