@@ -732,13 +732,22 @@ object Dedup {
     * set iff sum over shingles of sign(bit i of h60(shingle)) is >= 0.
     * Shingles (not single words) keep the signature discriminative when
     * documents share vocabulary but not phrasing. */
-  def simhash(docs: DataFrame): DataFrame = {
-    // Plan shape: explode the 60 bit positions into rows and aggregate
-    // twice, rather than 60 parallel sum() expressions + a 60-term
-    // reassembly — the expression form generates a codegen class so
-    // large that Janino compilation alone costs ~10 s (measured at
-    // width 31); this shape compiles in milliseconds and shuffles only
-    // (docs x 60) + (docs) rows.
+  def simhash(docs: DataFrame): DataFrame =
+    sigFromBitSums(shingleBitSums(docs))
+
+  /** The shared SimHash accumulator: per (doc, bit position i), the
+    * ±1 sum over the doc's shingle h60 hashes. The sign of this frame
+    * is the classic binary signature ([[sigFromBitSums]]); the RAW
+    * sums are a 60-dim dense random projection of the shingle-set
+    * indicator vector ([[hashedDocVectors]]) — one accumulator, two
+    * products.
+    *
+    * Plan shape: explode the 60 bit positions into rows and aggregate,
+    * rather than 60 parallel sum() expressions — the expression form
+    * generates a codegen class so large that Janino compilation alone
+    * costs ~10 s (measured at width 31); this shape compiles in
+    * milliseconds and shuffles only (docs × 60) narrow rows. */
+  private def shingleBitSums(docs: DataFrame): DataFrame = {
     val wh = shingleIndex(docs).withColumnRenamed("s", "w")
       .withColumn("h", h60(col("w")))
     val exploded = wh.select(col("doc_id"), col("h"),
@@ -746,10 +755,74 @@ object Dedup {
     val signs = exploded.select(col("doc_id"), col("i"),
       when(expr("shiftright(h, i) & 1") === 1, lit(1L)).otherwise(lit(-1L))
         .as("sgn"))
-    val bitSums = signs.groupBy("doc_id", "i").agg(sum(col("sgn")).as("bs"))
+    signs.groupBy("doc_id", "i").agg(sum(col("sgn")).as("bs"))
+  }
+
+  private def sigFromBitSums(bitSums: DataFrame): DataFrame =
     bitSums.groupBy("doc_id")
       .agg(sum(when(col("bs") >= 0,
         expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
+
+  /** Dense hashed document vectors from RAW TEXT — SimHash's pre-sign
+    * bit sums kept as a 60-dim vector instead of collapsed to sign
+    * bits: exactly a random projection of the doc's shingle-set
+    * indicator onto 60 ±1 directions (the h60 bit planes), i.e. a
+    * deterministic, integer-valued doc embedding that needs no
+    * external model. The featurizer for corpora that arrive WITHOUT a
+    * precomputed embedding column: cosine over these vectors
+    * approximates shingle-set cosine, so the whole embedding-side
+    * dedup/similarity machinery gets a text-only on-ramp.
+    * Output: (doc_id, v: array<double> of 60 integer-valued sums);
+    * docs with no shingles (< 3 tokens) have no row. */
+  def hashedDocVectors(docs: DataFrame): DataFrame =
+    vectorsFromBitSums(shingleBitSums(docs))
+
+  private def vectorsFromBitSums(bitSums: DataFrame): DataFrame =
+    bitSums.groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("i"), col("bs")))),
+        x => x.getField("bs").cast("double")).as("v"))
+
+  /** Text-only near-dup pairs through the hashed-vector space: the
+    * SimHash sign blocks are the candidate index (pigeonhole, the q24
+    * kernel), and the verifier is EXACT COSINE over the dense
+    * [[hashedDocVectors]] — a strictly finer score than hamming
+    * (hamming quantizes each dimension to its sign; the cosine sees
+    * magnitudes), from the SAME one-pass accumulator. The pattern is
+    * the embedding near-dup pipeline (candidates → exact verify) run
+    * end-to-end from raw text with no model in the loop.
+    *
+    * Every sum is an integer (exactly representable as a double, so
+    * the dot/norm folds are order-free and replay in the oracle);
+    * zero-norm vectors are excluded per the embedding-family
+    * convention. Scale shape: one (docs × 60) accumulator exchange
+    * feeds BOTH the signature and the vectors (cached, released after
+    * materialize); candidates are the pigeonhole block join; the
+    * rerank broadcasts the bounded candidate frame and streams the
+    * vector frame through two probes — no corpus shuffle past the
+    * accumulator. Output: (doc_a, doc_b, hamming, sim_x1e6) with
+    * sim ≥ `minSimX1e6`. */
+  def textNearDupPairsHashed(docs: DataFrame, maxHamming: Int,
+                             minSimX1e6: Long): DataFrame = {
+    require(minSimX1e6 >= -1000000L && minSimX1e6 <= 1000000L,
+      s"minSimX1e6 is a scaled cosine in [-1e6, 1e6], got $minSimX1e6")
+    val dot = graft.functions.VectorFunctions.dotProduct _
+    val bs = shingleBitSums(docs).cache()
+    val cand = hammingBlockPairs(sigFromBitSums(bs), "simhash", maxHamming)
+    val vecs = vectorsFromBitSums(bs)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0d)
+    val withA = vecs.join(broadcast(cand), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("v").as("va"), col("nrm").as("na"))
+    val out = vecs.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        floor(dot(col("va"), col("v")) / (col("na") * col("nrm")) * 1e6)
+          .cast("long").as("sim_x1e6"))
+      .filter(col("sim_x1e6") >= minSimX1e6)
+      .transform(graft.engine.Checkpoints.materialize)
+    bs.unpersist(blocking = false)
+    out
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3):

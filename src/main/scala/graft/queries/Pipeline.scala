@@ -2338,6 +2338,22 @@ object Pipeline {
           col("source") === "src0", buckets = 256, thetaX1000 = 0L)
         .orderBy("doc_id")),
 
+    // ── text-only near-dup via hashed doc vectors
+    // ([[Dedup.textNearDupPairsHashed]]): SimHash's pre-sign bit sums
+    // kept as a dense 60-dim random-projection embedding, sign-block
+    // pigeonhole as the candidate index, EXACT COSINE over the dense
+    // vectors as the verifier — the embedding-dedup pipeline run
+    // end-to-end from raw text with no model in the loop, and the
+    // on-ramp for corpora without an embedding column. One
+    // accumulator pass feeds signature AND vectors; the oracle
+    // rebuilds all 60 sums, the signatures, the pigeonhole set, and
+    // the integer-exact cosine.
+    Q("q142_hashed_text_neardup", "pipeline:dedup-hashed-vectors",
+      Some(hashedNearDupOracle(maxHamming = 3, minSimX1e6 = 800000L)),
+      (s, dir) => Dedup.textNearDupPairsHashed(docsF(s, dir),
+          maxHamming = 3, minSimX1e6 = 800000L)
+        .orderBy("doc_a", "doc_b")),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
@@ -2800,6 +2816,46 @@ object Pipeline {
       |  CAST(floor(lo * 100) AS BIGINT) AS lo_x100,
       |  CAST(floor(hi * 100) AS BIGINT) AS hi_x100
       |FROM sc JOIN b ON b.lang = sc.lang ORDER BY doc_id""".stripMargin
+
+  /** q142's oracle — the full text-only hashed-vector chain: all 60
+    * SimHash bit sums per doc, the sign signature, the n² hamming
+    * gate (the oracle needs no pigeonhole — it replays the RESULT the
+    * lossless blocks compute), and exact cosine over the integer
+    * sums (products/sums of small ints are exact doubles, so the
+    * fold order is immaterial on both engines). */
+  private def hashedNearDupOracle(maxHamming: Int,
+                                  minSimX1e6: Long): String = {
+    val bits = Dedup.SimhashBits
+    val bitSums = (0 until bits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$i")
+      .mkString(", ")
+    val reassemble = (0 until bits).map(i =>
+      s"(CASE WHEN bs_$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val dotE = (0 until bits).map(i => s"a.bs_$i * b.bs_$i")
+      .mkString("(", " + ", ")")
+    def nrmE(t: String) = (0 until bits).map(i => s"$t.bs_$i * $t.bs_$i")
+      .mkString("sqrt(", " + ", ")")
+    s"""WITH w AS (
+      |  SELECT doc_id, unnest(${shingles3Sql("text")}) AS w FROM documents),
+      |h AS (SELECT doc_id, ${h60Sql("w")} AS h FROM w),
+      |s AS MATERIALIZED (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+      |sig AS (SELECT doc_id, $reassemble AS sig FROM s),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming),
+      |sims AS (
+      |  SELECT c.doc_a, c.doc_b, c.hamming,
+      |    CAST(floor($dotE / (${nrmE("a")} * ${nrmE("b")}) * 1000000)
+      |      AS BIGINT) AS sim_x1e6
+      |  FROM cand c JOIN s a ON a.doc_id = c.doc_a
+      |  JOIN s b ON b.doc_id = c.doc_b
+      |  WHERE ${nrmE("a")} > 0 AND ${nrmE("b")} > 0)
+      |SELECT doc_a, doc_b, hamming, sim_x1e6
+      |FROM sims WHERE sim_x1e6 >= $minSimX1e6
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** q141's oracle — both hashed-bucket LMs from one grouped count,
     * the integer-bits surprisal difference, the signed truncating

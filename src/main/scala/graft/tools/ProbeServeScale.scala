@@ -80,6 +80,11 @@ object ProbeServeScale {
         TextAnalysis.crossEntropySelect(srcDocs,
           col("source") === "src0", buckets = 256).count())
       println(f"[serve] q141 CE select        wall=$wCe%7.2f s  docs=$nCe")
+
+      val (wHv, nHv) = minOf2(
+        Dedup.textNearDupPairsHashed(docs.select("doc_id", "text"),
+          maxHamming = 3, minSimX1e6 = 800000L).count())
+      println(f"[serve] q142 hashed near-dup  wall=$wHv%7.2f s  pairs=$nHv")
     }
     spark.stop()
   }
