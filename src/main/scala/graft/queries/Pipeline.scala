@@ -2354,6 +2354,65 @@ object Pipeline {
           maxHamming = 3, minSimX1e6 = 800000L)
         .orderBy("doc_a", "doc_b")),
 
+    // ── stream-stream interval join ([[graft.streaming.StreamingJoin]]):
+    // the one Structured Streaming join class the q103–q109 family
+    // doesn't exercise — two live event streams (views, clicks of the
+    // events table) joined per user within a 30-minute event-time
+    // window, watermarks bounding both state stores; the oracle IS
+    // the batch interval join. Wave design: ALL views arrive in
+    // batch 1 together with the first-half clicks; second-half
+    // clicks arrive in batch 2 (maxFilesPerTrigger=1 slices each
+    // source oldest-first). Batch-1 matches exercise the within-batch
+    // path; batch-2 matches (78 of 175 at sf0.1 — measured nonzero
+    // at every sf) must join VIEW STATE retained across the
+    // checkpointed batch boundary, so cross-batch join state is
+    // genuinely under the hash. No retained view can be evicted
+    // before its batch-2 click: after batch 1 the global watermark is
+    // min(view side ≈ maxTs, click side = mid) − delay, and a view
+    // matching a batch-2 click has view_ts + W ≥ ct ≥ mid > that
+    // watermark (the scaladoc's parity argument, specialized).
+    Q("q143_streaming_interval_join", "pipeline:streaming-join",
+      Some(streamingJoinOracle(windowMin = 30)),
+      (s, dir) => {
+        val root = new java.io.File(
+          s"target/graft-wh/${new java.io.File(dir).getName}/q143")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"))
+        val mm = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val midUs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("v_user"), col("ts").as("view_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("click_ts"))
+        writeWave(views, s"$root/views", 0)
+        writeWave(clicks.filter(unix_micros(col("click_ts")) < midUs),
+          s"$root/clicks", 0)
+        writeWave(clicks.filter(unix_micros(col("click_ts")) >= midUs),
+          s"$root/clicks", 1)
+        val vStream = s.readStream
+          .schema("view_id bigint, v_user bigint, view_ts timestamp")
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/views")
+        val cStream = s.readStream
+          .schema("click_id bigint, c_user bigint, click_ts timestamp")
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/clicks")
+        // join-state stores sized to the bounded per-drain key space
+        // (the q105/q107 convention); restored after
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val out =
+          try graft.streaming.StreamingJoin.drainToParquet(s,
+            graft.streaming.StreamingJoin.attributionJoin(
+              vStream, cStream, windowMinutes = 30, delayMinutes = 30),
+            s"$root/out", s"$root/ckpt")
+          finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+        out.orderBy("view_id", "click_id")
+      }),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").
@@ -2816,6 +2875,18 @@ object Pipeline {
       |  CAST(floor(lo * 100) AS BIGINT) AS lo_x100,
       |  CAST(floor(hi * 100) AS BIGINT) AS hi_x100
       |FROM sc JOIN b ON b.lang = sc.lang ORDER BY doc_id""".stripMargin
+
+  /** q143's oracle — the BATCH interval join the chronological-wave
+    * drain provably equals (see [[graft.streaming.StreamingJoin]]'s
+    * parity argument); gap in epoch micros, integer-exact. */
+  private def streamingJoinOracle(windowMin: Int): String =
+    s"""SELECT v.event_id AS view_id, c.event_id AS click_id,
+      |  CAST(v.user_id AS BIGINT) AS user_id,
+      |  CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+      |FROM events v JOIN events c ON c.user_id = v.user_id
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $windowMin MINUTE
+      |ORDER BY view_id, click_id""".stripMargin
 
   /** q142's oracle — the full text-only hashed-vector chain: all 60
     * SimHash bit sums per doc, the sign signature, the n² hamming
