@@ -2276,6 +2276,32 @@ object Pipeline {
           .orderBy("pred_id", "query_id", "rank")
       }),
 
+    // ── filtered-ANN recall accounting: the q45/q58 twin for q137's
+    // post-filter branch — the exact filtered top-k (forced
+    // pre-filter) joined against the IVF filtered top-k (forced
+    // post-filter), integer hits per query, so the probing loss of
+    // filtered serving is a hash-checked number, not a hope. Both
+    // forcings are the dispatch law's own ends (1000‰ / 0‰).
+    Q("q144_filtered_ann_recall", "pipeline:similarity-filtered-recall",
+      Some(filteredAnnRecallOracle((z: String) => s"$z.label % 2 = 0",
+        nQ = 20, k = 5, cellSize = 64, nProbe = 4)),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val pred = pmod(col("label"), lit(2)) === 0
+        val exact = IvfIndex.filteredTopK(e, pred, nQueries = 20, k = 5,
+            cellSize = 64, nProbe = 4, preFilterMaxPermille = 1000)
+          .select(col("query_id"), col("vec_id"))
+        val ann = IvfIndex.filteredTopK(e, pred, nQueries = 20, k = 5,
+            cellSize = 64, nProbe = 4, preFilterMaxPermille = 0)
+          .select(col("query_id").as("a_qid"), col("vec_id").as("a_vid"))
+        exact.join(ann,
+            exact("query_id") === ann("a_qid") &&
+              exact("vec_id") === ann("a_vid"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("exact_k"), count(col("a_vid")).as("ann_hits"))
+          .orderBy("query_id")
+      }),
+
     // ── hybrid retrieval ([[Retrieval.hybridTopK]]): q110's BM25 list
     // and the q25-convention exact cosine list fused by integer
     // Reciprocal Rank Fusion — the Elasticsearch/Vespa "hybrid
@@ -4620,6 +4646,30 @@ object Pipeline {
   private def filteredAnnOracle(preds: Seq[(String, String => String)],
                                 nQ: Int, k: Int, cellSize: Int,
                                 nProbe: Int, thrPermille: Int): String = {
+    val (shared, chains) =
+      filteredAnnCtes(preds, nQ, cellSize, nProbe)
+    val sels = preds.zipWithIndex.map { case ((tag, _), i) =>
+      s"""SELECT '$tag' AS pred_id, 'prefilter' AS mode, query_id,
+        |  CAST(r AS INT) AS rank, vec_id, label, sim_x1e6
+        |FROM prerk_$i WHERE r <= $k
+        |  AND (SELECT 1000 * m <= $thrPermille * n_all FROM st_$i)
+        |UNION ALL
+        |SELECT '$tag', 'postfilter', query_id, CAST(r AS INT), vec_id,
+        |  label, sim_x1e6
+        |FROM postrk_$i WHERE r <= $k
+        |  AND (SELECT 1000 * m > $thrPermille * n_all FROM st_$i)""".stripMargin
+    }
+    s"""WITH $shared,
+      |${chains.mkString(",\n")}
+      |${sels.mkString("\nUNION ALL\n")}
+      |ORDER BY pred_id, query_id, rank""".stripMargin
+  }
+
+  /** The shared q137/q144 CTE text: quantizer, assignment, query
+    * probes, and per-predicate pre/post ranked chains (suffixed _i). */
+  private def filteredAnnCtes(preds: Seq[(String, String => String)],
+                              nQ: Int, cellSize: Int, nProbe: Int)
+    : (String, Seq[String]) = {
     val shared =
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |n AS (SELECT vec_id, v, label, ${normSql("v")} AS nrm FROM e),
@@ -4641,9 +4691,8 @@ object Pipeline {
         |home AS MATERIALIZED (SELECT vec_id, cid AS cell FROM rk WHERE r <= 1),
         |qc AS (SELECT vec_id AS query_id, cid AS cell FROM rk
         |  WHERE r <= $nProbe AND vec_id < $nQ)""".stripMargin
-    val chains = preds.zipWithIndex.map { case ((tag, p), i) =>
-      val chain =
-        s"""st_$i AS (SELECT count(*) AS n_all,
+    val chains = preds.zipWithIndex.map { case ((_, p), i) =>
+      s"""st_$i AS (SELECT count(*) AS n_all,
           |    coalesce(sum(CASE WHEN ${p("nz")} THEN 1 ELSE 0 END), 0) AS m
           |  FROM nz),
           |pre_$i AS (
@@ -4664,22 +4713,28 @@ object Pipeline {
           |  WHERE z.vec_id <> qc.query_id AND (${p("z")})),
           |postrk_$i AS (SELECT *, row_number() OVER (PARTITION BY query_id
           |    ORDER BY sim_x1e6 DESC, vec_id) AS r FROM post_$i)""".stripMargin
-      val sel =
-        s"""SELECT '$tag' AS pred_id, 'prefilter' AS mode, query_id,
-          |  CAST(r AS INT) AS rank, vec_id, label, sim_x1e6
-          |FROM prerk_$i WHERE r <= $k
-          |  AND (SELECT 1000 * m <= $thrPermille * n_all FROM st_$i)
-          |UNION ALL
-          |SELECT '$tag', 'postfilter', query_id, CAST(r AS INT), vec_id,
-          |  label, sim_x1e6
-          |FROM postrk_$i WHERE r <= $k
-          |  AND (SELECT 1000 * m > $thrPermille * n_all FROM st_$i)""".stripMargin
-      (chain, sel)
     }
+    (shared, chains)
+  }
+
+  /** q144's oracle — the recall-accounting twin of q137's post-filter
+    * branch (the q45/q58 pattern: every approximate path carries a
+    * hash-checked recall row): the exact filtered top-k LEFT JOINs
+    * the IVF filtered top-k, integer hits per query. */
+  private def filteredAnnRecallOracle(pred: String => String, nQ: Int,
+                                      k: Int, cellSize: Int,
+                                      nProbe: Int): String = {
+    val (shared, chains) =
+      filteredAnnCtes(Seq(("x", pred)), nQ, cellSize, nProbe)
     s"""WITH $shared,
-      |${chains.map(_._1).mkString(",\n")}
-      |${chains.map(_._2).mkString("\nUNION ALL\n")}
-      |ORDER BY pred_id, query_id, rank""".stripMargin
+      |${chains.mkString(",\n")},
+      |ex AS (SELECT query_id, vec_id FROM prerk_0 WHERE r <= $k),
+      |an AS (SELECT query_id, vec_id FROM postrk_0 WHERE r <= $k)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+      |  CAST(count(an.vec_id) AS BIGINT) AS ann_hits
+      |FROM ex LEFT JOIN an
+      |  ON an.query_id = ex.query_id AND an.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
   /** q89: the IVF-PQ serving path end-to-end. */

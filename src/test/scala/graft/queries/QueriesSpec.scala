@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 142, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 143, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -123,8 +123,9 @@ class QueriesSpec extends SparkSpec {
       // q137's pre-filter branch is the q25 bounded-build one-pass
       // shape (broadcast ~20 queries, non-equi self-exclusion); its
       // post-filter branch runs assignViaJoin's broadcast-chunk
-      // cross join — both bounded build sides by design
-      "q137_filtered_ann",
+      // cross join — both bounded build sides by design; q144 runs
+      // both of q137's branches as its recall twin
+      "q137_filtered_ann", "q144_filtered_ann_recall",
       // q138 composes q110's scalar-broadcast BM25 stats AND the
       // q25-shape one-row query-vector broadcast onto the corpus scan
       "q138_hybrid_rrf",
