@@ -2439,6 +2439,51 @@ object Pipeline {
         out.orderBy("view_id", "click_id")
       }),
 
+    // ── NATIVE session windows
+    // ([[graft.streaming.StreamingBuilders.sessionWindowAgg]]): the
+    // Catalyst-built-in session_window operator drained under q105's
+    // UNCHANGED oracle — the custom mapGroupsWithState kernel (q105)
+    // and the engine-native operator must agree session-for-session.
+    // Same harness law: two chronological waves + the common-instant
+    // sentinel wave (pushes the watermark past every real session's
+    // end so append mode emits them; the sentinel sessions themselves
+    // end AFTER the final watermark and are never emitted).
+    Q("q145_session_window_native", "pipeline:streaming-session-native",
+      Some(streamingSessionizeOracle),
+      (s, dir) => {
+        val root = new java.io.File(
+          s"target/graft-wh/${new java.io.File(dir).getName}/q145")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        val ev = t(s, dir, "events")
+          .select(col("user_id").cast("long").as("user_id"), col("ts"))
+        val mm = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val (tMin, tMax) = (mm.getLong(0), mm.getLong(1))
+        val midUs = tMin + (tMax - tMin) / 2
+        writeWave(ev.filter(unix_micros(col("ts")) <= midUs),
+          s"$root/src", 0)
+        writeWave(ev.filter(unix_micros(col("ts")) > midUs),
+          s"$root/src", 1)
+        writeWave(ev.select(col("user_id")).distinct()
+          .withColumn("ts",
+            timestamp_micros(lit(tMax + 86400L * 1000000L))),
+          s"$root/src", 2)
+        val stream = s.readStream
+          .schema("user_id bigint, ts timestamp")
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val out =
+          try graft.streaming.StreamingJoin.drainToParquet(s,
+            graft.streaming.StreamingBuilders.sessionWindowAgg(
+              stream, gapMinutes = 30, delayMinutes = 30),
+            s"$root/out", s"$root/ckpt")
+          finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+        out.select(col("user_id"), col("start_micros"),
+            col("end_micros"), col("n_events"))
+          .orderBy("user_id", "start_micros")
+      }),
+
     // ── cross-source leakage matrix: q22's exact near-dup pair set
     // rolled up by unordered source pair — the report a curation run
     // hands the mixing stage ("how much of src3 is rephrased src0?").

@@ -61,6 +61,29 @@ object StreamingBuilders {
         date_format(col("start_time"), "HH").cast("int").as("hour"))
       .agg(count(lit(1)).cast("int").as("total_count"))
 
+  /** NATIVE session windows — the Catalyst-built-in counterpart of
+    * [[StatefulSessionize]]'s mapGroupsWithState kernel, gated under
+    * the SAME oracle (q145 vs q105): when the engine's own operator
+    * expresses the semantics, prefer it — the custom kernel remains
+    * for the semantics session_window cannot express (q109's
+    * explicit-timeout emission). Append mode emits a session once the
+    * watermark passes its end; `session_window.end` is LAST EVENT +
+    * gap, so `end_micros` subtracts the gap back to the oracle's
+    * max-event-time convention (exact integer arithmetic). State per
+    * key is the open session — bounded by gap·rate like the custom
+    * kernel's. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int,
+                       delayMinutes: Int): DataFrame =
+    events.withWatermark("ts", s"$delayMinutes minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_micros"),
+        (unix_micros(col("session_window.end")) -
+          lit(gapMinutes * 60L * 1000000L)).as("end_micros"),
+        col("n_events"))
+
   /** One-shot incremental run (the AvailableNow analogue of the batch
     * pipeline's per-file loop): drain whatever files are new and upsert
     * the warehouse table via foreachBatch. Update-mode aggregation

@@ -58,4 +58,16 @@ class StreamingJoinSpec extends SparkSpec {
       (100L, 500L, 1L, 10L * 60 * 1000000L),
       (100L, 502L, 1L, 25L * 60 * 1000000L)))
   }
+
+  test("native session_window drain (q145) agrees with the custom " +
+    "mapGroupsWithState sessionizer (q105) session-for-session") {
+    val sf = "/root/testdata/sf0.001"
+    val native = graft.queries.Registry
+      .queries("q145_session_window_native")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val custom = graft.queries.Registry
+      .queries("q105_streaming_sessionize_drain")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(native.nonEmpty && native === custom)
+  }
 }
