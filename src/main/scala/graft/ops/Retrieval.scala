@@ -220,6 +220,34 @@ object Retrieval {
       .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf_x1M")
   }
 
+  /** PASSAGE retrieval — the RAG serving shape: the corpus is cut
+    * into overlapping sliding-window chunks
+    * ([[graft.ops.Packing.slidingWindows]], the q97 chunker) and BM25
+    * ranks PASSAGES instead of documents, so a long document's one
+    * relevant span wins over a diffusely-matching whole doc and the
+    * returned unit is exactly what a retrieval-augmented pipeline
+    * feeds the model. Pure composition: the chunk frame rides through
+    * [[bm25TopK]] under a composite passage id
+    * (doc_id · idSpan + chunk_idx — requires chunk_idx < idSpan,
+    * i.e. docs shorter than idSpan·stride tokens), decomposed back
+    * afterwards by exact integer arithmetic. Corpus statistics
+    * (df, avgdl, N) are PASSAGE-level — the standard passage-BM25
+    * convention. Plan = the chunker's one projection + BM25's one
+    * pre-filtered exchange; nothing new moves.
+    * Output: (rank, doc_id, chunk_idx, n_terms, bm25_x1M). */
+  def passageTopK(docs: DataFrame, terms: Seq[String], width: Int,
+                  stride: Int, k: Int, idSpan: Long = 1000000L): DataFrame = {
+    require(idSpan >= 2, s"idSpan must be >= 2, got $idSpan")
+    val passages = Packing.slidingWindows(docs, width, stride)
+      .select((col("doc_id") * idSpan + col("chunk_idx")).as("doc_id"),
+        col("chunk_text").as("text"))
+    bm25TopK(passages, terms, k)
+      .select(col("rank"),
+        idiv(col("doc_id"), lit(idSpan)).as("doc_id"),
+        (col("doc_id") % idSpan).as("chunk_idx"),
+        col("n_terms"), col("bm25_x1M"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the top `m` terms of
     * each doc by tf·idf — the tagging/labeling primitive (cluster
     * naming, topic surfacing, dedup-cluster summarization) beside

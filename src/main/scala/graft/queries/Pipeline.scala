@@ -2317,6 +2317,17 @@ object Pipeline {
         t(s, dir, "embeddings"), Bm25Terms, queryVecId = 7L,
         nLex = 20, nVec = 20, k = 10).orderBy("rank")),
 
+    // ── PASSAGE retrieval ([[Retrieval.passageTopK]]): the RAG
+    // serving shape — q97's sliding-window chunks ranked by q110's
+    // BM25 at passage granularity (passage-level df/avgdl/N, the
+    // standard convention), pure composition under a composite
+    // passage id decomposed back by exact integer arithmetic.
+    Q("q146_passage_retrieval", "pipeline:retrieval-passages",
+      Some(passageTopKOracle(Bm25Terms, width = 32, stride = 16,
+        k = 20, idSpan = 1000000L)),
+      (s, dir) => Retrieval.passageTopK(docsF(s, dir), Bm25Terms,
+        width = 32, stride = 16, k = 20).orderBy("rank")),
+
     // ── edit-distance near-dup verification ([[Dedup.editVerifiedPairs]]):
     // q61's bucket-capped MinHash candidates verified by BANDED
     // Levenshtein instead of shingle Jaccard — the fuzzy-dedup policy
@@ -2946,6 +2957,37 @@ object Pipeline {
       |  CAST(floor(lo * 100) AS BIGINT) AS lo_x100,
       |  CAST(floor(hi * 100) AS BIGINT) AS hi_x100
       |FROM sc JOIN b ON b.lang = sc.lang ORDER BY doc_id""".stripMargin
+
+  /** q146's oracle — the q97 chunk derivation feeding the shared BM25
+    * chain at passage granularity, composite ids decomposed by the
+    * same integer arithmetic. */
+  private def passageTopKOracle(terms: Seq[String], width: Int,
+                                stride: Int, k: Int,
+                                idSpan: Long): String =
+    s"""WITH tk AS (
+      |  SELECT doc_id,
+      |    coalesce(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |      x -> x <> ''), []::VARCHAR[]) AS toks
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, CASE WHEN len(toks) > 0
+      |      THEN CAST(floor((len(toks) - 1) / $stride.0) AS BIGINT) + 1
+      |      ELSE 0 END)) AS i
+      |  FROM tk),
+      |passages AS (
+      |  SELECT doc_id * $idSpan + i AS doc_id,
+      |    array_to_string(list_slice(toks, i * $stride + 1,
+      |      least(i * $stride + $width, len(toks))), ' ') AS text
+      |  FROM win WHERE least($width, len(toks) - i * $stride) > 0),
+      |${bm25Ctes(terms, src = "passages")},
+      |top AS (SELECT * FROM doc ORDER BY bm25_x1M DESC, doc_id LIMIT $k)
+      |SELECT CAST(row_number() OVER (ORDER BY bm25_x1M DESC, doc_id)
+      |    AS BIGINT) AS rank,
+      |  doc_id // $idSpan AS doc_id, doc_id % $idSpan AS chunk_idx,
+      |  n_terms, bm25_x1M
+      |FROM top ORDER BY rank""".stripMargin
 
   /** q143's oracle — the BATCH interval join the chronological-wave
     * drain provably equals (see [[graft.streaming.StreamingJoin]]'s
@@ -3623,11 +3665,12 @@ object Pipeline {
     * Okapi scores → per-doc totals in `doc`) as a reusable CTE
     * fragment — q110/q122 rank it directly, q138 fuses it with the
     * vector list. */
-  private def bm25Ctes(terms: Seq[String]): String = {
+  private def bm25Ctes(terms: Seq[String],
+                       src: String = "documents"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""d AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-      |  FROM documents),
+      |  FROM $src),
       |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
       |stats AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -124,6 +124,26 @@ class RetrievalSpec extends SparkSpec {
       (3L, 5L, 0L, 2L, 16129L)))
   }
 
+  test("passageTopK: the term-dense chunk of a long doc outranks " +
+    "diffuse matches, ids decompose, ties break on the composite id") {
+    val sp = spark
+    import sp.implicits._
+    // width 4 / stride 2 over:
+    //   doc 0 "x x x x apple apple" → chunks 0 (no hit), 1 (tf 1,
+    //     dl 4), 2 (tf 2, dl 2 — the DENSE span)
+    //   doc 1 "apple y y y" → chunk 0 (tf 1, dl 4), chunk 1 (no hit)
+    // passage-level stats rank (0,2) first; (0,1) and (1,0) tie on
+    // the identical (tf 1, dl 4) score and break on the composite id.
+    val d = Seq(0L -> "x x x x apple apple", 1L -> "apple y y y")
+      .toDF("doc_id", "text")
+    val got = Retrieval.passageTopK(d, Seq("apple"), width = 4,
+        stride = 2, k = 10).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._3)) === Seq(
+      (1L, 0L, 2L), (2L, 0L, 1L), (3L, 1L, 0L)))
+    assert(got.forall(_._4 == 1L)) // n_terms
+  }
+
   test("collocations ranks ties lexicographically") {
     val out = TextAnalysis.collocations(docs(colloCorpus: _*),
       minCount = 1, k = 10).collect()

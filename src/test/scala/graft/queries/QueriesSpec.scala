@@ -44,7 +44,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 144, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 145, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -101,6 +101,8 @@ class QueriesSpec extends SparkSpec {
       // vocabulary-sized aggregates — the q75 scalar-broadcast shape;
       // q122/q124 serve the same scoring tail from the postings index
       "q110_bm25_topk", "q111_collocation_lift",
+      // q146 is q110's scalar-broadcast shape at passage granularity
+      "q146_passage_retrieval",
       "q115_unigram_surprisal", "q122_bm25_indexed",
       "q124_postings_absorb", "q128_postings_compact",
       "q132_bm25_batch",
