@@ -31,7 +31,8 @@ object IvfIndex {
       struct((lit(c2) - lit(2.0) * dotProduct(col("v"), typedlit(c))).as("d"),
         lit(cid).as("cid"))
     }
-    vectors.withColumn("cell", array_min(array(scored: _*)).getField("cid"))
+    vectors.withColumn("cell",
+      array_min(array(scored.toIndexedSeq: _*)).getField("cid"))
   }
 
   /** Train k centroids with `iters` Lloyd iterations. Returns
@@ -877,7 +878,8 @@ object IvfIndex {
         lit(cid).as("cid"))
     }
     val queryCells = queries
-      .withColumn("probe", explode(slice(array_sort(array(probes: _*)), 1, nProbe)))
+      .withColumn("probe", explode(slice(
+        array_sort(array(probes.toIndexedSeq: _*)), 1, nProbe)))
       .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
 
     val withNorm = indexed.withColumn("nrm",

@@ -37,13 +37,13 @@ object ProbeCard {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val repl = cand.join(cnt.withColumnRenamed("doc_id", "d"),
         col("doc_a") === col("d"))
-      .agg(sum(col("n"))).head.getLong(0)
+      .agg(sum(col("n"))).head().getLong(0)
     val docsInPairs = cand.select(col("doc_a").as("d"))
       .union(cand.select(col("doc_b").as("d"))).distinct().count()
     println(f"sum|sh(doc_a)| over pairs=$repl%d  docsInPairs=$docsInPairs%d  t=${(System.nanoTime()-t0)/1e9}%.1fs")
 
     val dist = cand.groupBy("doc_a").count()
-      .agg(max("count"), avg("count")).head
+      .agg(max("count"), avg("count")).head()
     println(s"max pairs per doc_a=${dist.get(0)}  avg=${dist.get(1)}")
     spark.stop()
   }

@@ -49,7 +49,7 @@ object ProbeEmb {
     }
     val mass = sigs.select(explode(array(bandStructs: _*)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("sz"))
-      .agg(sum(col("sz") * (col("sz") - 1))).head.getLong(0) / 2
+      .agg(sum(col("sz") * (col("sz") - 1))).head().getLong(0) / 2
     println(f"bandPairMass=$mass%d  t=${(System.nanoTime() - t0) / 1e9}%.1fs")
 
     // exact distinct candidate count + rerank: quadratic output, skip

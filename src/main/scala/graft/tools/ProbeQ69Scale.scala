@@ -50,7 +50,7 @@ object ProbeQ69Scale {
     t0 = System.nanoTime()
     val byBucket = sigs.select(explode(array(bandStructs: _*)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("sz"))
-    val mass = byBucket.agg(sum(col("sz") * (col("sz") - 1))).head.getLong(0) / 2
+    val mass = byBucket.agg(sum(col("sz") * (col("sz") - 1))).head().getLong(0) / 2
     val top = byBucket.orderBy(desc("sz")).limit(5)
       .collect().map(_.getLong(1)).mkString(",")
     println(f"bandPairMass=$mass%d  top5Buckets=$top%s" +

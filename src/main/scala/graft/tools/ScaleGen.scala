@@ -61,7 +61,7 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Tables(spark, src, "documents")
-    val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     // quality-gate stopwords (TextAnalysis.quality) + langid marker
     // words (TextAnalysis.langId) pass through unsuffixed so the
     // per-replica gate and language signals replay the source corpus.
@@ -87,8 +87,8 @@ object ScaleGen {
     // as-of pairings, running totals), so keyed-window results scale
     // exactly linearly while no key ever gains extra rows.
     val ev = Tables(spark, src, "events")
-    val nEvents = ev.agg(max(col("event_id"))).head.getLong(0) + 1
-    val nUsers = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    val nEvents = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val nUsers = ev.agg(max(col("user_id"))).head().getLong(0) + 1
     (0 until factor).map { k =>
       ev.select(
         (col("event_id") + lit(k.toLong * nEvents)).as("event_id"),
@@ -100,7 +100,7 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     val emb = Tables(spark, src, "embeddings")
-    val nVecs = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val nVecs = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     (0 until factor).map { k =>
       emb.select(
         (col("vec_id") + lit(k.toLong * nVecs)).as("vec_id"),

@@ -17,7 +17,7 @@ object SigBench {
       val t0 = System.nanoTime()
       val n = Similarity
         .lshSignatureWords(e, Similarity.hyperplanes(np, 64))
-        .select(sum(pmod(element_at(col("sigw"), 1), lit(1000000)))).head.getLong(0).toDouble
+        .select(sum(pmod(element_at(col("sigw"), 1), lit(1000000)))).head().getLong(0).toDouble
       println(f"planes=$np rep=$rep t=${(System.nanoTime()-t0)/1e9}%.2f s (chk=$n%.0f)")
     }
     spark.stop()
