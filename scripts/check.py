@@ -31,6 +31,23 @@ TOMBSTONES = {39}
 # (a lambda-form dot product, an inlined CTE chain gone exponential).
 ORACLE_BUDGET_S = 30.0
 
+def norm_type(t):
+    """Normalize a DuckDB type name for spark-vs-oracle comparison.
+
+    Spark parquet timestamps can surface as TIMESTAMP WITH TIME ZONE /
+    TIMESTAMP_NS depending on writer flags; all are value-identical
+    here (session TZ pinned UTC), so timestamps compare as one type.
+    Everything else compares verbatim — the round-14 driver gate
+    failed q123 on BIGINT-vs-HUGEINT with EQUAL values, a divergence
+    this value-comparing gate could not see. The driver's hasher is
+    type-sensitive; this guard makes the local gate see what it sees.
+    (A house-type allowlist was considered and rejected: INTEGER is
+    legitimately emitted on BOTH sides by 39 oracle columns — direct
+    per-column parity is stronger and has no false positives.)
+    """
+    t = str(t)
+    return "TIMESTAMP" if t.startswith("TIMESTAMP") else t
+
 def norm(v):
     if isinstance(v, float):
         return v  # compare exactly; report near-misses separately
@@ -98,8 +115,10 @@ def main(sf_dir, out_dir):
         try:
             got = con.sql(
                 f"SELECT * FROM '{d}/*.parquet'").fetchall()
-            got_cols = [x[0] for x in con.sql(
-                f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall()]
+            got_desc = con.sql(
+                f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall()
+            got_cols = [x[0] for x in got_desc]
+            got_types = {x[0]: norm_type(x[1]) for x in got_desc}
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: cannot read spark result: {e}")
@@ -131,6 +150,21 @@ def main(sf_dir, out_dir):
         if sorted(got_cols) != sorted(exp_cols):
             failures.append(name)
             print(f"FAIL {name}: column sets differ: spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            continue
+        # type-parity guard (round 15): the driver's hasher is
+        # type-sensitive and the value comparison below is not — an
+        # oracle whose sum() widened to HUGEINT passes here on values
+        # and fails the driver on type (round 14's only red row)
+        exp_types = {c: norm_type(t)
+                     for c, t in zip(exp_cols, exp_rel.types)}
+        tdiff = [(c, got_types[c], exp_types[c])
+                 for c in sorted(got_cols) if got_types[c] != exp_types[c]]
+        if tdiff:
+            failures.append(name)
+            print(f"FAIL {name}: column TYPES differ (the driver's hash "
+                  "is type-sensitive even when values match): "
+                  + ", ".join(f"{c} spark={a} oracle={b}"
+                              for c, a, b in tdiff))
             continue
         g = [tuple(norm(r[i]) for i in gi) for r in got]
         e = [tuple(norm(r[i]) for i in ei) for r in exp]

@@ -26,10 +26,10 @@ def run_check(sf, out):
              if k != "SPARK_GRAFT_VERIFY_ONLY"})
 
 
-def write_result(out, name):
+def write_result(out, name, sql="SELECT 1 AS x"):
     d = os.path.join(out, name)
     os.makedirs(d, exist_ok=True)
-    duckdb.sql(f"COPY (SELECT 1 AS x) TO '{d}/part-0.parquet' "
+    duckdb.sql(f"COPY ({sql}) TO '{d}/part-0.parquet' "
                "(FORMAT PARQUET)")
 
 
@@ -92,6 +92,33 @@ def main():
     r = run_check(sf, out)
     case("registry number gap fails",
          r.returncode != 0 and "q02" in r.stdout, r)
+
+    # 7: TYPE parity — an oracle whose sum() silently widened to
+    # HUGEINT must fail even though every VALUE matches (round 14's
+    # q123: driver hash red on int128-vs-int64 with equal values; the
+    # value-comparing gate alone was blind to it)
+    out = fixture(
+        root, "type_drift",
+        {"q1": "SELECT sum(x) AS x FROM (VALUES (CAST(1 AS BIGINT))) t(x)"},
+        ["q1"], [])
+    write_result(out, "q1", "SELECT CAST(1 AS BIGINT) AS x")
+    r = run_check(sf, out)
+    case("uncast-sum type drift fails on type, not value",
+         r.returncode != 0 and "TYPES differ" in r.stdout
+         and "HUGEINT" in r.stdout, r)
+
+    # 8: timestamp flavor normalization stays a non-failure — spark
+    # parquet TIMESTAMP_NS vs oracle TIMESTAMP are value-identical
+    # under the pinned UTC session and must not false-positive
+    out = fixture(
+        root, "ts_flavors",
+        {"q1": "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts"},
+        ["q1"], [])
+    write_result(out, "q1",
+                 "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' "
+                 "AS TIMESTAMP_NS) AS ts")
+    r = run_check(sf, out)
+    case("timestamp flavor difference does not fail", r.returncode == 0, r)
 
     # 6: the q39 tombstone itself stays allowed (no false positive)
     out = fixture(root, "tombstone",

@@ -46,5 +46,29 @@ if [ $CHECK_RC -eq 0 ] && [ -z "${2:-}" ]; then
     echo "(export GRAFT_ALLOW_GATE_DIVERGENCE=1 to override locally.)"
     [ -z "${GRAFT_ALLOW_GATE_DIVERGENCE:-}" ] && exit 2
   fi
+  # Per-query set diff vs the driver's last artifact (round 15): the
+  # zero-count alarm above catches a WIPED artifact; this catches a
+  # SHRUNK one. Driver-graded-but-gone-locally = a registration
+  # silently dropped or renamed (the q39 failure mode) — hard stop.
+  # Local-but-not-driver-graded = expected for queries added since
+  # the artifact was written — informational only.
+  if [ -n "$LATEST" ]; then
+    python3 - "$LATEST" "$OUT/names.json" <<'PYEOF' || { [ -z "${GRAFT_ALLOW_GATE_DIVERGENCE:-}" ] && exit 2; }
+import json, sys
+driver = set(json.load(open(sys.argv[1])))
+local = set(json.load(open(sys.argv[2])))
+new = sorted(local - driver)
+gone = sorted(driver - local)
+if new:
+    print(f"note: {len(new)} local queries not yet in the driver's "
+          f"last artifact (added since {sys.argv[1]}): {new}")
+if gone:
+    print(f"\nGATE DIVERGENCE: {len(gone)} queries the driver graded "
+          f"in {sys.argv[1]} are MISSING from the local registry: "
+          f"{gone}\n(dropped or renamed registration — if deliberate, "
+          "export GRAFT_ALLOW_GATE_DIVERGENCE=1)")
+    sys.exit(1)
+PYEOF
+  fi
 fi
 exit $CHECK_RC

@@ -193,6 +193,20 @@ object IvfIndex {
     collectLowestK(nz, k)
   }
 
+  /** [[sampleCentroids]] at a FIXED k instead of a per-cell target:
+    * the k lowest-vec_id nonzero-norm vectors as a dense-cid
+    * quantizer — a bounded, corpus-size-free training cut (faiss
+    * trains coarse quantizers on bounded samples for the same
+    * reason). Data-derived yet SQL-replayable as a LIMIT-k subquery,
+    * which is what lets q33 put [[annTopKWithCentroids]]'s served
+    * rows under the hash gate with no pinned literals (the cid
+    * relabeling to 0..k-1 is output-invariant: vec_id order extends
+    * the dense rank order, so (d, cid) tie-breaks agree). */
+  def sampleCentroidsK(embeddings: DataFrame, k: Int): Array[(Int, Seq[Double])] = {
+    require(k >= 1, "k must be positive")
+    collectLowestK(nonZeroBase(embeddings), k)
+  }
+
   private def collectLowestK(nz: DataFrame, k: Int): Array[(Int, Seq[Double])] =
     nz.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
       .zipWithIndex

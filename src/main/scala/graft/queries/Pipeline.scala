@@ -118,7 +118,8 @@ object Pipeline {
     * round-trips to the identical double), signature/band assembly,
     * band-bucket candidate join, exact rerank — and joins it against the
     * exact top-k, pulling the recall claim under the hash-check regime
-    * (q26/q33 themselves stay rows-only). */
+    * (since round 15 q26 is ALSO row-gated via annTopKOracle; this
+    * recall aggregate remains the distinct vs-exact claim). */
   private val annRecallOracle: String = {
     val planes = Similarity.hyperplanes(32, 64)
     def dotLit(p: Array[Double]): String = dotLitSql("v", p.toSeq)
@@ -163,6 +164,107 @@ object Pipeline {
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
+  /** q26: the LSH ANN top-k ROWS under the hash gate. Round 15 — q26
+    * was rows-only since round 3 with its semantics gated indirectly
+    * through q45's recall twin; the driver artifact carried a
+    * permanent `err: no_oracle` row for it. But the path q45 proved
+    * deterministic (seed-fixed hyperplanes as shortest-decimal
+    * literals, signature/band assembly, band-bucket candidate join,
+    * floor-scaled rerank, id tie-breaks) replays the SERVED rows just
+    * as well as the recall aggregate: this is q45's `ann` CTE chain
+    * carried through to (query_id, rank, vec_id, label, sim_x1e6) —
+    * q25's output shape. q45 stays registered: recall-vs-exact is a
+    * different claim than row-identity. */
+  private val annTopKOracle: String = {
+    val planes = Similarity.hyperplanes(32, 64)
+    def dotLit(p: Array[Double]): String = dotLitSql("v", p.toSeq)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, label, v, ${normSql("v")} AS nrm, $sig AS sig FROM e),
+      |bands AS (
+      |  SELECT vec_id, t.j AS band_idx, (sig >> (4 * t.j)) & 15 AS band_val
+      |  FROM n, range(0, 8) t(j)),
+      |qb AS (SELECT vec_id AS query_id, band_idx, band_val
+      |       FROM bands WHERE vec_id < 20),
+      |cand AS (
+      |  SELECT DISTINCT qb.query_id, b.vec_id
+      |  FROM bands b JOIN qb ON b.band_idx = qb.band_idx
+      |    AND b.band_val = qb.band_val
+      |  WHERE b.vec_id <> qb.query_id),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+      |      WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT cand.query_id, cand.vec_id, n.label,
+      |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 1000000) AS BIGINT)
+      |      AS sim_x1e6
+      |  FROM cand
+      |  JOIN n ON n.vec_id = cand.vec_id
+      |  JOIN q ON q.query_id = cand.query_id),
+      |r AS (SELECT query_id, vec_id, label, sim_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim_x1e6 DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, label, sim_x1e6 FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q33: the IVF ANN top-k ROWS under the hash gate — the q26 move
+    * applied to the IVF path (round 15; rows-only + `err: no_oracle`
+    * since round 3). The serve semantics (argmin assignment with
+    * low-cid tie-break, nProbe nearest cells, floor-scaled rerank)
+    * were proven SQL-replayable by q58's pinned-literal recall twin;
+    * what kept q33 itself ungateable was its TRAINED quantizer
+    * (driver-side double sums in sample order — not replayable by an
+    * unordered SQL aggregate). The registered query now serves
+    * through [[IvfIndex.sampleCentroidsK]] — the k lowest-vec_id
+    * nonzero-norm vectors, the bounded faiss-style training cut that
+    * rederives in SQL as a LIMIT subquery (the q74/q78/q81 join-based
+    * assignment replay, no pinned literals, survives testdata
+    * regeneration). Lloyd TRAINING stays gated by q82/q102 (integer
+    * sufficient statistics) and the trained serve path stays
+    * spec-asserted in AnnRecallSpec. */
+  private def ivfTopKOracle(nCells: Int, nProbe: Int, nQ: Int,
+                            k: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e),
+      |cents AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+      |    ${sqSumSql("v")} AS c2
+      |  FROM (SELECT vec_id, v FROM n WHERE nrm > 0
+      |        ORDER BY vec_id LIMIT $nCells)),
+      |dist AS (
+      |  SELECT z.vec_id, c.cid,
+      |    c.c2 - 2.0 * ${dotSql("z.v", "c.cv")} AS d
+      |  FROM n z CROSS JOIN cents c),
+      |rk AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      |  FROM dist),
+      |av AS MATERIALIZED (SELECT vec_id, cid AS cell FROM rk WHERE r = 1),
+      |qc AS (SELECT vec_id AS query_id, cid AS cell FROM rk
+      |       WHERE vec_id < $nQ AND r <= $nProbe),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+      |      WHERE vec_id < $nQ),
+      |cand AS (
+      |  SELECT qc.query_id, a.vec_id
+      |  FROM av a JOIN qc ON a.cell = qc.cell
+      |  WHERE a.vec_id <> qc.query_id),
+      |scored AS (
+      |  SELECT cand.query_id, cand.vec_id, n.label,
+      |    CAST(floor(${dotSql("qv", "v")} / (qn * nrm) * 1000000) AS BIGINT)
+      |      AS sim_x1e6
+      |  FROM cand
+      |  JOIN n ON n.vec_id = cand.vec_id
+      |  JOIN q ON q.query_id = cand.query_id),
+      |r AS (SELECT query_id, vec_id, label, sim_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim_x1e6 DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, label, sim_x1e6 FROM r
+      |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** q58's pinned coarse quantizer: 16 data-INDEPENDENT centroids from
     * the seeded uniform generator (seed 7, not the LSH seed 42 — the
     * two fixtures must not alias). Cell quality is irrelevant to the
@@ -184,8 +286,9 @@ object Pipeline {
     * minimum = Spark's array_min struct tie-break on lower cid),
     * per-query 4-nearest-cell probe list, exact floor-scaled rerank
     * within probed cells, then the recall join against the exact
-    * top-k. q33 (trained centroids) stays rows-only; this is its hard
-    * check. */
+    * top-k. Since round 15 q33 is also row-gated (ivfTopKOracle, the
+    * data-derived bounded quantizer); this pinned-literal recall twin
+    * remains the distinct vs-exact claim. */
   private val ivfRecallOracle: String = {
     def dotLit(c: Seq[Double]): String = dotLitSql("v", c)
     // same double arithmetic as IvfIndex.assign: c2 - 2.0 * <v, c>,
@@ -484,10 +587,12 @@ object Pipeline {
         .orderBy("query_id", "rank")),
 
     // ── LSH-bucketed approximate top-k (the 100 TB scale path).
-    // Not SQL-expressible compactly -> rows-only check; recall vs the
-    // exact baseline is asserted in AnnRecallSpec.
+    // Oracle-gated since round 15: the whole path is deterministic
+    // (see annTopKOracle), so the served rows themselves hash-check;
+    // recall vs the exact baseline stays asserted in AnnRecallSpec
+    // and gated as the q45 aggregate.
     Q("q26_ann_lsh_topk", "pipeline:similarity-ann",
-      None,
+      Some(annTopKOracle),
       (s, dir) => Similarity.annTopK(t(s, dir, "embeddings"), 20, 5)
         .orderBy("query_id", "rank")),
 
@@ -506,7 +611,8 @@ object Pipeline {
     // ── ANN recall under the hash-check regime: the deterministic LSH
     // top-k joined against the exact top-k, integer hit counts per
     // query; the oracle recomputes BOTH sides in SQL (planes embedded
-    // as literals). q26/q33 stay rows-only; this is their hard check.
+    // as literals). Since round 15 q26 itself is row-gated too; this
+    // aggregate keeps the vs-exact recall claim under the hash.
     Q("q45_ann_recall", "pipeline:similarity-ann-recall",
       Some(annRecallOracle),
       (s, dir) => {
@@ -655,13 +761,19 @@ object Pipeline {
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")),
 
-    // ── IVF ANN (k-means coarse quantizer + cell probe).
-    // Not SQL-expressible -> rows-only; recall vs the exact baseline is
-    // asserted in QueriesSpec alongside the LSH variant.
+    // ── IVF ANN (coarse quantizer + cell probe). Oracle-gated since
+    // round 15 via the data-derived bounded sample quantizer (see
+    // ivfTopKOracle — the trained-quantizer form that kept this
+    // rows-only is gated piecewise by q82/q102 and spec-asserted in
+    // AnnRecallSpec).
     Q("q33_ann_ivf_topk", "pipeline:similarity-ann-ivf",
-      None,
-      (s, dir) => IvfIndex.annTopK(embF(s, dir), 20, 5)
-        .orderBy("query_id", "rank")),
+      Some(ivfTopKOracle(nCells = 16, nProbe = 4, nQ = 20, k = 5)),
+      (s, dir) => {
+        val e = embF(s, dir)
+        IvfIndex.annTopKWithCentroids(e, 20, 5,
+            IvfIndex.sampleCentroidsK(e, 16), nProbe = 4)
+          .orderBy("query_id", "rank")
+      }),
 
     // ── approximate distinct (HLL) checked against exact — the
     // cardinality sketch a 100 TB dedup pipeline uses for stats. The
@@ -969,8 +1081,8 @@ object Pipeline {
     // applied to the IVF path, with the coarse quantizer pinned to
     // data-independent literal centroids (see ivfPinnedCentroids) so
     // the DuckDB oracle replays assignment, probing, and rerank
-    // exactly. q33 (sample-trained centroids) stays rows-only; this
-    // pulls its operator semantics under rows+schema+hash.
+    // exactly. Since round 15 q33 itself is row-gated too (data-
+    // derived quantizer); this keeps the vs-exact recall claim.
     Q("q58_ivf_recall", "pipeline:similarity-ann-ivf-recall",
       Some(ivfRecallOracle),
       (s, dir) => {
@@ -3481,18 +3593,6 @@ object Pipeline {
       |  max(sim) < $tauX1e6 AS keep
       |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  /** q123's oracle — the CAPPED-LSH pair CTEs (q61's chain, the
-    * production pair source: band buckets over `maxBucket` drop
-    * before expansion, exact-Jaccard verify after), then each
-    * power-iteration sweep as a static CTE: contrib = pr div deg
-    * summed over incoming edges, damped 17/20 with the +150,000
-    * teleport term. `//` is DuckDB floor division ≡ Spark
-    * IntegralDivide on these positive int64s. Undirected with
-    * deg ≥ 1 ⇒ every node appears in every sweep — no COALESCE
-    * needed anywhere. Round 14: the registered pair source moved
-    * from exact q22 pairs to this capped form — the shape users run
-    * at scale (PLANS' x100 ladder feeds from it); exact pairs stay
-    * gated by q22 itself. */
   /** q139's oracle — the capped-LSH candidate CTEs (the `cand` frame;
     * the fragment's unreferenced Jaccard tail is not executed) joined
     * to the texts, exact levenshtein, banded keep. DuckDB's
@@ -3514,11 +3614,28 @@ object Pipeline {
       |FROM ed WHERE dist <= $maxDist
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q123's oracle — the CAPPED-LSH pair CTEs (q61's chain, the
+    * production pair source: band buckets over `maxBucket` drop
+    * before expansion, exact-Jaccard verify after), then each
+    * power-iteration sweep as a static CTE: contrib = pr div deg
+    * summed over incoming edges, damped 17/20 with the +150,000
+    * teleport term. `//` is DuckDB floor division ≡ Spark
+    * IntegralDivide on these positive int64s. Undirected with
+    * deg ≥ 1 ⇒ every node appears in every sweep — no COALESCE
+    * needed anywhere. Round 14: the registered pair source moved
+    * from exact q22 pairs to this capped form — the shape users run
+    * at scale (PLANS' x100 ladder feeds from it); exact pairs stay
+    * gated by q22 itself. Round 15: each sweep's `pr` is cast back
+    * to BIGINT — DuckDB's sum(BIGINT) widens to HUGEINT (int128)
+    * and the widened type would otherwise propagate through every
+    * downstream sweep into the output columns, failing the driver's
+    * type-sensitive hash even though the values match int64 exactly
+    * (positive, bounded by 150000 + 17/20·1e6·deg). */
   private def pageRankOracle(iters: Int, maxBucket: Int): String = {
     val sweeps = (1 to iters).map { k =>
       s"""r$k AS (
         |  SELECT e.v AS doc_id,
-        |    150000 + (17 * sum(r.pr // d.deg)) // 20 AS pr
+        |    CAST(150000 + (17 * sum(r.pr // d.deg)) // 20 AS BIGINT) AS pr
         |  FROM edges e JOIN r${k - 1} r ON r.doc_id = e.u
         |  JOIN deg d ON d.u = e.u GROUP BY e.v)""".stripMargin
     }.mkString(",\n")

@@ -35,10 +35,11 @@ class QueriesSpec extends SparkSpec {
   test("queries and oracleSql keys line up") {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
-    // every query except the documented rows-only ones has an oracle
+    // round 15: zero rows-only queries — q26/q33 (the last two) got
+    // real oracles (annTopKOracle / ivfTopKOracle); every registered
+    // query is under the full rows+schema+hash gate
     val rowsOnly = qk -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q26_ann_lsh_topk", "q33_ann_ivf_topk"),
-      s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only: $rowsOnly")
     // every Registry entry is registered exactly once under its own name
     assert(qk.size == Registry.all.size,
       "duplicate query names collapse entries in the driver-facing map")
