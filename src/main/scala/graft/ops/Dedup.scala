@@ -465,9 +465,16 @@ object Dedup {
     * pins — see [[graft.functions.MultiMatchScrubExpr]]).
     *
     * Scale shape: the candidate frame is bounded by the upstream cap,
-    * so it BROADCASTS (the q113 posture) and the corpus text column
-    * streams through two broadcast-hash probes — no corpus shuffle;
-    * the quadratic-looking work is the banded kernel on |candidates|
+    * so its ID PAIRS broadcast (the q113 posture) and the corpus text
+    * column streams through two independent broadcast-hash probes —
+    * no corpus shuffle. Only the bare (doc_a, doc_b) frame is ever
+    * broadcast: the cap bounds pair COUNT, not text bytes, and
+    * broadcasting a probe result that carries text_a would grow with
+    * |candidates|·avg_len (book-length docs under a generous cap blow
+    * the broadcast limit even though the candidate frame itself is
+    * small). The two text-carrying probe outputs — each candidate-
+    * bounded — meet in one pair-keyed exchange instead; the
+    * quadratic-looking work is the banded kernel on |candidates|
     * text pairs, the honest verification cost. Output: (doc_a, doc_b,
     * n_a, n_b, dist, edit_sim_x1000 = 1000 − (1000·dist) div
     * max(n_a, n_b, 1)), doc_a < doc_b. */
@@ -475,13 +482,18 @@ object Dedup {
                         maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val txt = docs.select(col("doc_id"), col("text"))
+    val ids = candidates.select(col("doc_a"), col("doc_b"))
     val withA = txt
-      .join(broadcast(candidates), col("doc_id") === col("doc_a"))
+      .join(broadcast(ids), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("text").as("text_a"))
-    val paired = txt
-      .join(broadcast(withA), col("doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("text_a"),
+    val withB = txt
+      .join(broadcast(ids), col("doc_id") === col("doc_b"))
+      .select(col("doc_a").as("b_doc_a"), col("doc_b").as("b_doc_b"),
         col("text").as("text_b"))
+    val paired = withA
+      .join(withB, col("doc_a") === col("b_doc_a") &&
+        col("doc_b") === col("b_doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
     paired
       .select(col("doc_a"), col("doc_b"),
         length(col("text_a")).cast("long").as("n_a"),

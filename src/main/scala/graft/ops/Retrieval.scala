@@ -229,8 +229,10 @@ object Retrieval {
     * feeds the model. Pure composition: the chunk frame rides through
     * [[bm25TopK]] under a composite passage id
     * (doc_id · idSpan + chunk_idx — requires chunk_idx < idSpan,
-    * i.e. docs shorter than idSpan·stride tokens), decomposed back
-    * afterwards by exact integer arithmetic. Corpus statistics
+    * i.e. docs shorter than idSpan·stride tokens, and doc_id small
+    * enough that the product fits a long; both ENFORCED per row with
+    * raise_error — an out-of-range doc must fail, not alias),
+    * decomposed back afterwards by exact integer arithmetic. Corpus statistics
     * (df, avgdl, N) are PASSAGE-level — the standard passage-BM25
     * convention. Plan = the chunker's one projection + BM25's one
     * pre-filtered exchange; nothing new moves.
@@ -238,8 +240,23 @@ object Retrieval {
   def passageTopK(docs: DataFrame, terms: Seq[String], width: Int,
                   stride: Int, k: Int, idSpan: Long = 1000000L): DataFrame = {
     require(idSpan >= 2, s"idSpan must be >= 2, got $idSpan")
+    // the composite id is only injective while chunk_idx < idSpan and
+    // doc_id * idSpan cannot overflow a long — violations would ALIAS
+    // into wrong (doc_id, chunk_idx) pairs, and because the oracle
+    // performs the identical arithmetic the hash gate cannot see the
+    // corruption. At 100-TB corpora a book-length doc (> idSpan·stride
+    // tokens) is reachable, so fail loudly per offending row instead.
+    val maxDocId = Long.MaxValue / idSpan - 1
+    val inRange = col("chunk_idx") < idSpan &&
+      col("doc_id") >= 0 && col("doc_id") <= maxDocId
     val passages = Packing.slidingWindows(docs, width, stride)
-      .select((col("doc_id") * idSpan + col("chunk_idx")).as("doc_id"),
+      .select(when(inRange, col("doc_id") * idSpan + col("chunk_idx"))
+          .otherwise(raise_error(concat(
+            lit(s"passageTopK: composite id out of range (idSpan=$idSpan"
+              + ", requires 0 <= doc_id <= " + maxDocId
+              + " and chunk_idx < idSpan): doc_id="),
+            col("doc_id"), lit(" chunk_idx="), col("chunk_idx"))))
+          .as("doc_id"),
         col("chunk_text").as("text"))
     bm25TopK(passages, terms, k)
       .select(col("rank"),

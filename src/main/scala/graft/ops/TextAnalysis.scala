@@ -1208,7 +1208,14 @@ object TextAnalysis {
       s"trainRem must be in [0, $trainMod), got $trainRem")
     import org.apache.spark.sql.expressions.Window
     val isTrain = pmod(col("doc_id"), lit(trainMod.toLong)) === trainRem
-    val train = docs.filter(isTrain)
+    // NULL-lang train docs are dropped BEFORE the class set is built:
+    // a NULL class would ride into the argmin tie-break, where Spark's
+    // ascending sort puts NULLs first and DuckDB's ORDER BY puts them
+    // last — a cross-engine divergence on any bits_total tie. The rest
+    // of the LM family already assumes non-null labels; make it
+    // explicit here (held-out docs keep their lang: a NULL test label
+    // just yields correct = NULL, identically in both engines).
+    val train = docs.filter(isTrain && col("lang").isNotNull)
     val cnt = train
       .select(col("lang").as("c_lang"), explode(tokens(col("text"))).as("t"))
       .groupBy("c_lang", "t").agg(count(lit(1)).as("c"))

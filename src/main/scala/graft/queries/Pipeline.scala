@@ -3194,11 +3194,13 @@ object Pipeline {
       |  SELECT doc_id, lang,
       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
       |  FROM documents),
-      |tr AS (SELECT * FROM tok WHERE doc_id % $mod = $rem),
+      |tr AS (SELECT * FROM tok
+      |  WHERE doc_id % $mod = $rem AND lang IS NOT NULL),
       |cls AS (SELECT lang AS c_lang, CAST(count(*) AS BIGINT) AS n_c
-      |  FROM documents WHERE doc_id % $mod = $rem GROUP BY 1),
+      |  FROM documents WHERE doc_id % $mod = $rem AND lang IS NOT NULL
+      |  GROUP BY 1),
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-      |  WHERE doc_id % $mod = $rem),
+      |  WHERE doc_id % $mod = $rem AND lang IS NOT NULL),
       |cnt AS (SELECT lang AS c_lang, t, CAST(count(*) AS BIGINT) AS c
       |  FROM tr GROUP BY 1, 2),
       |tcd AS (SELECT c_lang, CAST(sum(c) AS BIGINT) AS t_c

@@ -39,6 +39,23 @@ class NbClassifierSpec extends SparkSpec {
       (2L, "bb", "aa", 3L, false)))
   }
 
+  test("a NULL-lang train doc is excluded from the class set (a NULL " +
+    "class would tie-break NULLS FIRST in Spark and NULLS LAST in the " +
+    "DuckDB oracle)") {
+    val sp = spark
+    import sp.implicits._
+    // the NULL-lang train doc shares doc 2's unseen token 'zz': were a
+    // NULL class trained, it would score 'zz' as SEEN and win doc 2
+    val withNull = corpus.union(
+      Seq((27L, Option.empty[String], Option("zz zz"))).toDF(
+        "doc_id", "lang", "text"))
+    val got = TextAnalysis.nbLangClassifier(withNull)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(2)))
+    // same predictions as the null-free corpus; no NULL class anywhere
+    assert(got === Seq((0L, "aa"), (1L, "bb"), (2L, "aa")))
+  }
+
   test("forced shuffle-hash vocabulary branch produces the identical " +
     "result (the VocabJoin dispatch contract)") {
     val broadcastRows = spark.conf

@@ -144,6 +144,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall(_._4 == 1L)) // n_terms
   }
 
+  test("passageTopK: a doc spilling past idSpan chunks fails loudly " +
+    "instead of aliasing into a wrong (doc_id, chunk_idx) pair") {
+    val sp = spark
+    import sp.implicits._
+    // idSpan 2 with width 1 / stride 1 over a 3-token doc → chunk_idx
+    // reaches 2 = idSpan: composite id 0·2+2 would alias to (1, 0)
+    val d = Seq(0L -> "apple apple apple").toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Retrieval.passageTopK(d, Seq("apple"), width = 1, stride = 1,
+        k = 10, idSpan = 2L).collect()
+    }
+    assert(e.getMessage.contains("composite id out of range"))
+    // a doc_id past Long.MaxValue / idSpan trips the overflow arm
+    val big = Seq((Long.MaxValue / 2L) -> "apple").toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      Retrieval.passageTopK(big, Seq("apple"), width = 1, stride = 1,
+        k = 10, idSpan = 4L).collect()
+    }
+    assert(e2.getMessage.contains("composite id out of range"))
+    // the in-range shape is untouched
+    val ok = Retrieval.passageTopK(d, Seq("apple"), width = 1,
+      stride = 1, k = 10, idSpan = 4L).collect()
+    assert(ok.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 0L), (0L, 1L), (0L, 2L)))
+  }
+
   test("collocations ranks ties lexicographically") {
     val out = TextAnalysis.collocations(docs(colloCorpus: _*),
       minCount = 1, k = 10).collect()
