@@ -801,14 +801,19 @@ object TextAnalysis {
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    // W = Σc re-aggregates the VOCAB frame, not the corpus — one
-    // corpus pass feeds both the counts and (via them) the total
-    val vocab = counts
-      .crossJoin(broadcast(counts.agg(sum(col("c")).as("w_total"))))
-      .select(col("t"),
-        (length(bin(idiv(col("w_total"), col("c")))) - 1)
-          .cast("long").as("bits"))
-    VocabJoin.join(tok, vocab, Seq("t"))
+    // ONE driver action yields BOTH the LM total W and the vocabulary
+    // size: W rides into the bits expression as a literal (replacing
+    // the 1-row crossJoin's separate broadcast subjob) and the row
+    // count feeds VocabJoin's dispatch via planFromCount — so the
+    // counted dispatch costs zero extra passes here (round 14 priced
+    // plan()'s own count() at ~1.8× on this sub-second query).
+    val agg = counts.agg(sum(col("c")).as("w"), count(lit(1)).as("nv")).head()
+    val (wTotal, nVocab) =
+      (if (agg.isNullAt(0)) 0L else agg.getLong(0), agg.getLong(1))
+    val vocab = counts.select(col("t"),
+      (length(bin(idiv(lit(wTotal), col("c")))) - 1)
+        .cast("long").as("bits"))
+    tok.join(VocabJoin.planFromCount(vocab, nVocab)(vocab), Seq("t"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("bits")).as("surprisal_bits"))
@@ -850,30 +855,46 @@ object TextAnalysis {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(k >= 1, s"k must be >= 1, got $k")
     val toks = docs.select(tokens(col("text")).as("w"))
+    // both vocabulary aggregates are cached for the operator's
+    // lifetime: uncached, the unigram frame re-ran its corpus
+    // aggregation for EACH broadcast build (w1 side, w2 side) plus
+    // VocabJoin's dispatch count, and the bigram frame once for the
+    // W-total subjob and once for the probe — five corpus-sized
+    // aggregations where two suffice. The dispatch count and the
+    // driver-collected W total are what materialize the caches; the
+    // k-row output is materialized so both caches release before the
+    // frame is returned (the annTopK cache-release convention).
     val c12 = toks
       .select(explode(graft.functions.TextFunctions
         .wordShingles(col("w"), 2, distinct = false)).as("bg"))
       .select(substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .cache()
     val uni = toks.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = c12.agg(sum(col("c12")).as("n_bigrams"))
+      .cache()
+    val totRow = c12.agg(sum(col("c12"))).head()
+    val nBigrams = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     // one counted dispatch for the unigram frame, reused by both joins
     val uniHint = VocabJoin.plan(uni)
     val scored = c12.filter(col("c12") >= minCount.toLong)
       .join(uniHint(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
       .join(uniHint(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
-      .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-        idiv(lit(1000000L) * col("c12") * col("n_bigrams"),
+        idiv(lit(1000000L) * col("c12") * lit(nBigrams),
           col("c1") * col("c2")).as("lift_x1M"))
     val wnd = org.apache.spark.sql.expressions.Window
       .orderBy(col("lift_x1M").desc, col("w1"), col("w2"))
-    scored.orderBy(col("lift_x1M").desc, col("w1"), col("w2")).limit(k)
+    val out = scored.orderBy(col("lift_x1M").desc, col("w1"), col("w2"))
+      .limit(k)
       .withColumn("rank", row_number().over(wnd).cast("long"))
       .select(col("rank"), col("w1"), col("w2"), col("c12"),
         col("c1"), col("c2"), col("lift_x1M"))
+      .transform(graft.engine.Checkpoints.materialize)
+    c12.unpersist(blocking = false)
+    uni.unpersist(blocking = false)
+    out
   }
 
   /** CCNet's per-language LM-quality bucketing (Wenzek et al. 2020)
@@ -914,12 +935,26 @@ object TextAnalysis {
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("t"))
     val counts = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy("lang").agg(sum(col("c")).as("w_total"))
+    // ONE |langs|-row driver action yields the per-lang LM totals AND
+    // the vocabulary size (the q115 fusion, grouped): the totals
+    // frame the bits expression joins is rebuilt as a local literal
+    // frame, and VocabJoin's dispatch reads the row count off the
+    // same action instead of paying plan()'s second count() job.
+    val perLang = counts.groupBy("lang")
+      .agg(sum(col("c")).as("w_total"), count(lit(1)).as("nv"))
+      .collect()
+    val nVocab = perLang.map(_.getLong(2)).sum
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val totals = perLang.toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toDF("lang", "w_total")
     val vocab = counts.join(broadcast(totals), Seq("lang"))
       .select(col("lang"), col("t"),
         (length(bin(idiv(col("w_total"), col("c")))) - 1)
           .cast("long").as("bits"))
-    val scored = VocabJoin.join(tok, vocab, Seq("lang", "t"))
+    val scored = tok.join(
+        VocabJoin.planFromCount(vocab, nVocab)(vocab), Seq("lang", "t"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("bits")).as("surprisal_bits"))
