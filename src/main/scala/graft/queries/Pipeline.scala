@@ -2440,6 +2440,106 @@ object Pipeline {
       (s, dir) => Retrieval.passageTopK(docsF(s, dir), Bm25Terms,
         width = 32, stride = 16, k = 20).orderBy("rank")),
 
+    // ── CURATION CAPSTONE v2: q77's seven-stage pretraining pipe
+    // extended with the three model-based gates a DCLM/FineWeb-shaped
+    // run adds — ten chained stages, one pin-free oracle:
+    //   1-3. heuristic quality gates → corpus length gate → PII scrub
+    //        (the q73 core)
+    //   4.   embedding decontamination (q125): bench = the
+    //        vec_id%10=3 eval slice of the embeddings table (external
+    //        to curation — an eval set does not shrink when the
+    //        corpus does), corpus side = the curated docs' vectors
+    //        (doc_id = vec_id, the testdata's 1:1 convention); bench
+    //        docs leave the corpus, contaminated docs (max cosine ≥
+    //        0.9 against any bench vector) are dropped, zero-norm
+    //        vectors have no defined cosine and pass (the q27/q125
+    //        shared convention).
+    //   5.   NB quality gate (q140): the classifier trains on the
+    //        POST-decontam corpus's doc_id%10=7 slice (scrubbed text,
+    //        lang labels) and the held-out stream keeps only docs it
+    //        classifies correctly — the fastText-style consistency
+    //        gate; the trusted train slice passes through.
+    //   6.   cross-entropy selection (q141): Moore–Lewis over DSIR
+    //        hashed features, both LMs derived from the POST-NB
+    //        corpus, target = source='src0'; the keep threshold is
+    //        the corpus MEAN ce_diff (sum div count, truncating —
+    //        DuckDB // ≡ Spark IntegralDivide ≡ Scala Long division
+    //        toward zero), i.e. "keep the target-like half" with no
+    //        pinned θ — a fixed θ=0 kept ZERO docs at sf0.01 because
+    //        a small target slice inflates bits_t corpus-wide, and
+    //        any pinned value is a per-dataset pin the capstone's
+    //        pin-free contract forbids.
+    //   7-10. q77's tail over the survivors: capped dedup → hash
+    //        split → temperature mix (rates from the post-dedup train
+    //        corpus) → 512-token packing.
+    // Every stage's statistics derive from the PREVIOUS stage's
+    // survivors — nothing pinned, so the oracle replays the whole
+    // cascade exactly at any sf. Plan shape: stages 4-6 add ONE
+    // broadcast probe (bench side), one classifier exchange (q140's
+    // shape), and one 256-row LM broadcast on top of q77's plan; the
+    // corpus is never shuffled by a gate.
+    Q("q147_curation_capstone", "pipeline:curation-capstone-v2",
+      Some(capstoneOracle),
+      (s, dir) => {
+        val docs = docsF(s, dir).select("doc_id", "text", "lang", "source")
+        val gated = docs.filter(TextAnalysis.qualityKeep(col("text")))
+        val sized = TextAnalysis.lengthGateRetained(gated)
+          .filter(col("keep"))
+        val clean = sized.select(col("doc_id"),
+          TextAnalysis.scrubText(col("text")).as("text"),
+          col("lang"), col("source")).cache()
+        val e = t(s, dir, "embeddings")
+        val contam = Similarity.embeddingContamination(
+          e.join(clean.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi").filter(col("vec_id") % 10 =!= 3),
+          e.filter(col("vec_id") % 10 === 3), tauX1e6 = 900000L)
+        // the three cascade waypoints are PINNED (lineage truncated),
+        // not merely cached: each is referenced several times and every
+        // reference duplicates the whole upstream LOGICAL tree (union
+        // branches, the CE self-reference, dupClusters' internal
+        // scans, the join-back) — with ten chained stages the
+        // analyzed-plan size multiplies stage over stage and the
+        // analyzer itself becomes the bottleneck (a cache-only variant
+        // of this query hung planning at sf0.01). Pins are released
+        // after the k-row output materializes.
+        import graft.engine.Checkpoints
+        val dec = Checkpoints.pin(clean.filter(col("doc_id") % 10 =!= 3)
+          .join(contam.select(col("vec_id").as("doc_id"),
+            col("keep").as("dc_keep")), Seq("doc_id"), "left")
+          .filter(coalesce(col("dc_keep"), lit(true)))
+          .drop("dc_keep"))
+        val nbKeep = TextAnalysis.nbLangClassifier(dec)
+          .filter(col("correct")).select("doc_id")
+        val sel1 = Checkpoints.pin(
+          dec.filter(pmod(col("doc_id"), lit(10L)) === 7)
+            .unionByName(dec.join(nbKeep, Seq("doc_id"), "left_semi")))
+        val ceScores = TextAnalysis.crossEntropySelect(sel1,
+            col("source") === "src0", buckets = 256, thetaX1000 = 0L)
+          .select(col("doc_id"), col("ce_diff_x1000"))
+        val mRow = ceScores
+          .agg(sum(col("ce_diff_x1000")), count(lit(1))).head()
+        val thr = if (mRow.isNullAt(0) || mRow.getLong(1) == 0L) 0L
+                  else mRow.getLong(0) / mRow.getLong(1)
+        val ceKeep = ceScores
+          .filter(col("ce_diff_x1000") <= thr).select("doc_id")
+        val sel2 = Checkpoints.pin(
+          sel1.join(ceKeep, Seq("doc_id"), "left_semi"))
+        val cl = Dedup.dupClusters(sel2, 0.8, bucketCap = Some(16))
+        val train = Sampling.withSplit(
+            cl.filter(col("keep")).select("doc_id").join(sel2, Seq("doc_id")))
+          .filter(col("split") === "train")
+          .select("doc_id", "text", "lang").cache()
+        val mixed = Sampling.withMix(train)
+        val out = Packing
+          .packChunks(mixed, 512L, keepCols = Seq("lang", "rate_ppm"))
+          .orderBy("doc_id")
+          .transform(Checkpoints.materialize)
+        clean.unpersist(blocking = false)
+        train.unpersist(blocking = false)
+        Seq(dec, sel1, sel2).foreach(Checkpoints.release)
+        out
+      }),
+
     // ── edit-distance near-dup verification ([[Dedup.editVerifiedPairs]]):
     // q61's bucket-capped MinHash candidates verified by BANDED
     // Levenshtein instead of shingle Jaccard — the fuzzy-dedup policy
@@ -5453,11 +5553,12 @@ object Pipeline {
     * `cur`), and the q66 hash split — every stage the same
     * deterministic decisions the Spark plan makes, so equality is
     * exact by construction on any dataset. */
-  /** The shared q73/q77 curation CTE chain: quality gates → corpus
-    * length gate → PII scrub (CTE `cur`: doc_id, scrubbed text,
-    * n_tokens) → capped LSH pairs → connected components (CTEs
-    * `lab`/`siz`). Must be spliced under `WITH RECURSIVE`. */
-  private def curationCoreCtes: String = {
+  /** The quality-gate → length-gate → PII-scrub prefix of the
+    * curation chain, ending in CTE `cur` (doc_id, scrubbed text,
+    * n_tokens). Split out of [[curationCoreCtes]] in round 15 so the
+    * capstone (q147) can splice its model gates BETWEEN the scrub and
+    * the dedup the way the Spark side does. */
+  private def curationCurCtes: String = {
     val (em, ph, ip) = (TextAnalysis.EmailRe, TextAnalysis.PhoneRe,
       TextAnalysis.IpRe)
     s"""qb AS ($qualityBodySql),
@@ -5481,14 +5582,21 @@ object Pipeline {
       |      '$ip', '<IP>', 'g') AS text,
       |    t.n_tokens
       |  FROM gdocs g JOIN gtok t ON t.doc_id = g.doc_id CROSS JOIN lb
-      |  WHERE t.n_tokens >= lb.lo AND t.n_tokens <= lb.hi),
+      |  WHERE t.n_tokens >= lb.lo AND t.n_tokens <= lb.hi)""".stripMargin
+  }
+
+  /** The shared q73/q77 curation CTE chain: quality gates → corpus
+    * length gate → PII scrub (CTE `cur`: doc_id, scrubbed text,
+    * n_tokens) → capped LSH pairs → connected components (CTEs
+    * `lab`/`siz`). Must be spliced under `WITH RECURSIVE`. */
+  private def curationCoreCtes: String =
+    s"""$curationCurCtes,
       |${cappedLshCtes(Some(16), "cur")},
       |jp AS (
       |  SELECT doc_a, doc_b FROM pairs
       |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
       |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
       |${ccCtes("cur")}""".stripMargin
-  }
 
   private def curationOracle: String = {
     s"""WITH RECURSIVE $curationCoreCtes,
@@ -5555,6 +5663,148 @@ object Pipeline {
       |     - floor(start_offset / 512.0) AS BIGINT) AS chunks_crossed,
       |  lang, rate_ppm
       |FROM off ORDER BY doc_id""".stripMargin
+
+  /** q147's oracle — the whole ten-stage capstone cascade replayed:
+    * [[curationCurCtes]] (quality → length → scrub, CTE `cur`), the
+    * q125 decontamination cross join over the CURATED vectors (`ctm`
+    * = contaminated ids; bench slice from the full embeddings table),
+    * the q140 NB chain trained on the post-decontam doc_id%10=7 slice
+    * (CTEs n*: counts, bits, defaults, priors, argmin with the
+    * class-name tie-break; the gate keeps the train slice plus
+    * correctly-classified held-out docs), the q141 Moore–Lewis CE
+    * chain with both 256-bucket LMs from the post-NB survivors (CTEs
+    * ce*), then q77's tail verbatim over `sel2`: capped LSH pairs →
+    * recursive CC → root split → temperature mix derived from the
+    * post-dedup train corpus → 512-token packing. Every stage's
+    * statistics come from the previous stage's survivors — no pins,
+    * exact at any sf. */
+  private def capstoneOracle: String = {
+    val tau = 900000L
+    s"""WITH RECURSIVE $curationCurCtes,
+      |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM ee
+      |  WHERE ${normSql("v")} > 0),
+      |bb AS (SELECT * FROM en WHERE vec_id % 10 = 3),
+      |corp AS (SELECT en.vec_id, en.v, en.nrm FROM en
+      |  JOIN cur ON cur.doc_id = en.vec_id WHERE en.vec_id % 10 != 3),
+      |ctm AS (SELECT DISTINCT c.vec_id FROM corp c CROSS JOIN bb b
+      |  WHERE CAST(floor(${dotSql("b.v", "c.v")} / (b.nrm * c.nrm)
+      |    * 1000000) AS BIGINT) >= $tau),
+      |dec AS MATERIALIZED (
+      |  SELECT cur.doc_id, cur.text, d.lang, d.source
+      |  FROM cur JOIN documents d USING (doc_id)
+      |  WHERE cur.doc_id % 10 != 3
+      |    AND cur.doc_id NOT IN (SELECT vec_id FROM ctm)),
+      |ntok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      |  FROM dec),
+      |ntr AS (SELECT * FROM ntok
+      |  WHERE doc_id % 10 = 7 AND lang IS NOT NULL),
+      |ncls AS (SELECT lang AS c_lang, CAST(count(*) AS BIGINT) AS n_c
+      |  FROM dec WHERE doc_id % 10 = 7 AND lang IS NOT NULL GROUP BY 1),
+      |nnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dec
+      |  WHERE doc_id % 10 = 7 AND lang IS NOT NULL),
+      |ncnt AS (SELECT lang AS c_lang, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM ntr GROUP BY 1, 2),
+      |ntcd AS (SELECT c_lang, CAST(sum(c) AS BIGINT) AS t_c
+      |  FROM ncnt GROUP BY 1),
+      |nvv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM ntr),
+      |nbits AS (
+      |  SELECT ncnt.c_lang, ncnt.t,
+      |    CAST(length(bin((t_c + v) // (c + 1))) - 1 AS BIGINT) AS b
+      |  FROM ncnt JOIN ntcd USING (c_lang) CROSS JOIN nvv),
+      |ncdef AS (
+      |  SELECT ncls.c_lang,
+      |    CAST(length(bin(coalesce(ntcd.t_c, 0) + v)) - 1 AS BIGINT) AS bdef,
+      |    CAST(length(bin(n // n_c)) - 1 AS BIGINT) AS bprior
+      |  FROM ncls LEFT JOIN ntcd ON ntcd.c_lang = ncls.c_lang
+      |  CROSS JOIN nvv CROSS JOIN nnn),
+      |nte AS (SELECT doc_id, lang, t FROM ntok WHERE doc_id % 10 <> 7),
+      |nsc AS (
+      |  SELECT nte.doc_id, nte.lang, d.c_lang,
+      |    d.bprior + CAST(sum(coalesce(b.b, d.bdef)) AS BIGINT)
+      |      AS bits_total
+      |  FROM nte CROSS JOIN ncdef d
+      |  LEFT JOIN nbits b ON b.c_lang = d.c_lang AND b.t = nte.t
+      |  GROUP BY nte.doc_id, nte.lang, d.c_lang, d.bprior),
+      |nrk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY bits_total, c_lang) AS r FROM nsc),
+      |nbkeep AS (
+      |  SELECT doc_id FROM dec WHERE doc_id % 10 = 7
+      |  UNION ALL
+      |  SELECT doc_id FROM nrk WHERE r = 1 AND lang = c_lang),
+      |sel1 AS (SELECT dec.* FROM dec JOIN nbkeep USING (doc_id)),
+      |cetok AS (
+      |  SELECT doc_id, (source = 'src0') AS is_t, ${h60Sql("t")} % 256 AS b
+      |  FROM (SELECT doc_id, source,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      |  FROM sel1)),
+      |cecnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+      |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+      |  FROM cetok GROUP BY 1),
+      |cetot AS (SELECT CAST(sum(c_r) AS BIGINT) AS t_r,
+      |    CAST(sum(c_t) AS BIGINT) AS t_t FROM cecnt),
+      |celm AS (SELECT b,
+      |    CAST(length(bin((t_t + 256) // (c_t + 1))) - 1 AS BIGINT)
+      |      AS bits_t,
+      |    CAST(length(bin((t_r + 256) // (c_r + 1))) - 1 AS BIGINT)
+      |      AS bits_r
+      |  FROM cecnt CROSS JOIN cetot),
+      |cesc AS (
+      |  SELECT doc_id,
+      |    ((1000 * CAST(sum(bits_t - bits_r) AS BIGINT)) //
+      |      greatest(CAST(count(*) AS BIGINT), 1)) AS ce
+      |  FROM cetok JOIN celm USING (b)
+      |  GROUP BY doc_id),
+      |cethr AS (SELECT CAST(sum(ce) AS BIGINT) //
+      |    greatest(CAST(count(*) AS BIGINT), 1) AS thr FROM cesc),
+      |cekeep AS (
+      |  SELECT doc_id FROM cesc CROSS JOIN cethr WHERE ce <= thr),
+      |sel2 AS MATERIALIZED (
+      |  SELECT sel1.* FROM sel1 JOIN cekeep USING (doc_id)),
+      |${cappedLshCtes(Some(16), "sel2")},
+      |jp AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+      |${ccCtes("sel2")},
+      |tr AS (
+      |  SELECT l.doc_id FROM lab l
+      |  WHERE l.doc_id = l.root
+      |    AND ${h60Sql("'split:' || CAST(l.doc_id AS VARCHAR)")} % 1000 < 980),
+      |ld AS (
+      |  SELECT t.doc_id, s.lang, s.text FROM tr t
+      |  JOIN sel2 s ON s.doc_id = t.doc_id),
+      |lc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM ld GROUP BY lang),
+      |rt AS (
+      |  SELECT lang, CAST(floor(sqrt((SELECT min(n) FROM lc) / n)
+      |    * 1000000.0) AS BIGINT) AS rate_ppm
+      |  FROM lc),
+      |mx AS (
+      |  SELECT ld.doc_id, ld.lang, ld.text, r.rate_ppm
+      |  FROM ld JOIN rt r USING (lang)
+      |  WHERE ${h60Sql("'mix:' || CAST(ld.doc_id AS VARCHAR)")} % 1000000
+      |    < r.rate_ppm),
+      |tok2 AS (
+      |  SELECT doc_id, lang, rate_ppm,
+      |    CAST(coalesce(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 0) AS BIGINT) AS n_tokens
+      |  FROM mx),
+      |off AS (
+      |  SELECT doc_id, lang, rate_ppm, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_offset
+      |  FROM tok2)
+      |SELECT doc_id, n_tokens, start_offset,
+      |  CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
+      |  (floor(greatest(start_offset + n_tokens - 1, start_offset) / 512.0)
+      |     > floor(start_offset / 512.0)) AS spans_boundary,
+      |  CAST(floor(greatest(start_offset + n_tokens - 1, start_offset) / 512.0)
+      |     - floor(start_offset / 512.0) AS BIGINT) AS chunks_crossed,
+      |  lang, rate_ppm
+      |FROM off ORDER BY doc_id""".stripMargin
+  }
 
   /** q136's oracle: q67's capped cluster chain (signatures → bands →
     * cap → verify → recursive CC), then q131's integer tf·idf keyed

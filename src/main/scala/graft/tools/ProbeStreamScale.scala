@@ -1,0 +1,167 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** x1/x30/x100 event-scale ladder for the two round-14 streaming
+  * additions: q143's stream-stream interval join and q145's native
+  * session windows — the older streaming family was laddered at 10M
+  * events in round 13; this closes the gap for the new pair.
+  *
+  * Each point replays the gated harness exactly (chronological waves
+  * as single mtime-pinned files, maxFilesPerTrigger=1, the q145
+  * common-instant sentinel) and reports the drain wall, the PEAK
+  * state-store rows across micro-batches (max over progress events of
+  * Σ stateOperators.numRowsTotal — for the interval join this is the
+  * retained view+click state the watermark bounds; for session
+  * windows the open-session rows), and the emitted row count.
+  *
+  * What the ladder should show at 100 TB rates: wall ~linear in
+  * events (each event is touched once per store), state bounded by
+  * watermark·rate — NOT by stream length — so the x100 state/event
+  * ratio must not grow. ScaleGen replicates events by shifting
+  * user_id/event_id ranges with ts untouched, so per-user temporal
+  * structure (and hence per-key state lifetime) is scale-invariant by
+  * construction; what grows is the KEY count, the honest variable.
+  *
+  * Usage: ProbeStreamScale [dir ...]
+  *   (default /root/testdata/sf0.1 /tmp/scale_x30 /tmp/scale_x100) */
+object ProbeStreamScale {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/scale_x30", "/tmp/scale_x100")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
+    def writeWave(df: DataFrame, srcDir: String, wave: Int): Unit = {
+      val d = new java.io.File(srcDir)
+      val before = Option(d.listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      df.coalesce(1).write.mode("append").parquet(srcDir)
+      d.listFiles().filter(f => !before(f.getName))
+        .foreach(_.setLastModified(1000000000000L + wave * 60000L))
+    }
+
+    /** One AvailableNow drain; returns (wall s, peak state rows, rows
+      * emitted). State partitions default to the gated queries' 4 —
+      * the q105/q107 sizing — so the ladder measures state GROWTH
+      * under the exact shape the gate runs; PROBE_STATE_PARTITIONS
+      * overrides it to show the 100-TB knob (state partitions must
+      * scale with KEYS: 4 partitions at 10M events is 2.5M state rows
+      * per store task, the measured q145 superlinearity). */
+    def drainTimed(streamed: DataFrame, outDir: String,
+                   ckpt: String): (Double, Long, Long) = {
+      val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PROBE_STATE_PARTITIONS", "4"))
+      val t0 = System.nanoTime()
+      val q = streamed.writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      val peakState = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      (wall, peakState, spark.read.parquet(outDir).count())
+    }
+
+    dirs.foreach { dir =>
+      val root = new java.io.File("target/graft-wh/probe-stream-scale")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val ev = graft.engine.Tables(spark, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
+      val nEv = ev.count()
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val (tMin, tMax) = (mm.getLong(0), mm.getLong(1))
+      val midUs = tMin + (tMax - tMin) / 2
+      println(s"=== $dir: $nEv events")
+
+      // ── q143 shape: all views + first-half clicks in batch 1,
+      // second-half clicks in batch 2 (cross-batch view state)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          col("user_id").as("v_user"), col("ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("click_ts"))
+      writeWave(views, s"$root/views", 0)
+      writeWave(clicks.filter(unix_micros(col("click_ts")) < midUs),
+        s"$root/clicks", 0)
+      writeWave(clicks.filter(unix_micros(col("click_ts")) >= midUs),
+        s"$root/clicks", 1)
+      val vStream = spark.readStream
+        .schema("view_id bigint, v_user bigint, view_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/views")
+      val cStream = spark.readStream
+        .schema("click_id bigint, c_user bigint, click_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/clicks")
+      val (wJoin, stJoin, nJoin) = drainTimed(
+        graft.streaming.StreamingJoin.attributionJoin(
+          vStream, cStream, windowMinutes = 30, delayMinutes = 30),
+        s"$root/join-out", s"$root/join-ckpt")
+      println(f"[stream] q143 interval join  wall=$wJoin%7.2f s  " +
+        f"peak_state=$stJoin%9d  matches=$nJoin")
+
+      // ── q145 shape: two chronological waves + the sentinel
+      val sess = ev.select(col("user_id"), col("ts"))
+      writeWave(sess.filter(unix_micros(col("ts")) <= midUs),
+        s"$root/sess", 0)
+      writeWave(sess.filter(unix_micros(col("ts")) > midUs),
+        s"$root/sess", 1)
+      writeWave(sess.select(col("user_id")).distinct()
+        .withColumn("ts", timestamp_micros(lit(tMax + 86400L * 1000000L))),
+        s"$root/sess", 2)
+      val sStream = spark.readStream
+        .schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/sess")
+      val (wSess, stSess, nSess) = drainTimed(
+        graft.streaming.StreamingBuilders.sessionWindowAgg(
+          sStream, gapMinutes = 30, delayMinutes = 30),
+        s"$root/sess-out", s"$root/sess-ckpt")
+      println(f"[stream] q145 native sessions wall=$wSess%7.2f s  " +
+        f"peak_state=$stSess%9d  sessions=$nSess")
+
+      // PROBE_CUSTOM_SESSIONIZE=1 adds q105's flatMapGroupsWithState
+      // kernel over the SAME waves — the native-vs-custom wall at this
+      // event scale (different sink: foreachBatch upsert, like the
+      // gated q105)
+      if (sys.env.contains("PROBE_CUSTOM_SESSIONIZE")) {
+        val sessM = ev.select(col("user_id"),
+          unix_micros(col("ts")).as("ts_micros"),
+          col("event_id"))
+        writeWave(sessM.filter(col("ts_micros") <= midUs), s"$root/sessc", 0)
+        writeWave(sessM.filter(col("ts_micros") > midUs), s"$root/sessc", 1)
+        writeWave(sessM.select(col("user_id")).distinct()
+          .withColumn("ts_micros", lit(tMax + 86400L * 1000000L))
+          .withColumn("event_id", lit(-1L))
+          .select("user_id", "ts_micros", "event_id"), s"$root/sessc", 2)
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("PROBE_STATE_PARTITIONS", "4"))
+        val t0 = System.nanoTime()
+        graft.streaming.StatefulSessionize.run(spark, s"$root/sessc", 30,
+          s"$root/sessc-wh", "probe_sessions", s"$root/sessc-ckpt",
+          timeout = false, maxFilesPerTrigger = Some(1))
+        val wC = (System.nanoTime() - t0) / 1e9
+        spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        val nC = graft.engine.TableStore
+          .read(spark, s"$root/sessc-wh", "probe_sessions").count()
+        println(f"[stream] q105 custom sessions wall=$wC%7.2f s  " +
+          f"peak_state=        -  sessions=$nC")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+    }
+    spark.stop()
+  }
+}

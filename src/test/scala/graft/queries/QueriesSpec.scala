@@ -45,7 +45,7 @@ class QueriesSpec extends SparkSpec {
       "duplicate query names collapse entries in the driver-facing map")
     // pinned count: catches an accidentally dropped/unregistered query,
     // which the relative check above cannot (both sides shrink together)
-    assert(qk.size == 145, s"registry size changed: ${qk.size} — " +
+    assert(qk.size == 146, s"registry size changed: ${qk.size} — " +
       "update this pin if a query was deliberately added/removed")
   }
 
@@ -137,7 +137,13 @@ class QueriesSpec extends SparkSpec {
       // one-row V / N scalars onto vocabulary-sized aggregates);
       // q141 cross-joins its ONE-row LM-totals frame onto the B-row
       // bucket counts — the scalar-broadcast shape
-      "q140_nb_classifier", "q141_ce_select")
+      "q140_nb_classifier", "q141_ce_select",
+      // q147 composes q125's broadcast bench cross join, q140's
+      // broadcast class-constants frame, q141's one-row LM totals,
+      // q70's one-row length bounds, and q75's one-row mix min — all
+      // bounded build sides by design (the capstone's gates add no
+      // corpus-sized nested-loop anywhere)
+      "q147_curation_capstone")
     Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
