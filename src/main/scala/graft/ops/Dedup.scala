@@ -465,19 +465,26 @@ object Dedup {
     * pins — see [[graft.functions.MultiMatchScrubExpr]]).
     *
     * Scale shape: the candidate frame is bounded by the upstream cap,
-    * so its ID PAIRS broadcast (the q113 posture) and the corpus text
-    * column streams through two independent broadcast-hash probes —
-    * no corpus shuffle. Only the bare (doc_a, doc_b) frame is ever
-    * broadcast: the cap bounds pair COUNT, not text bytes, and
-    * broadcasting a probe result that carries text_a would grow with
-    * |candidates|·avg_len (book-length docs under a generous cap blow
-    * the broadcast limit even though the candidate frame itself is
-    * small). The two text-carrying probe outputs — each candidate-
-    * bounded — meet in one pair-keyed exchange instead; the
-    * quadratic-looking work is the banded kernel on |candidates|
-    * text pairs, the honest verification cost. Output: (doc_a, doc_b,
-    * n_a, n_b, dist, edit_sim_x1000 = 1000 − (1000·dist) div
-    * max(n_a, n_b, 1)), doc_a < doc_b. */
+    * so its BARE ID side broadcasts (the q113 posture) and the corpus
+    * text column streams through broadcast-hash probes — no corpus
+    * shuffle. The SECOND probe's build side carries text_a and is the
+    * fast path: one broadcast, zero exchanges — but the cap bounds
+    * pair COUNT, not text bytes, so its size is Σ len(text_a) over
+    * the pairs (|candidates|·avg_len — book-length docs under a
+    * generous cap can blow the broadcast limit even though the
+    * candidate frame itself is small). That sum is therefore MEASURED
+    * (one candidate-bounded aggregate job — the scan it pays is the
+    * same probe the broadcast build pays) and the pairing DISPATCHES
+    * on it, the VocabJoin pattern applied to text payloads: broadcast
+    * at or under `graft.edit.broadcastMaxTextBytes` (default 128 MB),
+    * and past it the two id-probed text frames meet in a pair-keyed
+    * shuffle-hash join instead (never sort-merge — sorting text
+    * payloads is pure waste at candidate size). Both branches are
+    * spec-pinned row-for-row (EditDedupSpec). The quadratic-looking
+    * work is the banded kernel on |candidates| text pairs, the honest
+    * verification cost. Output: (doc_a, doc_b, n_a, n_b, dist,
+    * edit_sim_x1000 = 1000 − (1000·dist) div max(n_a, n_b, 1)),
+    * doc_a < doc_b. */
   def editVerifiedPairs(docs: DataFrame, candidates: DataFrame,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
@@ -486,14 +493,26 @@ object Dedup {
     val withA = txt
       .join(broadcast(ids), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("text").as("text_a"))
-    val withB = txt
-      .join(broadcast(ids), col("doc_id") === col("doc_b"))
-      .select(col("doc_a").as("b_doc_a"), col("doc_b").as("b_doc_b"),
-        col("text").as("text_b"))
-    val paired = withA
-      .join(withB, col("doc_a") === col("b_doc_a") &&
-        col("doc_b") === col("b_doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+    val budget = docs.sparkSession.conf
+      .getOption("graft.edit.broadcastMaxTextBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val aRow = withA.agg(sum(length(col("text_a")))).head()
+    val fits = aRow.isNullAt(0) || aRow.getLong(0) <= budget
+    val paired =
+      if (fits)
+        txt.join(broadcast(withA), col("doc_id") === col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("text_a"),
+            col("text").as("text_b"))
+      else {
+        val withB = txt
+          .join(broadcast(ids), col("doc_id") === col("doc_b"))
+          .select(col("doc_a").as("b_doc_a"), col("doc_b").as("b_doc_b"),
+            col("text").as("text_b"))
+        withA.join(withB.hint("shuffle_hash"),
+            col("doc_a") === col("b_doc_a") &&
+              col("doc_b") === col("b_doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+      }
     paired
       .select(col("doc_a"), col("doc_b"),
         length(col("text_a")).cast("long").as("n_a"),

@@ -34,6 +34,28 @@ class EditDedupSpec extends SparkSpec {
       (6L, 7L, 4L, 4L, 0L, 1000L)))
   }
 
+  test("the byte-dispatched pairing branches are row-for-row identical " +
+    "(forced shuffle-hash vs the broadcast fast path)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(0L -> "kitten", 1L -> "sitting", 2L -> "flaw",
+      3L -> "lawn", 6L -> "same", 7L -> "same").toDF("doc_id", "text")
+    val cand = Seq((0L, 1L), (2L, 3L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val prev = spark.conf.getOption("graft.edit.broadcastMaxTextBytes")
+    try {
+      val fast = Dedup.editVerifiedPairs(docs, cand, maxDist = 3)
+        .orderBy("doc_a").collect().toSeq.map(_.toString)
+      spark.conf.set("graft.edit.broadcastMaxTextBytes", "0")
+      val slow = Dedup.editVerifiedPairs(docs, cand, maxDist = 3)
+        .orderBy("doc_a").collect().toSeq.map(_.toString)
+      assert(fast === slow)
+      assert(fast.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.edit.broadcastMaxTextBytes", v)
+      case None => spark.conf.unset("graft.edit.broadcastMaxTextBytes")
+    }
+  }
+
   test("minhashCandidatesCapped is a superset of the Jaccard-verified " +
     "pair set at the same cap (the recall contract a different " +
     "verifier inherits)") {
