@@ -224,7 +224,7 @@ object Pipeline {
     * assignment replay, no pinned literals, survives testdata
     * regeneration). Lloyd TRAINING stays gated by q82/q102 (integer
     * sufficient statistics) and the trained serve path stays
-    * spec-asserted in AnnRecallSpec. */
+    * spec-asserted in QueriesSpec's recall floor. */
   private def ivfTopKOracle(nCells: Int, nProbe: Int, nQ: Int,
                             k: Int): String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -589,7 +589,7 @@ object Pipeline {
     // ── LSH-bucketed approximate top-k (the 100 TB scale path).
     // Oracle-gated since round 15: the whole path is deterministic
     // (see annTopKOracle), so the served rows themselves hash-check;
-    // recall vs the exact baseline stays asserted in AnnRecallSpec
+    // recall vs the exact baseline stays asserted in QueriesSpec
     // and gated as the q45 aggregate.
     Q("q26_ann_lsh_topk", "pipeline:similarity-ann",
       Some(annTopKOracle),
@@ -765,7 +765,7 @@ object Pipeline {
     // round 15 via the data-derived bounded sample quantizer (see
     // ivfTopKOracle — the trained-quantizer form that kept this
     // rows-only is gated piecewise by q82/q102 and spec-asserted in
-    // AnnRecallSpec).
+    // QueriesSpec's recall floor).
     Q("q33_ann_ivf_topk", "pipeline:similarity-ann-ivf",
       Some(ivfTopKOracle(nCells = 16, nProbe = 4, nQ = 20, k = 5)),
       (s, dir) => {
