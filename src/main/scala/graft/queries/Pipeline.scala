@@ -2513,9 +2513,13 @@ object Pipeline {
         val sel1 = Checkpoints.pin(
           dec.filter(pmod(col("doc_id"), lit(10L)) === 7)
             .unionByName(dec.join(nbKeep, Seq("doc_id"), "left_semi")))
-        val ceScores = TextAnalysis.crossEntropySelect(sel1,
-            col("source") === "src0", buckets = 256, thetaX1000 = 0L)
-          .select(col("doc_id"), col("ce_diff_x1000"))
+        // pinned: the score frame is read twice (the mean aggregate
+        // and the keep filter) and each un-pinned read would re-run
+        // the whole explode + 256-bucket LM chain over sel1
+        val ceScores = Checkpoints.pin(
+          TextAnalysis.crossEntropySelect(sel1,
+              col("source") === "src0", buckets = 256, thetaX1000 = 0L)
+            .select(col("doc_id"), col("ce_diff_x1000")))
         val mRow = ceScores
           .agg(sum(col("ce_diff_x1000")), count(lit(1))).head()
         val thr = if (mRow.isNullAt(0) || mRow.getLong(1) == 0L) 0L
@@ -2536,7 +2540,7 @@ object Pipeline {
           .transform(Checkpoints.materialize)
         clean.unpersist(blocking = false)
         train.unpersist(blocking = false)
-        Seq(dec, sel1, sel2).foreach(Checkpoints.release)
+        Seq(dec, sel1, ceScores, sel2).foreach(Checkpoints.release)
         out
       }),
 

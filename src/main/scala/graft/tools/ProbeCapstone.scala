@@ -60,16 +60,19 @@ object ProbeCapstone {
           .unionByName(dec.join(nbKeep, Seq("doc_id"), "left_semi"))))
       val nSel1 = sel1.count()
       val sel2 = t("6   CE select (pin)") {
-        val ceScores = TextAnalysis.crossEntropySelect(sel1,
-            col("source") === "src0", buckets = 256, thetaX1000 = 0L)
-          .select(col("doc_id"), col("ce_diff_x1000"))
+        val ceScores = Checkpoints.pin(
+          TextAnalysis.crossEntropySelect(sel1,
+              col("source") === "src0", buckets = 256, thetaX1000 = 0L)
+            .select(col("doc_id"), col("ce_diff_x1000")))
         val mRow = ceScores
           .agg(sum(col("ce_diff_x1000")), count(lit(1))).head()
         val thr = if (mRow.isNullAt(0) || mRow.getLong(1) == 0L) 0L
                   else mRow.getLong(0) / mRow.getLong(1)
-        Checkpoints.pin(sel1.join(
+        val s2 = Checkpoints.pin(sel1.join(
           ceScores.filter(col("ce_diff_x1000") <= thr).select("doc_id"),
           Seq("doc_id"), "left_semi"))
+        Checkpoints.release(ceScores)
+        s2
       }
       val nSel2 = sel2.count()
       val (nRoots, train) = t("7-8 capped dedup + split") {
