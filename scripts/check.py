@@ -26,10 +26,19 @@ import duckdb, glob, json, math, os, re, sys, time
 # silently.
 TOMBSTONES = {39}
 
-# Per-oracle replay budget (seconds, sf0.01). Post-round-14 rewrite the
-# slowest oracle is ~5 s; 30 s of headroom flags only real regressions
-# (a lambda-form dot product, an inlined CTE chain gone exponential).
-ORACLE_BUDGET_S = 30.0
+# Per-oracle replay budget (seconds, sf0.01 — the DRIVER's gate
+# scale). Post-round-14 rewrite the slowest oracle is ~5 s; 30 s of
+# headroom flags only real regressions (a lambda-form dot product, an
+# inlined CTE chain gone exponential). A local sf0.1 replay
+# legitimately runs the recursive-CC oracles (q46/q96) 40–50 s at 10×
+# data, so the budget scales with the sf dir: the guard is about the
+# driver gate starving, not about local 10× runs.
+# GRAFT_ORACLE_BUDGET_S overrides outright.
+ORACLE_BUDGET_S = float(os.environ.get("GRAFT_ORACLE_BUDGET_S", "30"))
+
+def budget_for(sf_dir):
+    return ORACLE_BUDGET_S * (10 if sf_dir.rstrip("/").endswith("sf0.1")
+                              else 1)
 
 def norm_type(t):
     """Normalize a DuckDB type name for spark-vs-oracle comparison.
@@ -138,10 +147,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             continue
         timings[name] = round(time.time() - t0, 3)
-        if timings[name] > ORACLE_BUDGET_S:
+        if timings[name] > budget_for(sf_dir):
             failures.append(name)
             print(f"FAIL {name}: oracle replay {timings[name]:.1f}s exceeds "
-                  f"the {ORACLE_BUDGET_S:.0f}s budget — the driver gate "
+                  f"the {budget_for(sf_dir):.0f}s budget — the driver gate "
                   "starves on slow oracles before anything else breaks")
             continue
         # sort columns by name on both sides (driver convention)
