@@ -469,18 +469,21 @@ object Dedup {
     * text column streams through broadcast-hash probes — no corpus
     * shuffle. The SECOND probe's build side carries text_a and is the
     * fast path: one broadcast, zero exchanges — but the cap bounds
-    * pair COUNT, not text bytes, so its size is Σ len(text_a) over
-    * the pairs (|candidates|·avg_len — book-length docs under a
-    * generous cap can blow the broadcast limit even though the
-    * candidate frame itself is small). That sum is therefore MEASURED
-    * (one candidate-bounded aggregate job — the scan it pays is the
-    * same probe the broadcast build pays) and the pairing DISPATCHES
-    * on it, the VocabJoin pattern applied to text payloads: broadcast
-    * at or under `graft.edit.broadcastMaxTextBytes` (default 128 MB),
-    * and past it the two id-probed text frames meet in a pair-keyed
-    * shuffle-hash join instead (never sort-merge — sorting text
-    * payloads is pure waste at candidate size). Both branches are
-    * spec-pinned row-for-row (EditDedupSpec). The quadratic-looking
+    * pair COUNT, not text bytes, so its size is Σ octet_length(text_a)
+    * over the pairs (|candidates|·avg_len UTF-8 bytes, not chars — a
+    * CJK corpus is 3-4 bytes/char; book-length docs under a generous
+    * cap can blow the broadcast limit even though the candidate frame
+    * itself is small). That sum is therefore MEASURED (one
+    * candidate-bounded aggregate job — the scan it pays is the same
+    * probe the broadcast build pays) and the pairing DISPATCHES on
+    * it, the VocabJoin pattern applied to text payloads: broadcast at
+    * or under `graft.edit.broadcastMaxTextBytes` (default 128 MB),
+    * and past it withA meets a per-DOC (doc_b, text_b) frame in a
+    * doc-keyed shuffle-hash join instead (per-doc, so duplicate
+    * candidate pairs replicate linearly exactly as the broadcast
+    * branch does; never sort-merge — sorting text payloads is pure
+    * waste at candidate size). Both branches are spec-pinned
+    * row-for-row incl. duplicate-pair input (EditDedupSpec). The quadratic-looking
     * work is the banded kernel on |candidates| text pairs, the honest
     * verification cost. Output: (doc_a, doc_b, n_a, n_b, dist,
     * edit_sim_x1000 = 1000 − (1000·dist) div max(n_a, n_b, 1)),
@@ -496,7 +499,7 @@ object Dedup {
     val budget = docs.sparkSession.conf
       .getOption("graft.edit.broadcastMaxTextBytes")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    val aRow = withA.agg(sum(length(col("text_a")))).head()
+    val aRow = withA.agg(sum(octet_length(col("text_a")))).head()
     val fits = aRow.isNullAt(0) || aRow.getLong(0) <= budget
     val paired =
       if (fits)
@@ -504,13 +507,15 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"), col("text_a"),
             col("text").as("text_b"))
       else {
-        val withB = txt
-          .join(broadcast(ids), col("doc_id") === col("doc_b"))
-          .select(col("doc_a").as("b_doc_a"), col("doc_b").as("b_doc_b"),
-            col("text").as("text_b"))
-        withA.join(withB.hint("shuffle_hash"),
-            col("doc_a") === col("b_doc_a") &&
-              col("doc_b") === col("b_doc_b"))
+        // per-DOC b-side (one row per doc_b — a per-PAIR frame here
+        // would multiply duplicate candidate pairs n×m where the
+        // broadcast branch emits them linearly, breaking the
+        // branches-identical contract for non-distinct input)
+        val bSide = txt
+          .join(broadcast(ids.select(col("doc_b")).distinct()),
+            col("doc_id") === col("doc_b"))
+          .select(col("doc_b"), col("text").as("text_b"))
+        withA.join(bSide.hint("shuffle_hash"), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
       }
     paired

@@ -174,7 +174,13 @@ object Pipeline {
     * as well as the recall aggregate: this is q45's `ann` CTE chain
     * carried through to (query_id, rank, vec_id, label, sim_x1e6) —
     * q25's output shape. q45 stays registered: recall-vs-exact is a
-    * different claim than row-identity. */
+    * different claim than row-identity. Corpus precondition shared
+    * with the whole top-k family (q25/q45/q58): all-nonzero norms —
+    * a zero-norm vector's cosine is NaN in Spark (cast-to-long 0)
+    * and NULL in DuckDB (sorts last), so neither side filters and
+    * the gate relies on the data property (validated: 0 zero-norm
+    * vectors at all three sfs; the PAIR operators make the
+    * convention explicit via nonZeroBase). */
   private val annTopKOracle: String = {
     val planes = Similarity.hyperplanes(32, 64)
     def dotLit(p: Array[Double]): String = dotLitSql("v", p.toSeq)
@@ -224,7 +230,10 @@ object Pipeline {
     * assignment replay, no pinned literals, survives testdata
     * regeneration). Lloyd TRAINING stays gated by q82/q102 (integer
     * sufficient statistics) and the trained serve path stays
-    * spec-asserted in QueriesSpec's recall floor. */
+    * spec-asserted in QueriesSpec's recall floor. Scoring inherits
+    * the top-k family's all-nonzero-norm corpus precondition (see
+    * annTopKOracle); the CENTROID cut alone filters nrm > 0, exactly
+    * mirroring sampleCentroidsK's nonZeroBase. */
   private def ivfTopKOracle(nCells: Int, nProbe: Int, nQ: Int,
                             k: Int): String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2440,109 +2449,21 @@ object Pipeline {
       (s, dir) => Retrieval.passageTopK(docsF(s, dir), Bm25Terms,
         width = 32, stride = 16, k = 20).orderBy("rank")),
 
-    // ── CURATION CAPSTONE v2: q77's seven-stage pretraining pipe
-    // extended with the three model-based gates a DCLM/FineWeb-shaped
-    // run adds — ten chained stages, one pin-free oracle:
-    //   1-3. heuristic quality gates → corpus length gate → PII scrub
-    //        (the q73 core)
-    //   4.   embedding decontamination (q125): bench = the
-    //        vec_id%10=3 eval slice of the embeddings table (external
-    //        to curation — an eval set does not shrink when the
-    //        corpus does), corpus side = the curated docs' vectors
-    //        (doc_id = vec_id, the testdata's 1:1 convention); bench
-    //        docs leave the corpus, contaminated docs (max cosine ≥
-    //        0.9 against any bench vector) are dropped, zero-norm
-    //        vectors have no defined cosine and pass (the q27/q125
-    //        shared convention).
-    //   5.   NB quality gate (q140): the classifier trains on the
-    //        POST-decontam corpus's doc_id%10=7 slice (scrubbed text,
-    //        lang labels) and the held-out stream keeps only docs it
-    //        classifies correctly — the fastText-style consistency
-    //        gate; the trusted train slice passes through.
-    //   6.   cross-entropy selection (q141): Moore–Lewis over DSIR
-    //        hashed features, both LMs derived from the POST-NB
-    //        corpus, target = source='src0'; the keep threshold is
-    //        the corpus MEAN ce_diff (sum div count, truncating —
-    //        DuckDB // ≡ Spark IntegralDivide ≡ Scala Long division
-    //        toward zero), i.e. "keep the target-like half" with no
-    //        pinned θ — a fixed θ=0 kept ZERO docs at sf0.01 because
-    //        a small target slice inflates bits_t corpus-wide, and
-    //        any pinned value is a per-dataset pin the capstone's
-    //        pin-free contract forbids.
-    //   7-10. q77's tail over the survivors: capped dedup → hash
-    //        split → temperature mix (rates from the post-dedup train
-    //        corpus) → 512-token packing.
-    // Every stage's statistics derive from the PREVIOUS stage's
-    // survivors — nothing pinned, so the oracle replays the whole
-    // cascade exactly at any sf. Plan shape: stages 4-6 add ONE
-    // broadcast probe (bench side), one classifier exchange (q140's
-    // shape), and one 256-row LM broadcast on top of q77's plan; the
-    // corpus is never shuffled by a gate.
+    // ── CURATION CAPSTONE v2 ([[Capstone]]): q77's seven-stage
+    // pretraining pipe extended with the three model-based gates a
+    // DCLM/FineWeb-shaped run adds — embedding decontamination (q125),
+    // the trained-NB consistency gate (q140), Moore–Lewis CE selection
+    // with a corpus-MEAN threshold (q141) — then q77's dedup → split →
+    // mix → pack tail over the survivors. Ten chained stages, one
+    // pin-free oracle; the full design narrative, the waypoint
+    // pin-vs-cache lesson, and the pinned-output rationale live on the
+    // [[Capstone]] object (shared with ProbeCapstone so the ladder can
+    // never drift from the gated composition).
     Q("q147_curation_capstone", "pipeline:curation-capstone-v2",
       Some(capstoneOracle),
-      (s, dir) => {
-        val docs = docsF(s, dir).select("doc_id", "text", "lang", "source")
-        val gated = docs.filter(TextAnalysis.qualityKeep(col("text")))
-        val sized = TextAnalysis.lengthGateRetained(gated)
-          .filter(col("keep"))
-        val clean = sized.select(col("doc_id"),
-          TextAnalysis.scrubText(col("text")).as("text"),
-          col("lang"), col("source")).cache()
-        val e = t(s, dir, "embeddings")
-        val contam = Similarity.embeddingContamination(
-          e.join(clean.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi").filter(col("vec_id") % 10 =!= 3),
-          e.filter(col("vec_id") % 10 === 3), tauX1e6 = 900000L)
-        // the three cascade waypoints are PINNED (lineage truncated),
-        // not merely cached: each is referenced several times and every
-        // reference duplicates the whole upstream LOGICAL tree (union
-        // branches, the CE self-reference, dupClusters' internal
-        // scans, the join-back) — with ten chained stages the
-        // analyzed-plan size multiplies stage over stage and the
-        // analyzer itself becomes the bottleneck (a cache-only variant
-        // of this query hung planning at sf0.01). Pins are released
-        // after the k-row output materializes.
-        import graft.engine.Checkpoints
-        val dec = Checkpoints.pin(clean.filter(col("doc_id") % 10 =!= 3)
-          .join(contam.select(col("vec_id").as("doc_id"),
-            col("keep").as("dc_keep")), Seq("doc_id"), "left")
-          .filter(coalesce(col("dc_keep"), lit(true)))
-          .drop("dc_keep"))
-        val nbKeep = TextAnalysis.nbLangClassifier(dec)
-          .filter(col("correct")).select("doc_id")
-        val sel1 = Checkpoints.pin(
-          dec.filter(pmod(col("doc_id"), lit(10L)) === 7)
-            .unionByName(dec.join(nbKeep, Seq("doc_id"), "left_semi")))
-        // pinned: the score frame is read twice (the mean aggregate
-        // and the keep filter) and each un-pinned read would re-run
-        // the whole explode + 256-bucket LM chain over sel1
-        val ceScores = Checkpoints.pin(
-          TextAnalysis.crossEntropySelect(sel1,
-              col("source") === "src0", buckets = 256, thetaX1000 = 0L)
-            .select(col("doc_id"), col("ce_diff_x1000")))
-        val mRow = ceScores
-          .agg(sum(col("ce_diff_x1000")), count(lit(1))).head()
-        val thr = if (mRow.isNullAt(0) || mRow.getLong(1) == 0L) 0L
-                  else mRow.getLong(0) / mRow.getLong(1)
-        val ceKeep = ceScores
-          .filter(col("ce_diff_x1000") <= thr).select("doc_id")
-        val sel2 = Checkpoints.pin(
-          sel1.join(ceKeep, Seq("doc_id"), "left_semi"))
-        val cl = Dedup.dupClusters(sel2, 0.8, bucketCap = Some(16))
-        val train = Sampling.withSplit(
-            cl.filter(col("keep")).select("doc_id").join(sel2, Seq("doc_id")))
-          .filter(col("split") === "train")
-          .select("doc_id", "text", "lang").cache()
-        val mixed = Sampling.withMix(train)
-        val out = Packing
-          .packChunks(mixed, 512L, keepCols = Seq("lang", "rate_ppm"))
-          .orderBy("doc_id")
-          .transform(Checkpoints.materialize)
-        clean.unpersist(blocking = false)
-        train.unpersist(blocking = false)
-        Seq(dec, sel1, ceScores, sel2).foreach(Checkpoints.release)
-        out
-      }),
+      (s, dir) => Capstone.run(
+        docsF(s, dir).select("doc_id", "text", "lang", "source"),
+        t(s, dir, "embeddings"))),
 
     // ── edit-distance near-dup verification ([[Dedup.editVerifiedPairs]]):
     // q61's bucket-capped MinHash candidates verified by BANDED

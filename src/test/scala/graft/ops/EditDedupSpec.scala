@@ -41,12 +41,16 @@ class EditDedupSpec extends SparkSpec {
     val docs = Seq(0L -> "kitten", 1L -> "sitting", 2L -> "flaw",
       3L -> "lawn", 6L -> "same", 7L -> "same").toDF("doc_id", "text")
     val cand = Seq((0L, 1L), (2L, 3L), (6L, 7L)).toDF("doc_a", "doc_b")
+    // duplicate candidate pairs must replicate IDENTICALLY in both
+    // branches (a per-pair b-side frame would emit n×m copies in the
+    // shuffle branch where the broadcast branch emits n)
+    val candDup = cand.union(cand.limit(1))
     val prev = spark.conf.getOption("graft.edit.broadcastMaxTextBytes")
     try {
-      val fast = Dedup.editVerifiedPairs(docs, cand, maxDist = 3)
+      val fast = Dedup.editVerifiedPairs(docs, candDup, maxDist = 3)
         .orderBy("doc_a").collect().toSeq.map(_.toString)
       spark.conf.set("graft.edit.broadcastMaxTextBytes", "0")
-      val slow = Dedup.editVerifiedPairs(docs, cand, maxDist = 3)
+      val slow = Dedup.editVerifiedPairs(docs, candDup, maxDist = 3)
         .orderBy("doc_a").collect().toSeq.map(_.toString)
       assert(fast === slow)
       assert(fast.nonEmpty)
