@@ -24,6 +24,15 @@ import duckdb, glob, json, math, os, re, sys, time
 # with a tombstone comment in the registry — the gap guard below
 # exists because q39's history had to be re-derived after it vanished
 # silently.
+#
+# Rows-only queries no longer exist (round 15 retired the last two,
+# q26/q33, with real oracles) and the carve-out is GONE: a registered
+# query with no oracle entry is now a gate FAILURE, not a weaker
+# rows>0 check — dead carve-out code in the gate is surface area for
+# the next silent divergence (round-16 verdict item). A genuinely
+# SQL-inexpressible future operator gets a deliberate entry in a new
+# allowlist next to TOMBSTONES, with the rationale in its registry
+# comment.
 TOMBSTONES = {39}
 
 # Per-oracle replay budget (seconds, sf0.01 — the DRIVER's gate
@@ -41,24 +50,34 @@ _BUDGET_ENV = os.environ.get("GRAFT_ORACLE_BUDGET_S")
 def budget_for(sf_dir):
     if _BUDGET_ENV is not None:
         return float(_BUDGET_ENV)
-    return 30.0 * (10 if sf_dir.rstrip("/").endswith("sf0.1") else 1)
+    # the 10x budget is for the CANONICAL sf0.1 testdata layout only —
+    # a copy or ScaleGen dir that happens to end in "sf0.1" must not
+    # silently inherit it (round-15 ADVICE); any other big dataset
+    # sets GRAFT_ORACLE_BUDGET_S explicitly
+    return 30.0 * (10 if sf_dir.rstrip("/").endswith("/testdata/sf0.1")
+                   else 1)
 
 def norm_type(t):
-    """Normalize a DuckDB type name for spark-vs-oracle comparison.
+    """Type-parity normalization: VERBATIM, including nested types.
 
-    Spark parquet timestamps can surface as TIMESTAMP WITH TIME ZONE /
-    TIMESTAMP_NS depending on writer flags; all are value-identical
-    here (session TZ pinned UTC), so timestamps compare as one type.
-    Everything else compares verbatim — the round-14 driver gate
-    failed q123 on BIGINT-vs-HUGEINT with EQUAL values, a divergence
-    this value-comparing gate could not see. The driver's hasher is
-    type-sensitive; this guard makes the local gate see what it sees.
-    (A house-type allowlist was considered and rejected: INTEGER is
-    legitimately emitted on BOTH sides by 39 oracle columns — direct
-    per-column parity is stronger and has no false positives.)
+    The round-14 driver gate failed q123 on BIGINT-vs-HUGEINT with
+    EQUAL values — the driver's hasher is type-sensitive, so this
+    guard compares per-column DuckDB type strings directly. Verbatim
+    means nested types (STRUCT/LIST leaves) are covered for free: a
+    HUGEINT leaf inside a struct differs as a substring of the type
+    string (selftest-pinned).
+
+    A timestamp-flavor collapse (TIMESTAMP_NS -> TIMESTAMP) lived here
+    in round 15; it was DROPPED (round-15 ADVICE): no flavor
+    divergence exists anywhere in the current gate (all 6 timestamp
+    columns are TIMESTAMP on both sides), and whether the driver's
+    hasher normalizes flavors is unverifiable from here — if a flavor
+    divergence ever appears, fail loudly and cast on the ORACLE side,
+    the q123 HUGEINT precedent. (A house-type allowlist was considered
+    and rejected: INTEGER is legitimately emitted on BOTH sides by 39
+    oracle columns — direct parity is stronger, no false positives.)
     """
-    t = str(t)
-    return "TIMESTAMP" if t.startswith("TIMESTAMP") else t
+    return str(t)
 
 def norm(v):
     if isinstance(v, float):
@@ -82,8 +101,10 @@ def main(sf_dir, out_dir):
     # vanished this way when the testdata's timestamp type changed);
     # every registered query must produce a result. The expectation
     # comes from names.json (the FULL registered list Verify emits),
-    # not from oracle keys: a rows-only query has no oracle entry and
-    # would otherwise still vanish silently when it throws.
+    # not from oracle keys: names.json is what Verify actually RAN,
+    # so a registration whose oracle entry was dropped alongside it
+    # still shows up as missing here rather than vanishing from both
+    # maps at once.
     present = {os.path.basename(d) for d in result_dirs}
     names_path = os.path.join(out_dir, "names.json")
     if os.path.exists(names_path):
@@ -136,9 +157,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cannot read spark result: {e}")
             continue
         if name not in oracle:
-            print(f"ROWS-ONLY {name}: {len(got)} rows (no oracle)")
-            if len(got) == 0:
-                failures.append(name)
+            # the rows-only carve-out is retired (see TOMBSTONES note):
+            # every registered query must carry a full oracle
+            failures.append(name)
+            print(f"FAIL {name}: registered query has NO oracle entry "
+                  "(rows-only gating was retired in round 16 — add an "
+                  "oracleSql entry or a deliberate allowlist row)")
             continue
         t0 = time.time()
         try:

@@ -6,8 +6,8 @@ earlier rounds: a query that THROWS in Verify writes no result dir
 (round 10: q41/q48 vanished when the testdata timestamp type changed),
 and an oracle key whose query was renamed compares nothing. This
 builds tiny fixture dumps and asserts check.py fails loudly on each —
-including the rows-only case (a registered query with NO oracle entry)
-that the oracle-keys-based expectation used to miss.
+including a registered query with NO oracle entry, which since round
+16 is itself a failure (the rows-only carve-out is retired).
 
 Usage: python3 scripts/check_selftest.py   (exit 0 = all guards hold)
 """
@@ -57,25 +57,28 @@ def main():
             failures.append(title)
             print("  stdout: " + r.stdout.strip()[-400:])
 
-    # 1: complete dump (oracle query + rows-only query, both present)
-    out = fixture(root, "clean", {"q1": "SELECT 1 AS x"},
-                  ["q1", "q2_rows_only"], ["q1", "q2_rows_only"])
+    # 1: complete dump (every registered query carries an oracle)
+    out = fixture(root, "clean",
+                  {"q1": "SELECT 1 AS x", "q2_other": "SELECT 1 AS x"},
+                  ["q1", "q2_other"], ["q1", "q2_other"])
     r = run_check(sf, out)
     case("clean dump passes", r.returncode == 0, r)
 
     # 2: an ORACLE query that threw (no result dir) fails by name
-    out = fixture(root, "miss_oracle", {"q1": "SELECT 1 AS x"},
-                  ["q1", "q2_rows_only"], ["q2_rows_only"])
+    out = fixture(root, "miss_oracle",
+                  {"q1": "SELECT 1 AS x", "q2_other": "SELECT 1 AS x"},
+                  ["q1", "q2_other"], ["q2_other"])
     r = run_check(sf, out)
     case("missing oracle-query result fails",
          r.returncode != 0 and "q1" in r.stdout, r)
 
-    # 3: a ROWS-ONLY query that threw fails too — the expectation must
-    # come from names.json, not oracle keys (the round-10 ADVICE gap)
-    out = fixture(root, "miss_rowsonly", {"q1": "SELECT 1 AS x"},
-                  ["q1", "q2_rows_only"], ["q1"])
+    # 3: the rows-only carve-out is RETIRED (round 16) — a registered
+    # query with a result but NO oracle entry is itself a failure, not
+    # a weaker rows>0 check
+    out = fixture(root, "no_oracle_entry", {"q1": "SELECT 1 AS x"},
+                  ["q1", "q2_rows_only"], ["q1", "q2_rows_only"])
     r = run_check(sf, out)
-    case("missing rows-only result fails",
+    case("registered query without oracle entry fails",
          r.returncode != 0 and "q2_rows_only" in r.stdout, r)
 
     # 4: a stale oracle key (query renamed, oracle not) fails loudly
@@ -107,18 +110,52 @@ def main():
          r.returncode != 0 and "TYPES differ" in r.stdout
          and "HUGEINT" in r.stdout, r)
 
-    # 8: timestamp flavor normalization stays a non-failure — spark
-    # parquet TIMESTAMP_NS vs oracle TIMESTAMP are value-identical
-    # under the pinned UTC session and must not false-positive
+    # 8: timestamp FLAVOR divergence fails loudly — the round-15
+    # collapse was dropped (no flavor pair exists in the real gate and
+    # the driver hasher's flavor behavior is unverifiable from here);
+    # the fix when one appears is an ORACLE-side cast, the q123
+    # HUGEINT precedent
+    # (the flavor sits on the ORACLE side: a result-side flavor would
+    # be normalized by the parquet write/read round-trip, oracle types
+    # come straight off the relation)
     out = fixture(
         root, "ts_flavors",
-        {"q1": "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts"},
+        {"q1": "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' "
+               "AS TIMESTAMP_NS) AS ts"},
         ["q1"], [])
     write_result(out, "q1",
-                 "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' "
-                 "AS TIMESTAMP_NS) AS ts")
+                 "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts")
     r = run_check(sf, out)
-    case("timestamp flavor difference does not fail", r.returncode == 0, r)
+    case("timestamp flavor divergence fails on type",
+         r.returncode != 0 and "TYPES differ" in r.stdout, r)
+
+    # 9: NESTED type drift — a widened leaf INSIDE a struct must fail
+    # on type exactly like a top-level one (verbatim type strings
+    # cover composite types; round-15 verdict item 7)
+    out = fixture(
+        root, "nested_type_drift",
+        {"q1": "SELECT {'a': sum(x), 'b': 1} AS s "
+               "FROM (VALUES (CAST(1 AS BIGINT))) t(x)"},
+        ["q1"], [])
+    write_result(out, "q1",
+                 "SELECT {'a': CAST(1 AS BIGINT), 'b': 1} AS s")
+    r = run_check(sf, out)
+    case("nested struct-leaf type drift fails on type, not value",
+         r.returncode != 0 and "TYPES differ" in r.stdout
+         and "HUGEINT" in r.stdout, r)
+
+    # 10: identical nested types stay a non-failure (no false positive
+    # from the verbatim composite compare)
+    out = fixture(
+        root, "nested_clean",
+        {"q1": "SELECT [CAST(1 AS BIGINT)] AS l, "
+               "{'a': CAST(2 AS BIGINT)} AS s"},
+        ["q1"], [])
+    write_result(out, "q1",
+                 "SELECT [CAST(1 AS BIGINT)] AS l, "
+                 "{'a': CAST(2 AS BIGINT)} AS s")
+    r = run_check(sf, out)
+    case("identical nested types pass", r.returncode == 0, r)
 
     # 6: the q39 tombstone itself stays allowed (no false positive)
     out = fixture(root, "tombstone",

@@ -52,7 +52,11 @@ if [ $CHECK_RC -eq 0 ] && [ -z "${2:-}" ]; then
   # silently dropped or renamed (the q39 failure mode) — hard stop.
   # Local-but-not-driver-graded = expected for queries added since
   # the artifact was written — informational only.
-  if [ -n "$LATEST" ]; then
+  # names.json is written by every current Verify run, but guard its
+  # presence anyway: a dump from an older build lacks it and the
+  # heredoc would die on FileNotFoundError — a spurious gate
+  # divergence, not a real one (round-15 ADVICE)
+  if [ -n "$LATEST" ] && [ -f "$OUT/names.json" ]; then
     python3 - "$LATEST" "$OUT/names.json" <<'PYEOF' || { [ -z "${GRAFT_ALLOW_GATE_DIVERGENCE:-}" ] && exit 2; }
 import json, sys
 driver = set(json.load(open(sys.argv[1])))

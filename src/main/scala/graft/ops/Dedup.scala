@@ -482,8 +482,11 @@ object Dedup {
     * doc-keyed shuffle-hash join instead (per-doc, so duplicate
     * candidate pairs replicate linearly exactly as the broadcast
     * branch does; never sort-merge — sorting text payloads is pure
-    * waste at candidate size). Both branches are spec-pinned
-    * row-for-row incl. duplicate-pair input (EditDedupSpec). The quadratic-looking
+    * waste at candidate size). Callers that know their pair text fits
+    * skip the probe job with `graft.edit.assumeBroadcastFits=true`
+    * (a wrong hint fails as a broadcast OOM, never a wrong answer).
+    * All paths are spec-pinned row-for-row incl. duplicate-pair
+    * input (EditDedupSpec). The quadratic-looking
     * work is the banded kernel on |candidates| text pairs, the honest
     * verification cost. Output: (doc_a, doc_b, n_a, n_b, dist,
     * edit_sim_x1000 = 1000 − (1000·dist) div max(n_a, n_b, 1)),
@@ -499,8 +502,19 @@ object Dedup {
     val budget = docs.sparkSession.conf
       .getOption("graft.edit.broadcastMaxTextBytes")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    val aRow = withA.agg(sum(octet_length(col("text_a")))).head()
-    val fits = aRow.isNullAt(0) || aRow.getLong(0) <= budget
+    // the byte probe is an EAGER aggregate job at DataFrame-build time
+    // — the honest price of a byte-true dispatch, but callers that
+    // KNOW their pair text fits (a capped dedup over short docs, the
+    // common case) can skip it: `graft.edit.assumeBroadcastFits=true`
+    // pins the broadcast branch without the probe scan (round-15
+    // ADVICE). Wrong hints surface as a broadcast OOM, not a wrong
+    // answer — both branches return identical rows (EditDedupSpec).
+    val assumeFits = docs.sparkSession.conf
+      .getOption("graft.edit.assumeBroadcastFits").exists(_.toBoolean)
+    val fits = assumeFits || {
+      val aRow = withA.agg(sum(octet_length(col("text_a")))).head()
+      aRow.isNullAt(0) || aRow.getLong(0) <= budget
+    }
     val paired =
       if (fits)
         txt.join(broadcast(withA), col("doc_id") === col("doc_b"))

@@ -37,6 +37,18 @@ object Pipeline {
   private def embF(s: SparkSession, dir: String): DataFrame =
     Tables.floored(s, dir, "embeddings", "vec_id")
 
+  /** The ANN top-k family's all-nonzero-norms corpus precondition as
+    * a 1-row GATED frame (round 16): crossJoin(broadcast(...)) onto
+    * q26/q33's output so both engines assert it under the hash — a
+    * zero-norm vector's cosine is NaN in Spark and NULL in DuckDB,
+    * a divergence the gate could otherwise only see after it struck.
+    * One map-side-combined aggregate over the norm column; the served
+    * rows' plan is untouched. */
+  private def nonzeroNormsOk(e: DataFrame): DataFrame =
+    e.agg((min(Similarity.l2norm(
+        Similarity.asDouble(col("embedding")))) > 0.0)
+      .as("nonzero_norms_ok"))
+
   /** Exact word-3-gram Jaccard pairs >= 0.8 — shared oracle for the
     * exact inverted-index query AND the MinHash-LSH query (LSH candidates
     * are exactly verified, so both must produce identical results). */
@@ -178,9 +190,14 @@ object Pipeline {
     * with the whole top-k family (q25/q45/q58): all-nonzero norms —
     * a zero-norm vector's cosine is NaN in Spark (cast-to-long 0)
     * and NULL in DuckDB (sorts last), so neither side filters and
-    * the gate relies on the data property (validated: 0 zero-norm
-    * vectors at all three sfs; the PAIR operators make the
-    * convention explicit via nonZeroBase). */
+    * the gate relies on the data property. Since round 16 the
+    * property is GATED, not merely validated: q26/q33 carry a
+    * `nonzero_norms_ok` column (min corpus norm > 0) computed by BOTH
+    * engines and compared by the hash — the q34 `approx_within_3rsd`
+    * pattern — so a testdata regeneration with a zero-norm vector
+    * fails loudly instead of silently diverging on NULL-vs-NaN
+    * cosine. (The PAIR operators keep the convention explicit via
+    * nonZeroBase.) */
   private val annTopKOracle: String = {
     val planes = Similarity.hyperplanes(32, 64)
     def dotLit(p: Array[Double]): String = dotLitSql("v", p.toSeq)
@@ -212,7 +229,9 @@ object Pipeline {
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY sim_x1e6 DESC, vec_id) AS INT) AS rank
       |  FROM scored)
-      |SELECT query_id, rank, vec_id, label, sim_x1e6 FROM r
+      |SELECT query_id, rank, vec_id, label, sim_x1e6,
+      |  (SELECT min(nrm) > 0 FROM n) AS nonzero_norms_ok
+      |FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -271,7 +290,9 @@ object Pipeline {
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY sim_x1e6 DESC, vec_id) AS INT) AS rank
       |  FROM scored)
-      |SELECT query_id, rank, vec_id, label, sim_x1e6 FROM r
+      |SELECT query_id, rank, vec_id, label, sim_x1e6,
+      |  (SELECT min(nrm) > 0 FROM n) AS nonzero_norms_ok
+      |FROM r
       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** q58's pinned coarse quantizer: 16 data-INDEPENDENT centroids from
@@ -599,11 +620,17 @@ object Pipeline {
     // Oracle-gated since round 15: the whole path is deterministic
     // (see annTopKOracle), so the served rows themselves hash-check;
     // recall vs the exact baseline stays asserted in QueriesSpec
-    // and gated as the q45 aggregate.
+    // and gated as the q45 aggregate. `nonzero_norms_ok` pulls the
+    // family's corpus precondition under the hash (round 16): one
+    // 1-row broadcast aggregate, no effect on the served plan.
     Q("q26_ann_lsh_topk", "pipeline:similarity-ann",
       Some(annTopKOracle),
-      (s, dir) => Similarity.annTopK(t(s, dir, "embeddings"), 20, 5)
-        .orderBy("query_id", "rank")),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.annTopK(e, 20, 5)
+          .crossJoin(broadcast(nonzeroNormsOk(e)))
+          .orderBy("query_id", "rank")
+      }),
 
     // ── embedding cosine near-dup pairs ──────────────────────────────
     Q("q27_embedding_neardup", "pipeline:dedup-embedding",
@@ -781,6 +808,7 @@ object Pipeline {
         val e = embF(s, dir)
         IvfIndex.annTopKWithCentroids(e, 20, 5,
             IvfIndex.sampleCentroidsK(e, 16), nProbe = 4)
+          .crossJoin(broadcast(nonzeroNormsOk(e)))
           .orderBy("query_id", "rank")
       }),
 

@@ -54,6 +54,15 @@ class EditDedupSpec extends SparkSpec {
         .orderBy("doc_a").collect().toSeq.map(_.toString)
       assert(fast === slow)
       assert(fast.nonEmpty)
+      // the probe-skipping hint overrides a zero budget (it pins the
+      // broadcast branch WITHOUT the byte-measuring aggregate job) and
+      // still returns the identical rows
+      spark.conf.set("graft.edit.assumeBroadcastFits", "true")
+      try {
+        val hinted = Dedup.editVerifiedPairs(docs, candDup, maxDist = 3)
+          .orderBy("doc_a").collect().toSeq.map(_.toString)
+        assert(hinted === fast)
+      } finally spark.conf.unset("graft.edit.assumeBroadcastFits")
     } finally prev match {
       case Some(v) => spark.conf.set("graft.edit.broadcastMaxTextBytes", v)
       case None => spark.conf.unset("graft.edit.broadcastMaxTextBytes")

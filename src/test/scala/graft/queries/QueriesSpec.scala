@@ -138,6 +138,10 @@ class QueriesSpec extends SparkSpec {
       // q141 cross-joins its ONE-row LM-totals frame onto the B-row
       // bucket counts — the scalar-broadcast shape
       "q140_nb_classifier", "q141_ce_select",
+      // q26/q33 cross-join their ONE-row nonzero_norms_ok precondition
+      // frame onto the served top-k rows (round 16) — the q75
+      // scalar-broadcast shape
+      "q26_ann_lsh_topk", "q33_ann_ivf_topk",
       // q147 composes q125's broadcast bench cross join, q140's
       // broadcast class-constants frame, q141's one-row LM totals,
       // q70's one-row length bounds, and q75's one-row mix min — all
