@@ -146,6 +146,90 @@ object Similarity {
       .withColumn("keep", col("max_sim_x1e6") < tauX1e6)
   }
 
+  /** Cell-pruned embedding decontamination — the SemDeDup-shaped
+    * candidate generator (Abbas et al. 2023's cluster-then-compare)
+    * wired in front of [[embeddingContamination]]'s exact verify,
+    * for corpora where |corpus|·|bench| exact cosine is the
+    * pipeline's superlinear term (the q147 capstone's measured x100
+    * wall).
+    *
+    * Shape: k = round(√(nProbe·|bench|)) coarse centroids from the
+    * BENCH side ([[IvfIndex.sampleCentroidsK]] — the bounded,
+    * deterministic faiss-style cut; bench is eval-set-sized in
+    * production, so the driver collect is constant in corpus size,
+    * and k balances the per-corpus-row cost k + nProbe·|bench|/k).
+    * Each bench vector lands in its argmin cell; each corpus vector
+    * probes its nProbe nearest cells (the fused
+    * [[graft.functions.VectorFunctions.nearestCells]] kernel) and
+    * meets ONLY those cells' bench members in a broadcast-hash join
+    * on cell — candidates are then scored with the IDENTICAL
+    * floor-scaled exact cosine as the exact kernel, so false
+    * candidates cost flops, never rows. The corpus is never
+    * shuffled; the only exchange is the same per-vec_id partial-agg
+    * the exact kernel pays, over ~nProbe/k of the pairs.
+    *
+    * Recall posture — the honest caveat: a contaminated pair is
+    * found iff the bench twin's cell is among the corpus vector's
+    * nProbe probes. In the decontamination regime (τ near 1,
+    * near-identical vectors) the two vectors rank centroids
+    * near-identically, so misses need a ≥τ pair straddling a probe
+    * boundary — a PER-DATASET property, not a theorem (the q34 pin
+    * precedent): CellContamSpec pins drop-set EQUALITY with the
+    * exact kernel on the testdata slices AND on a
+    * planted-contamination corpus, and q147's unchanged exact-law
+    * oracle re-proves it at every gated sf; a future dataset that
+    * breaks it fails the gate loudly — the signal to raise nProbe,
+    * not a silent wrong answer. BELOW the near-dup regime the
+    * guarantee is one-sided only — exact verification makes a FALSE
+    * drop impossible, but probe misses are inherent (measured: 6 of
+    * 7 exact drops caught at τ=0.4 on sf0.01) — use
+    * [[embeddingContamination]]'s exact cross join there, the same
+    * τ-dispatch posture as [[nearDupPairs]]'s LshCrossoverSim.
+    *
+    * Output: (vec_id, keep) for every nonzero-norm corpus vector —
+    * the keep law of the exact kernel (no candidate at or over τ);
+    * the global max_sim statistic is deliberately absent (only
+    * candidate sims are computed). Zero-norm convention unchanged. */
+  def embeddingContaminationCells(corpus: DataFrame, bench: DataFrame,
+                                  tauX1e6: Long,
+                                  nProbe: Int = 4): DataFrame = {
+    require(tauX1e6 > 0 && tauX1e6 <= 1000000L,
+      s"tauX1e6=$tauX1e6 outside (0, 1e6]")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val b = bench.select(col("vec_id").as("bench_id"),
+        col("embedding").as("bv"))
+      .withColumn("bn", l2norm(col("bv")))
+      .filter(col("bn") > 0.0)
+    val nB = b.count()
+    if (nB == 0L)
+      // no bench -> nothing to contaminate against (the exact
+      // kernel's empty cross join reaches the same all-keep result)
+      return c.select(col("vec_id"), lit(true).as("keep"))
+    val k = math.max(1L,
+      math.round(math.sqrt(nProbe.toDouble * nB))).toInt
+    val cents = IvfIndex.sampleCentroidsK(bench, k)
+    val nP = math.min(nProbe, cents.length)
+    val bCell = b.withColumn("cell", explode(
+      graft.functions.VectorFunctions.nearestCells(col("bv"), cents, 1)))
+    val cCell = c.withColumn("cell", explode(
+      graft.functions.VectorFunctions.nearestCells(col("v"), cents, nP)))
+    // left join: a corpus vector probing only bench-empty cells must
+    // still emit its keep row; a bench member sits in exactly one
+    // cell and probes are distinct, so no candidate pair duplicates
+    cCell.join(broadcast(bCell), Seq("cell"), "left")
+      .select(col("vec_id"),
+        floor(dot(col("bv"), col("v")) / (col("bn") * col("nrm")) * 1e6)
+          .cast("long").as("sim_x1e6"))
+      .groupBy(col("vec_id"))
+      .agg(coalesce(max(col("sim_x1e6")), lit(Long.MinValue))
+        .as("max_cand_sim_x1e6"))
+      .select(col("vec_id"),
+        (col("max_cand_sim_x1e6") < tauX1e6).as("keep"))
+  }
+
   /** All pairs with cosine similarity >= minSim (near-dup detection).
     * Dispatches on the threshold: below [[LshCrossoverSim]] the exact
     * block-tiled kernel ([[allPairsBlocked]]) — LSH cannot prune there,

@@ -70,13 +70,36 @@ object Capstone {
         col("lang"), col("source"))
       .cache()
 
-  /** Stage 4; the PINNED post-decontamination frame. */
+  /** Stage 4; the PINNED post-decontamination frame. Round 16: the
+    * contamination check runs through the CELL-PRUNED candidate
+    * generator ([[Similarity.embeddingContaminationCells]] — bench
+    * clustered into √(nProbe·|bench|) cells, corpus probes nProbe
+    * nearest, exact cosine verify on candidates only) instead of the
+    * |corpus|×|bench| exact cross join, which was the capstone
+    * ladder's one superlinear term (36.8 s of the 84.6 s x100 wall).
+    * The keep law is unchanged and q147's oracle still replays the
+    * EXACT all-pairs law — candidate recall at τ is pinned by
+    * CellContamSpec (drop-set equality vs the exact kernel, incl. a
+    * planted-contamination corpus) and re-proven by the gate at
+    * every sf. */
   def decontam(clean: DataFrame, emb: DataFrame,
-               tauX1e6: Long = 900000L): DataFrame = {
-    val contam = Similarity.embeddingContamination(
+               tauX1e6: Long = 900000L): DataFrame =
+    decontamWith(clean, emb, emb.filter(col("vec_id") % 10 === 3),
+      tauX1e6)
+
+  /** [[decontam]] with the bench frame supplied by the caller — the
+    * gated entry derives bench as the emb %10=3 slice (the testdata's
+    * eval-set convention, which grows with the corpus); a production
+    * eval set is CONSTANT-size and external, and ProbeCapstone's
+    * pinned-bench ladder point measures exactly that shape. The
+    * corpus-side law is unchanged either way (eval-reserved %10=3
+    * docs always leave the corpus). */
+  def decontamWith(clean: DataFrame, emb: DataFrame, bench: DataFrame,
+                   tauX1e6: Long): DataFrame = {
+    val contam = Similarity.embeddingContaminationCells(
       emb.join(clean.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi").filter(col("vec_id") % 10 =!= 3),
-      emb.filter(col("vec_id") % 10 === 3), tauX1e6)
+      bench, tauX1e6)
     Checkpoints.pin(clean.filter(col("doc_id") % 10 =!= 3)
       .join(contam.select(col("vec_id").as("doc_id"),
         col("keep").as("dc_keep")), Seq("doc_id"), "left")

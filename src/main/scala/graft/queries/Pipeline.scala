@@ -2626,38 +2626,30 @@ object Pipeline {
     // end AFTER the final watermark and are never emitted).
     Q("q145_session_window_native", "pipeline:streaming-session-native",
       Some(streamingSessionizeOracle),
+      (s, dir) => sessionWindowDrain(s, dir, "q145")),
+
+    // ── the sessionization SERVING DEFAULT: density-dispatched
+    // (round 16). q105 gates the custom flatMapGroupsWithState kernel
+    // and q145 the native session_window operator, both under ONE
+    // oracle; this entry is what a deployment should actually run —
+    // [[graft.streaming.SessionDispatch]]'s measured session-count
+    // probe picks native below the 500k-session budget (the engine's
+    // own operator, the house preference where it expresses the
+    // semantics) and the kernel above it (native's per-batch
+    // state-store merge-sort over ALL open sessions goes superlinear
+    // on mostly-singleton corpora: 44–63 s vs 14.2 s at 10M events,
+    // PLANS "Streaming ladder"). At gate scale the probe picks
+    // native, so the kernel branch's gate coverage rides q105 and
+    // the row-equality of both branches is spec-pinned
+    // (SessionDispatchSpec).
+    Q("q148_sessionize_dispatched", "pipeline:streaming-session-dispatch",
+      Some(streamingSessionizeOracle),
       (s, dir) => {
-        val root = new java.io.File(
-          s"target/graft-wh/${new java.io.File(dir).getName}/q145")
-        org.apache.commons.io.FileUtils.deleteQuietly(root)
         val ev = t(s, dir, "events")
           .select(col("user_id").cast("long").as("user_id"), col("ts"))
-        val mm = ev.agg(min(unix_micros(col("ts"))),
-          max(unix_micros(col("ts")))).head()
-        val (tMin, tMax) = (mm.getLong(0), mm.getLong(1))
-        val midUs = tMin + (tMax - tMin) / 2
-        writeWave(ev.filter(unix_micros(col("ts")) <= midUs),
-          s"$root/src", 0)
-        writeWave(ev.filter(unix_micros(col("ts")) > midUs),
-          s"$root/src", 1)
-        writeWave(ev.select(col("user_id")).distinct()
-          .withColumn("ts",
-            timestamp_micros(lit(tMax + 86400L * 1000000L))),
-          s"$root/src", 2)
-        val stream = s.readStream
-          .schema("user_id bigint, ts timestamp")
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
-        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val out =
-          try graft.streaming.StreamingJoin.drainToParquet(s,
-            graft.streaming.StreamingBuilders.sessionWindowAgg(
-              stream, gapMinutes = 30, delayMinutes = 30),
-            s"$root/out", s"$root/ckpt")
-          finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
-        out.select(col("user_id"), col("start_micros"),
-            col("end_micros"), col("n_events"))
-          .orderBy("user_id", "start_micros")
+        if (graft.streaming.SessionDispatch.chooseNative(ev, 30))
+          sessionWindowDrain(s, dir, "q148")
+        else sessionizeDrain(s, dir, "q148", timeout = false)
       }),
 
     // ── cross-source leakage matrix: q22's exact near-dup pair set
@@ -4030,6 +4022,47 @@ object Pipeline {
     * deployment sizes them to user cardinality at provisioning) and
     * the conf is restored after. The 4-wave full-table parity stays
     * spec'd at sf0.1 in StreamingParitySpec. */
+  /** The NATIVE session_window drain harness (q145, and q148's
+    * below-budget branch): the same two chronological waves + the
+    * common-instant sentinel as [[sessionizeDrain]], drained through
+    * [[graft.streaming.StreamingBuilders.sessionWindowAgg]] in append
+    * mode. Output shape and ordering match [[sessionizeDrain]]'s so
+    * both serve streamingSessionizeOracle unchanged. */
+  private def sessionWindowDrain(s: SparkSession, dir: String,
+                                 qTag: String): DataFrame = {
+    val root = new java.io.File(
+      s"target/graft-wh/${new java.io.File(dir).getName}/$qTag")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val ev = t(s, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+    val mm = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (tMin, tMax) = (mm.getLong(0), mm.getLong(1))
+    val midUs = tMin + (tMax - tMin) / 2
+    writeWave(ev.filter(unix_micros(col("ts")) <= midUs),
+      s"$root/src", 0)
+    writeWave(ev.filter(unix_micros(col("ts")) > midUs),
+      s"$root/src", 1)
+    writeWave(ev.select(col("user_id")).distinct()
+      .withColumn("ts",
+        timestamp_micros(lit(tMax + 86400L * 1000000L))),
+      s"$root/src", 2)
+    val stream = s.readStream
+      .schema("user_id bigint, ts timestamp")
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val out =
+      try graft.streaming.StreamingJoin.drainToParquet(s,
+        graft.streaming.StreamingBuilders.sessionWindowAgg(
+          stream, gapMinutes = 30, delayMinutes = 30),
+        s"$root/out", s"$root/ckpt")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    out.select(col("user_id"), col("start_micros"),
+        col("end_micros"), col("n_events"))
+      .orderBy("user_id", "start_micros")
+  }
+
   private def sessionizeDrain(s: SparkSession, dir: String, qTag: String,
                               timeout: Boolean): DataFrame = {
     val root = new java.io.File(

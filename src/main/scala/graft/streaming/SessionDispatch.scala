@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Size-dispatched sessionization serving: picks between the
+  * Catalyst-native `session_window` aggregation
+  * ([[StreamingBuilders.sessionWindowAgg]]) and the custom
+  * flatMapGroupsWithState kernel ([[StatefulSessionize]]) from a
+  * cheap measured session-density probe — the
+  * [[graft.ops.VocabJoin]] / editVerifiedPairs dispatch pattern
+  * applied to streaming state.
+  *
+  * Why dispatch at all: both paths are gated under ONE oracle
+  * (q105/q145/q148 all hash to the same session set), but their
+  * state-store shapes diverge hard with session count. The native
+  * operator's append-mode state holds every UNEMITTED session and
+  * pays a per-micro-batch merge-sort over all of them — measured
+  * 44–63 s at 10M events of mostly-singleton sessions (9.5M
+  * sessions), 3.1× the kernel's 14.2 s on the same waves, superlinear
+  * in session count and insensitive to state partitions
+  * (ProbeStreamScale, PLANS "Streaming ladder"). The kernel keeps one
+  * OPEN session per user and sorts only each user's batch slice. So:
+  * native below the crossover (it is the engine's own operator — the
+  * house preference when it expresses the semantics), the kernel
+  * above it.
+  *
+  * The probe estimates TOTAL sessions from a deterministic 1-in-m
+  * user sample (`user_id % m = 0` — no randomness, replays
+  * identically) run through the batch session law (count of
+  * gap-exceeding steps per user, the q41 sessionizer's window form),
+  * scaled back by m. For the AvailableNow backfill drain — the
+  * serving shape the gated queries run — total sessions IS the
+  * native store's peak burden (the watermark only advances at wave
+  * boundaries); for a long-running low-latency stream the same
+  * budget reads as sessions per watermark horizon, and the probe
+  * frame is the retained history or first batch. Cost: one window
+  * aggregation over |events|/m rows, paid once before the drain.
+  *
+  * Budget default 500k sessions: the ladder measured native
+  * comfortably ahead at 95k sessions (3.6 s, x1), already behind by
+  * x30 (2.86M sessions, 13.6 s), and 3.1× behind at 9.5M — 500k sits
+  * under the measured crossover with margin. Override per session
+  * with `graft.session.nativeMaxSessions`; the sample modulus with
+  * `graft.session.probeSampleMod` (default 16). Both branches are
+  * spec-pinned row-equal (SessionDispatchSpec) — a wrong estimate
+  * costs wall clock, never rows. */
+object SessionDispatch {
+
+  def maxNativeSessions(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.session.nativeMaxSessions")
+      .map(_.toLong).getOrElse(500L * 1000L)
+
+  def probeSampleMod(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.session.probeSampleMod")
+      .map(_.toLong).getOrElse(16L)
+
+  /** Estimated total session count over `events` (user_id, ts) at the
+    * given gap, from the 1-in-`sampleMod` user slice. Exact when
+    * sampleMod = 1 (it is then the batch session-count law itself);
+    * an empty sample estimates 0 — at any scale where the estimate
+    * could matter, 1/m of the user space is populated. */
+  def estimatedSessions(events: DataFrame, gapMinutes: Int,
+                        sampleMod: Long): Long = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val row = events
+      .filter(pmod(col("user_id"), lit(sampleMod)) === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .agg(sum(when(col("prev").isNull ||
+        col("tus") - col("prev") > gapUs, 1L).otherwise(0L)))
+      .head()
+    if (row.isNullAt(0)) 0L else row.getLong(0) * sampleMod
+  }
+
+  /** The dispatch decision: native `session_window` iff the estimated
+    * session count fits the native state budget. */
+  def chooseNative(events: DataFrame, gapMinutes: Int): Boolean =
+    estimatedSessions(events, gapMinutes, probeSampleMod(events)) <=
+      maxNativeSessions(events)
+}

@@ -39,7 +39,22 @@ object ProbeCapstone {
         val c = Capstone.cleanDocs(docs); c.count(); c
       }
       val nClean = clean.count()
-      val dec = t("4   decontam (pin)")(Capstone.decontam(clean, emb))
+      // PROBE_BENCH_DIR pins the decontam bench to ANOTHER dir's
+      // %10=3 embeddings slice (the production shape: a constant-size
+      // eval set that does not grow with the corpus) — the
+      // corpus-linearity point of the ladder; default is the gated
+      // law (bench = this dir's own slice, growing with the corpus)
+      val dec = t("4   decontam (pin)") {
+        sys.env.get("PROBE_BENCH_DIR") match {
+          case Some(bd) =>
+            val bench = Tables(spark, bd, "embeddings")
+              .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 3)
+            println(s"[capstone]   (bench pinned to $bd: " +
+              s"${bench.count()} vectors)")
+            Capstone.decontamWith(clean, emb, bench, 900000L)
+          case None => Capstone.decontam(clean, emb)
+        }
+      }
       val nDec = dec.count()
       val sel1 = t("5   NB gate (pin)")(Capstone.nbGate(dec))
       val nSel1 = sel1.count()

@@ -37,7 +37,13 @@ object ProbeStreamScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // noDataMicroBatches stays at its DEFAULT (true) — the gated
+    // harness runs with it, and the native session drain NEEDS the
+    // final empty batch to emit sessions ending within the trailing
+    // watermark delay of the sentinel batch's watermark. Rounds 14-15
+    // disabled it here and the ladder silently undercounted q145's
+    // sessions by that tail (95,344 vs the batch law's 95,465 at
+    // sf0.1) while the gated path was correct all along.
 
     def writeWave(df: DataFrame, srcDir: String, wave: Int): Unit = {
       val d = new java.io.File(srcDir)
@@ -132,33 +138,78 @@ object ProbeStreamScale {
       println(f"[stream] q145 native sessions wall=$wSess%7.2f s  " +
         f"peak_state=$stSess%9d  sessions=$nSess")
 
-      // PROBE_CUSTOM_SESSIONIZE=1 adds q105's flatMapGroupsWithState
-      // kernel over the SAME waves — the native-vs-custom wall at this
-      // event scale (different sink: foreachBatch upsert, like the
-      // gated q105)
-      if (sys.env.contains("PROBE_CUSTOM_SESSIONIZE")) {
+      /** q105's flatMapGroupsWithState kernel over the same waves —
+        * returns (wall s, sessions). Distinct `tag` per caller so the
+        * forced row and the dispatched row never share dirs. */
+      def customDrain(tag: String): (Double, Long) = {
         val sessM = ev.select(col("user_id"),
           unix_micros(col("ts")).as("ts_micros"),
           col("event_id"))
-        writeWave(sessM.filter(col("ts_micros") <= midUs), s"$root/sessc", 0)
-        writeWave(sessM.filter(col("ts_micros") > midUs), s"$root/sessc", 1)
+        writeWave(sessM.filter(col("ts_micros") <= midUs), s"$root/$tag", 0)
+        writeWave(sessM.filter(col("ts_micros") > midUs), s"$root/$tag", 1)
         writeWave(sessM.select(col("user_id")).distinct()
           .withColumn("ts_micros", lit(tMax + 86400L * 1000000L))
           .withColumn("event_id", lit(-1L))
-          .select("user_id", "ts_micros", "event_id"), s"$root/sessc", 2)
+          .select("user_id", "ts_micros", "event_id"), s"$root/$tag", 2)
         val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("PROBE_STATE_PARTITIONS", "4"))
         val t0 = System.nanoTime()
-        graft.streaming.StatefulSessionize.run(spark, s"$root/sessc", 30,
-          s"$root/sessc-wh", "probe_sessions", s"$root/sessc-ckpt",
+        graft.streaming.StatefulSessionize.run(spark, s"$root/$tag", 30,
+          s"$root/$tag-wh", "probe_sessions", s"$root/$tag-ckpt",
           timeout = false, maxFilesPerTrigger = Some(1))
         val wC = (System.nanoTime() - t0) / 1e9
         spark.conf.set("spark.sql.shuffle.partitions", prevSp)
         val nC = graft.engine.TableStore
-          .read(spark, s"$root/sessc-wh", "probe_sessions").count()
+          .read(spark, s"$root/$tag-wh", "probe_sessions").count()
+        (wC, nC)
+      }
+
+      // PROBE_CUSTOM_SESSIONIZE=1 adds the FORCED kernel row — the
+      // native-vs-custom wall at this event scale (different sink:
+      // foreachBatch upsert, like the gated q105)
+      if (sys.env.contains("PROBE_CUSTOM_SESSIONIZE")) {
+        val (wC, nC) = customDrain("sessc")
         println(f"[stream] q105 custom sessions wall=$wC%7.2f s  " +
           f"peak_state=        -  sessions=$nC")
+      }
+
+      // ── the DISPATCHED serving default (q148's law, round 16): the
+      // SessionDispatch probe picks the branch, and the row reports
+      // probe wall + a fresh end-to-end drain of the chosen branch —
+      // what a deployment actually pays at this event scale
+      {
+        val tP = System.nanoTime()
+        val est = graft.streaming.SessionDispatch.estimatedSessions(
+          sess, 30, graft.streaming.SessionDispatch.probeSampleMod(sess))
+        val native = est <= graft.streaming.SessionDispatch
+          .maxNativeSessions(sess)
+        val wProbe = (System.nanoTime() - tP) / 1e9
+        val (branch, wD, nD) =
+          if (native) {
+            writeWave(sess.filter(unix_micros(col("ts")) <= midUs),
+              s"$root/sessd", 0)
+            writeWave(sess.filter(unix_micros(col("ts")) > midUs),
+              s"$root/sessd", 1)
+            writeWave(sess.select(col("user_id")).distinct()
+              .withColumn("ts",
+                timestamp_micros(lit(tMax + 86400L * 1000000L))),
+              s"$root/sessd", 2)
+            val dStream = spark.readStream
+              .schema("user_id bigint, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(s"$root/sessd")
+            val (w, _, n) = drainTimed(
+              graft.streaming.StreamingBuilders.sessionWindowAgg(
+                dStream, gapMinutes = 30, delayMinutes = 30),
+              s"$root/sessd-out", s"$root/sessd-ckpt")
+            ("native", w, n)
+          } else {
+            val (w, n) = customDrain("sessd")
+            ("kernel", w, n)
+          }
+        println(f"[stream] q148 dispatched($branch%6s) wall=${wProbe + wD}%7.2f s " +
+          f"(probe $wProbe%5.2f + drain $wD%7.2f)  est_sessions=$est  " +
+          f"sessions=$nD")
       }
       org.apache.commons.io.FileUtils.deleteQuietly(root)
     }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.Registry
+
+/** [[SessionDispatch]] — the density-dispatched sessionization
+  * serving default (q148): the probe's session-count law, and the
+  * branch-equality contract (native session_window vs the
+  * flatMapGroupsWithState kernel must be row-identical under the
+  * gated drain harness, whichever one the probe picks). */
+class SessionDispatchSpec extends SparkSpec {
+
+  test("estimatedSessions at sampleMod=1 is the exact batch session " +
+    "count (gap law hand-worked, incl. the equal-ts edge)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val gapUs = 30L * 60L * 1000000L
+    // user 1: three events inside one gap, then a jump -> 2 sessions
+    // user 2: single event -> 1 session
+    // user 3: two events exactly gap apart (NOT > gap) -> 1 session,
+    //         plus an equal-ts duplicate that must not open a session
+    val ev = Seq(
+      (1L, 0L), (1L, gapUs), (1L, 3L * gapUs),
+      (2L, 0L),
+      (3L, 0L), (3L, gapUs), (3L, gapUs))
+      .toDF("user_id", "tus")
+      .select(col("user_id"), timestamp_micros(col("tus")).as("ts"))
+    assert(SessionDispatch.estimatedSessions(ev, 30, 1L) === 4L)
+    // the 1-in-2 user slice sees only user 2 (1 session) -> estimate 2
+    assert(SessionDispatch.estimatedSessions(ev, 30, 2L) === 2L)
+    // empty sample -> 0, never a throw
+    assert(SessionDispatch.estimatedSessions(ev.limit(0), 30, 1L) === 0L)
+  }
+
+  test("q148's two branches are row-identical under the gated drain " +
+    "harness (forced native vs forced kernel via the budget conf)") {
+    val fn = Registry.queries("q148_sessionize_dispatched")
+    val sf = "/root/testdata/sf0.001"
+    val prev = spark.conf.getOption("graft.session.nativeMaxSessions")
+    try {
+      spark.conf.set("graft.session.nativeMaxSessions", Long.MaxValue.toString)
+      val native = fn(spark, sf).collect().toSeq.map(_.toString)
+      spark.conf.set("graft.session.nativeMaxSessions", "0")
+      val kernel = fn(spark, sf).collect().toSeq.map(_.toString)
+      assert(native.nonEmpty, "fixture produced no sessions")
+      assert(native === kernel)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.session.nativeMaxSessions", v)
+      case None => spark.conf.unset("graft.session.nativeMaxSessions")
+    }
+  }
+}
