@@ -93,6 +93,24 @@ class CellContamSpec extends SparkSpec {
         "the parity check is vacuous")
   }
 
+  test("plan shape: candidates meet in a broadcast-hash join on " +
+    "cell and the only shuffle is the per-vec_id aggregate — the " +
+    "corpus is never exchanged before the join") {
+    val (c, b) = capstoneSlices("/root/testdata/sf0.01")
+    val plan = Similarity.embeddingContaminationCells(c, b, 900000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bench cells must broadcast:\n" + plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "corpus-side shuffle join crept in:\n" + plan)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle exchange (the per-vec_id " +
+        s"aggregate), got $exchanges:\n$plan")
+  }
+
   test("empty bench keeps every nonzero-norm corpus vector; " +
     "zero-norm rows follow the shared convention (absent)") {
     val sp = spark
