@@ -53,9 +53,12 @@ def budget_for(sf_dir):
     # the 10x budget is for the CANONICAL sf0.1 testdata layout only —
     # a copy or ScaleGen dir that happens to end in "sf0.1" must not
     # silently inherit it (round-15 ADVICE); any other big dataset
-    # sets GRAFT_ORACLE_BUDGET_S explicitly
-    return 30.0 * (10 if sf_dir.rstrip("/").endswith("/testdata/sf0.1")
-                   else 1)
+    # sets GRAFT_ORACLE_BUDGET_S explicitly. realpath so relative
+    # spellings and symlinks of the canonical dir still qualify
+    # (round-16 self-review: a cwd-relative 'testdata/sf0.1' was
+    # silently dropping to the 30s budget)
+    return 30.0 * (10 if os.path.realpath(sf_dir)
+                   .endswith("/testdata/sf0.1") else 1)
 
 def norm_type(t):
     """Type-parity normalization: VERBATIM, including nested types.

@@ -154,10 +154,13 @@ object Similarity {
     * wall).
     *
     * Shape: k = round(√(nProbe·|bench|)) coarse centroids from the
-    * BENCH side ([[IvfIndex.sampleCentroidsK]] — the bounded,
-    * deterministic faiss-style cut; bench is eval-set-sized in
-    * production, so the driver collect is constant in corpus size,
-    * and k balances the per-corpus-row cost k + nProbe·|bench|/k).
+    * BENCH side (the [[IvfIndex.sampleCentroidsK]] cut — k lowest-id
+    * nonzero vectors, the bounded deterministic faiss-style training
+    * slice — inlined over the cached bench frame so count, centroid
+    * collect and cell assignment share one bench materialization;
+    * bench is eval-set-sized in production, so the driver collect is
+    * constant in corpus size, and k balances the per-corpus-row cost
+    * k + nProbe·|bench|/k).
     * Each bench vector lands in its argmin cell; each corpus vector
     * probes its nProbe nearest cells (the fused
     * [[graft.functions.VectorFunctions.nearestCells]] kernel) and
@@ -199,18 +202,33 @@ object Similarity {
     val c = corpus.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .filter(col("nrm") > 0.0)
+    // bench is cached across its three build-time uses (count,
+    // centroid collect, cell assignment): without it each eager probe
+    // rescans the embeddings table bench derives from — the round-16
+    // self-review priced the uncached form at two full bench-side
+    // scans per call. Bench is eval-set-sized by contract, so the
+    // cache is bounded; released after the output plan is built (the
+    // IvfIndex.nearDupPairs pattern — the build-time actions are what
+    // the cache pays for).
     val b = bench.select(col("vec_id").as("bench_id"),
         col("embedding").as("bv"))
       .withColumn("bn", l2norm(col("bv")))
       .filter(col("bn") > 0.0)
+      .cache()
     val nB = b.count()
-    if (nB == 0L)
+    if (nB == 0L) {
       // no bench -> nothing to contaminate against (the exact
       // kernel's empty cross join reaches the same all-keep result)
+      b.unpersist(blocking = false)
       return c.select(col("vec_id"), lit(true).as("keep"))
+    }
     val k = math.max(1L,
       math.round(math.sqrt(nProbe.toDouble * nB))).toInt
-    val cents = IvfIndex.sampleCentroidsK(bench, k)
+    // the bounded deterministic sampleCentroidsK cut, read off the
+    // already-cached bench frame (k lowest-id nonzero vectors)
+    val cents = b.orderBy("bench_id").limit(k)
+      .select("bench_id", "bv").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
     val nP = math.min(nProbe, cents.length)
     val bCell = b.withColumn("cell", explode(
       graft.functions.VectorFunctions.nearestCells(col("bv"), cents, 1)))
@@ -219,7 +237,7 @@ object Similarity {
     // left join: a corpus vector probing only bench-empty cells must
     // still emit its keep row; a bench member sits in exactly one
     // cell and probes are distinct, so no candidate pair duplicates
-    cCell.join(broadcast(bCell), Seq("cell"), "left")
+    val out = cCell.join(broadcast(bCell), Seq("cell"), "left")
       .select(col("vec_id"),
         floor(dot(col("bv"), col("v")) / (col("bn") * col("nrm")) * 1e6)
           .cast("long").as("sim_x1e6"))
@@ -228,6 +246,8 @@ object Similarity {
         .as("max_cand_sim_x1e6"))
       .select(col("vec_id"),
         (col("max_cand_sim_x1e6") < tauX1e6).as("keep"))
+    b.unpersist(blocking = false)
+    out
   }
 
   /** All pairs with cosine similarity >= minSim (near-dup detection).

@@ -39,11 +39,13 @@ object Pipeline {
 
   /** The ANN top-k family's all-nonzero-norms corpus precondition as
     * a 1-row GATED frame (round 16): crossJoin(broadcast(...)) onto
-    * q26/q33's output so both engines assert it under the hash — a
-    * zero-norm vector's cosine is NaN in Spark and NULL in DuckDB,
-    * a divergence the gate could otherwise only see after it struck.
-    * One map-side-combined aggregate over the norm column; the served
-    * rows' plan is untouched. */
+    * q26/q33's output, hash-compared against the oracle's pinned
+    * literal TRUE (the q34 pattern — the SPARK side computes, the
+    * oracle asserts; a both-sides-computed predicate could never
+    * diverge). A zero-norm vector's cosine is NaN in Spark and NULL
+    * in DuckDB — a divergence the gate could otherwise only see
+    * after it struck. One map-side-combined aggregate over the norm
+    * column; the served rows' plan is untouched. */
   private def nonzeroNormsOk(e: DataFrame): DataFrame =
     e.agg((min(Similarity.l2norm(
         Similarity.asDouble(col("embedding")))) > 0.0)
@@ -192,12 +194,15 @@ object Pipeline {
     * and NULL in DuckDB (sorts last), so neither side filters and
     * the gate relies on the data property. Since round 16 the
     * property is GATED, not merely validated: q26/q33 carry a
-    * `nonzero_norms_ok` column (min corpus norm > 0) computed by BOTH
-    * engines and compared by the hash — the q34 `approx_within_3rsd`
-    * pattern — so a testdata regeneration with a zero-norm vector
-    * fails loudly instead of silently diverging on NULL-vs-NaN
-    * cosine. (The PAIR operators keep the convention explicit via
-    * nonZeroBase.) */
+    * `nonzero_norms_ok` column — Spark COMPUTES min corpus norm > 0,
+    * the oracle pins the literal TRUE, exactly the q34
+    * `approx_within_3rsd` pattern. The asymmetry is the point: a
+    * both-sides-computed predicate can never diverge (the round-16
+    * self-review caught the first cut doing exactly that); against
+    * the pinned literal, a testdata regeneration with a zero-norm
+    * vector fails the hash loudly instead of silently diverging on
+    * NULL-vs-NaN cosine. (The PAIR operators keep the convention
+    * explicit via nonZeroBase.) */
   private val annTopKOracle: String = {
     val planes = Similarity.hyperplanes(32, 64)
     def dotLit(p: Array[Double]): String = dotLitSql("v", p.toSeq)
@@ -230,7 +235,7 @@ object Pipeline {
       |    ORDER BY sim_x1e6 DESC, vec_id) AS INT) AS rank
       |  FROM scored)
       |SELECT query_id, rank, vec_id, label, sim_x1e6,
-      |  (SELECT min(nrm) > 0 FROM n) AS nonzero_norms_ok
+      |  TRUE AS nonzero_norms_ok
       |FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
@@ -291,7 +296,7 @@ object Pipeline {
       |    ORDER BY sim_x1e6 DESC, vec_id) AS INT) AS rank
       |  FROM scored)
       |SELECT query_id, rank, vec_id, label, sim_x1e6,
-      |  (SELECT min(nrm) > 0 FROM n) AS nonzero_norms_ok
+      |  TRUE AS nonzero_norms_ok
       |FROM r
       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
@@ -4007,62 +4012,92 @@ object Pipeline {
       .foreach(_.setLastModified(1000000000000L + wave * 60000L))
   }
 
-  /** The q105/q109 drain lifecycle, shared: two strict chronological
-    * time-range waves + a per-user sentinel flush, arriving as three
-    * mtime-ordered files sliced into three micro-batches of ONE
-    * AvailableNow drain (maxFilesPerTrigger=1 — [[writeWave]]) so
-    * cross-batch state is genuinely exercised — a session spanning
-    * the wave boundary is emitted once, by the batch whose event
-    * closed it. The sentinel (one event per user, a day beyond the
-    * last) closes every real session and itself stays open in the
-    * state store, never emitted. The sink is q103's idempotent
-    * dynamic-overwrite-by-batch_id contract. State-store partitions
-    * are sized to the bounded per-drain work (pinned from
-    * spark.sql.shuffle.partitions at checkpoint creation; a cluster
-    * deployment sizes them to user cardinality at provisioning) and
-    * the conf is restored after. The 4-wave full-table parity stays
-    * spec'd at sf0.1 in StreamingParitySpec. */
+  /** The (user_id, ts_micros, event_id) events projection every
+    * sessionization drain starts from. */
+  private def sessionEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_micros"),
+        col("event_id").cast("long").as("event_id"))
+
+  /** The session-drain WAVE LAW, in exactly one place (the Capstone
+    * shared-builder discipline — the round-16 self-review found the
+    * native harness carrying its own transcription): two strict
+    * chronological time-range waves (strict bounds, so equal-ts ties
+    * never straddle a wave) + the sentinel, written as three
+    * mtime-ordered files into `src` ([[writeWave]]).
+    *
+    * The sentinel is one event per user at one COMMON instant a day
+    * beyond the global max. The shared instant matters for the
+    * timeout variant: after the sentinel batch the watermark is
+    * exactly that instant, so no sentinel's own timer (instant +
+    * gap) can ever expire in the final empty timer batch — with
+    * PER-USER sentinels the global max would expire every earlier
+    * user's sentinel timer and emit the sentinel itself (observed:
+    * +126 one-event sessions at sf0.01 before this was fixed). */
+  private def writeSessionWaves(events: DataFrame, src: String): Unit = {
+    // two-long bounded artifact: the wave boundaries
+    val row = events.agg(min("ts_micros"), max("ts_micros")).head()
+    val (tMin, tMax) = (row.getLong(0), row.getLong(1))
+    val cuts = Seq(tMin + (tMax - tMin) / 2)
+    (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).zipWithIndex
+      .foreach { case ((lo, hi), w) =>
+        writeWave(events.filter(
+          col("ts_micros") > lo && col("ts_micros") <= hi), src, w)
+      }
+    writeWave(events.select(col("user_id")).distinct()
+      .withColumn("ts_micros", lit(tMax + 86400L * 1000000L))
+      .withColumn("event_id", lit(-1L))
+      .select("user_id", "ts_micros", "event_id"), src, wave = 2)
+  }
+
   /** The NATIVE session_window drain harness (q145, and q148's
-    * below-budget branch): the same two chronological waves + the
-    * common-instant sentinel as [[sessionizeDrain]], drained through
-    * [[graft.streaming.StreamingBuilders.sessionWindowAgg]] in append
-    * mode. Output shape and ordering match [[sessionizeDrain]]'s so
-    * both serve streamingSessionizeOracle unchanged. */
+    * below-budget branch): [[writeSessionWaves]]' files drained
+    * through [[graft.streaming.StreamingBuilders.sessionWindowAgg]]
+    * in append mode (the timestamp column rebuilt from ts_micros by
+    * exact integer arithmetic; event_id is carried by the shared
+    * wave files and unused here). Output shape and ordering match
+    * [[sessionizeDrain]]'s so both serve streamingSessionizeOracle
+    * unchanged. */
   private def sessionWindowDrain(s: SparkSession, dir: String,
                                  qTag: String): DataFrame = {
     val root = new java.io.File(
       s"target/graft-wh/${new java.io.File(dir).getName}/$qTag")
     org.apache.commons.io.FileUtils.deleteQuietly(root)
-    val ev = t(s, dir, "events")
-      .select(col("user_id").cast("long").as("user_id"), col("ts"))
-    val mm = ev.agg(min(unix_micros(col("ts"))),
-      max(unix_micros(col("ts")))).head()
-    val (tMin, tMax) = (mm.getLong(0), mm.getLong(1))
-    val midUs = tMin + (tMax - tMin) / 2
-    writeWave(ev.filter(unix_micros(col("ts")) <= midUs),
-      s"$root/src", 0)
-    writeWave(ev.filter(unix_micros(col("ts")) > midUs),
-      s"$root/src", 1)
-    writeWave(ev.select(col("user_id")).distinct()
-      .withColumn("ts",
-        timestamp_micros(lit(tMax + 86400L * 1000000L))),
-      s"$root/src", 2)
-    val stream = s.readStream
-      .schema("user_id bigint, ts timestamp")
-      .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
     val prevSp = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val out =
-      try graft.streaming.StreamingJoin.drainToParquet(s,
-        graft.streaming.StreamingBuilders.sessionWindowAgg(
-          stream, gapMinutes = 30, delayMinutes = 30),
-        s"$root/out", s"$root/ckpt")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      try {
+        writeSessionWaves(sessionEvents(s, dir), s"$root/src")
+        val stream = s.readStream
+          .schema("user_id bigint, ts_micros bigint, event_id bigint")
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+          .select(col("user_id"),
+            timestamp_micros(col("ts_micros")).as("ts"))
+        graft.streaming.StreamingJoin.drainToParquet(s,
+          graft.streaming.StreamingBuilders.sessionWindowAgg(
+            stream, gapMinutes = 30, delayMinutes = 30),
+          s"$root/out", s"$root/ckpt")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
     out.select(col("user_id"), col("start_micros"),
         col("end_micros"), col("n_events"))
       .orderBy("user_id", "start_micros")
   }
 
+  /** The q105/q109 drain lifecycle: [[writeSessionWaves]]' three
+    * mtime-ordered files sliced into three micro-batches of ONE
+    * AvailableNow drain (maxFilesPerTrigger=1 — [[writeWave]]) so
+    * cross-batch state is genuinely exercised — a session spanning
+    * the wave boundary is emitted once, by the batch whose event
+    * closed it. The sentinel closes every real session and itself
+    * stays open in the state store, never emitted. The sink is
+    * q103's idempotent dynamic-overwrite-by-batch_id contract.
+    * State-store partitions are sized to the bounded per-drain work
+    * (pinned from spark.sql.shuffle.partitions at checkpoint
+    * creation; a cluster deployment sizes them to user cardinality
+    * at provisioning) and the conf is restored after. The 4-wave
+    * full-table parity stays spec'd at sf0.1 in
+    * StreamingParitySpec. */
   private def sessionizeDrain(s: SparkSession, dir: String, qTag: String,
                               timeout: Boolean): DataFrame = {
     val root = new java.io.File(
@@ -4074,35 +4109,10 @@ object Pipeline {
     val ckpt = s"$root/ckpt"
     val wh = s"$root/wh"
     val table = s"${qTag}_sessions"
-    val events = t(s, dir, "events")
-      .select(col("user_id").cast("long").as("user_id"),
-        unix_micros(col("ts")).as("ts_micros"),
-        col("event_id").cast("long").as("event_id"))
-    // two-long bounded artifact: the wave boundaries
-    val row = events.agg(min("ts_micros"), max("ts_micros")).head()
-    val (tMin, tMax) = (row.getLong(0), row.getLong(1))
-    // strict time ranges, so equal-ts ties never straddle a wave
-    val cuts = Seq(tMin + (tMax - tMin) / 2)
     val prevSp = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      (Seq(tMin - 1) ++ cuts).zip(cuts ++ Seq(tMax + 1)).zipWithIndex
-        .foreach { case ((lo, hi), w) =>
-          writeWave(events.filter(
-            col("ts_micros") > lo && col("ts_micros") <= hi), src, w)
-        }
-      // sentinel wave: one event per user at one COMMON instant a day
-      // beyond the global max. The shared instant matters for the
-      // timeout variant: after the sentinel batch the watermark is
-      // exactly that instant, so no sentinel's own timer (instant +
-      // gap) can ever expire in the final empty timer batch — with
-      // PER-USER sentinels the global max would expire every earlier
-      // user's sentinel timer and emit the sentinel itself (observed:
-      // +126 one-event sessions at sf0.01 before this was fixed).
-      writeWave(events.select(col("user_id")).distinct()
-        .withColumn("ts_micros", lit(tMax + 86400L * 1000000L))
-        .withColumn("event_id", lit(-1L))
-        .select("user_id", "ts_micros", "event_id"), src, wave = 2)
+      writeSessionWaves(sessionEvents(s, dir), src)
       // one drain, one batch per mtime-ordered wave file
       graft.streaming.StatefulSessionize.run(
         s, src, gapMinutes = 30, wh, table, ckpt, timeout,

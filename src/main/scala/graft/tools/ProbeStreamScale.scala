@@ -187,17 +187,14 @@ object ProbeStreamScale {
         val wProbe = (System.nanoTime() - tP) / 1e9
         val (branch, wD, nD) =
           if (native) {
-            writeWave(sess.filter(unix_micros(col("ts")) <= midUs),
-              s"$root/sessd", 0)
-            writeWave(sess.filter(unix_micros(col("ts")) > midUs),
-              s"$root/sessd", 1)
-            writeWave(sess.select(col("user_id")).distinct()
-              .withColumn("ts",
-                timestamp_micros(lit(tMax + 86400L * 1000000L))),
-              s"$root/sessd", 2)
+            // the q145 block above already wrote these exact waves
+            // into $root/sess — streaming isolation lives in the
+            // ckpt/out dirs, so re-drain from the same source files
+            // instead of paying a second full wave write (round-16
+            // self-review)
             val dStream = spark.readStream
               .schema("user_id bigint, ts timestamp")
-              .option("maxFilesPerTrigger", 1).parquet(s"$root/sessd")
+              .option("maxFilesPerTrigger", 1).parquet(s"$root/sess")
             val (w, _, n) = drainTimed(
               graft.streaming.StreamingBuilders.sessionWindowAgg(
                 dStream, gapMinutes = 30, delayMinutes = 30),
