@@ -45,14 +45,11 @@ object ProbeStreamScale {
     // sessions by that tail (95,344 vs the batch law's 95,465 at
     // sf0.1) while the gated path was correct all along.
 
-    def writeWave(df: DataFrame, srcDir: String, wave: Int): Unit = {
-      val d = new java.io.File(srcDir)
-      val before = Option(d.listFiles())
-        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-      df.coalesce(1).write.mode("append").parquet(srcDir)
-      d.listFiles().filter(f => !before(f.getName))
-        .foreach(_.setLastModified(1000000000000L + wave * 60000L))
-    }
+    // the arrival harness is the GATE's own
+    // ([[graft.streaming.WaveHarness]]) — shared code, not a
+    // transcription, so the ladder measures exactly what the gated
+    // queries run (round-16 self-review)
+    import graft.streaming.WaveHarness.{writeWave, writeSessionWaves}
 
     /** One AvailableNow drain; returns (wall s, peak state rows, rows
       * emitted). State partitions default to the gated queries' 4 —
@@ -119,21 +116,21 @@ object ProbeStreamScale {
       println(f"[stream] q143 interval join  wall=$wJoin%7.2f s  " +
         f"peak_state=$stJoin%9d  matches=$nJoin")
 
-      // ── q145 shape: two chronological waves + the sentinel
-      val sess = ev.select(col("user_id"), col("ts"))
-      writeWave(sess.filter(unix_micros(col("ts")) <= midUs),
-        s"$root/sess", 0)
-      writeWave(sess.filter(unix_micros(col("ts")) > midUs),
-        s"$root/sess", 1)
-      writeWave(sess.select(col("user_id")).distinct()
-        .withColumn("ts", timestamp_micros(lit(tMax + 86400L * 1000000L))),
-        s"$root/sess", 2)
-      val sStream = spark.readStream
-        .schema("user_id bigint, ts timestamp")
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/sess")
+      // ── q145 shape: the gated wave law verbatim (micros-form
+      // events through writeSessionWaves; the reader rebuilds the
+      // timestamp by exact integer arithmetic, as the gated
+      // sessionWindowDrain does)
+      val sessM = ev.select(col("user_id"),
+        unix_micros(col("ts")).as("ts_micros"), col("event_id"))
+      def sessionStream(src: String): DataFrame = spark.readStream
+        .schema("user_id bigint, ts_micros bigint, event_id bigint")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select(col("user_id"), timestamp_micros(col("ts_micros")).as("ts"))
+      writeSessionWaves(sessM, s"$root/sess")
       val (wSess, stSess, nSess) = drainTimed(
         graft.streaming.StreamingBuilders.sessionWindowAgg(
-          sStream, gapMinutes = 30, delayMinutes = 30),
+          sessionStream(s"$root/sess"), gapMinutes = 30,
+          delayMinutes = 30),
         s"$root/sess-out", s"$root/sess-ckpt")
       println(f"[stream] q145 native sessions wall=$wSess%7.2f s  " +
         f"peak_state=$stSess%9d  sessions=$nSess")
@@ -142,15 +139,7 @@ object ProbeStreamScale {
         * returns (wall s, sessions). Distinct `tag` per caller so the
         * forced row and the dispatched row never share dirs. */
       def customDrain(tag: String): (Double, Long) = {
-        val sessM = ev.select(col("user_id"),
-          unix_micros(col("ts")).as("ts_micros"),
-          col("event_id"))
-        writeWave(sessM.filter(col("ts_micros") <= midUs), s"$root/$tag", 0)
-        writeWave(sessM.filter(col("ts_micros") > midUs), s"$root/$tag", 1)
-        writeWave(sessM.select(col("user_id")).distinct()
-          .withColumn("ts_micros", lit(tMax + 86400L * 1000000L))
-          .withColumn("event_id", lit(-1L))
-          .select("user_id", "ts_micros", "event_id"), s"$root/$tag", 2)
+        writeSessionWaves(sessM, s"$root/$tag")
         val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("PROBE_STATE_PARTITIONS", "4"))
@@ -179,11 +168,12 @@ object ProbeStreamScale {
       // probe wall + a fresh end-to-end drain of the chosen branch —
       // what a deployment actually pays at this event scale
       {
+        val sessP = ev.select(col("user_id"), col("ts"))
         val tP = System.nanoTime()
         val est = graft.streaming.SessionDispatch.estimatedSessions(
-          sess, 30, graft.streaming.SessionDispatch.probeSampleMod(sess))
+          sessP, 30, graft.streaming.SessionDispatch.probeSampleMod(sessP))
         val native = est <= graft.streaming.SessionDispatch
-          .maxNativeSessions(sess)
+          .maxNativeSessions(sessP)
         val wProbe = (System.nanoTime() - tP) / 1e9
         val (branch, wD, nD) =
           if (native) {
@@ -192,12 +182,10 @@ object ProbeStreamScale {
             // ckpt/out dirs, so re-drain from the same source files
             // instead of paying a second full wave write (round-16
             // self-review)
-            val dStream = spark.readStream
-              .schema("user_id bigint, ts timestamp")
-              .option("maxFilesPerTrigger", 1).parquet(s"$root/sess")
             val (w, _, n) = drainTimed(
               graft.streaming.StreamingBuilders.sessionWindowAgg(
-                dStream, gapMinutes = 30, delayMinutes = 30),
+                sessionStream(s"$root/sess"), gapMinutes = 30,
+                delayMinutes = 30),
               s"$root/sessd-out", s"$root/sessd-ckpt")
             ("native", w, n)
           } else {
