@@ -800,7 +800,17 @@ object TextAnalysis {
     * bits_x1000_per_token = (1000·bits) div n_tokens). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    // CACHED across the dispatch action and the serving join: the
+    // driver aggregate below is a second ACTION, and actions share no
+    // exchange reuse — uncached, the corpus tokenize+groupBy ran once
+    // per action (measured +0.34 s at sf0.1, ProbeLmDispatch; the
+    // round-13 single-action form was exchange-reused). The cache is
+    // vocabulary-sized (Heaps-bounded — the same budget argument as
+    // the broadcast branch), recomputable on eviction, materialized
+    // by the aggregate action itself, and lingers until the session
+    // clears it — the q140 cnt-cache precedent; Bench/Verify clear
+    // between queries.
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("c")).cache()
     // ONE driver action yields BOTH the LM total W and the vocabulary
     // size: W rides into the bits expression as a literal (replacing
     // the 1-row crossJoin's separate broadcast subjob) and the row
@@ -934,7 +944,12 @@ object TextAnalysis {
       s"need 0 < pHead < pTail < 1, got ($pHead, $pTail)")
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("t"))
+    // cached across the totals action and the serving join — the
+    // q115 single-pass discipline (see unigramSurprisal's comment):
+    // uncached, the per-(lang, token) corpus aggregation evaluated
+    // once for the collect and again inside the caller's action
     val counts = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .cache()
     // ONE |langs|-row driver action yields the per-lang LM totals AND
     // the vocabulary size (the q115 fusion, grouped): the totals
     // frame the bits expression joins is rebuilt as a local literal
@@ -1082,12 +1097,18 @@ object TextAnalysis {
                       pmod(col("doc_id"), lit(10)) === 7): DataFrame = {
     val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
     val ref = docs.filter(refPred).select(tokens(col("text")).as("w"))
+    // both LM frames cached (the q111/q115 single-pass discipline):
+    // the unigram LM is joined FOUR times below plus its dispatch
+    // count, the bigram LM once plus its count — uncached, each
+    // broadcast build and each count action re-ran the ref-slice
+    // aggregation from scratch. The dispatch counts are what
+    // materialize the caches.
     val uni = ref.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .cache()
     val wTot = uni.agg(sum(col("c")).as("w_total"))
-    // counted dispatch, once per vocabulary frame: the unigram LM is
-    // joined four times below (one count), the bigram LM once — each
-    // broadcasts only while it fits the row budget
+    // counted dispatch, once per vocabulary frame: each LM broadcasts
+    // only while it fits the row budget
     val uniHint = VocabJoin.plan(uni)
     val bgSeen = ref.select(explode(graft.functions.TextFunctions
         .wordShingles(col("w"), 2, distinct = false)).as("bg"))
@@ -1098,6 +1119,7 @@ object TextAnalysis {
       .select(col("bg"),
         (length(bin(idiv(col("c1"), col("c12")))) - 1)
           .cast("long").as("bits_seen"))
+      .cache()
     val bgHint = VocabJoin.plan(bgSeen)
     val bgInst = base.select(col("doc_id"),
         explode(graft.functions.TextFunctions
