@@ -30,10 +30,21 @@ import duckdb, glob, json, math, os, re, sys, time
 # query with no oracle entry is now a gate FAILURE, not a weaker
 # rows>0 check — dead carve-out code in the gate is surface area for
 # the next silent divergence (round-16 verdict item). A genuinely
-# SQL-inexpressible future operator gets a deliberate entry in a new
-# allowlist next to TOMBSTONES, with the rationale in its registry
+# SQL-inexpressible future operator gets a deliberate
+# NO_ORACLE_ALLOWLIST entry below, with the rationale in its registry
 # comment.
 TOMBSTONES = {39}
+
+# Registered queries deliberately gated WITHOUT a DuckDB oracle
+# (name -> one-line rationale). Empty by design: every current query
+# replays in SQL, and history says new ones can too (rounds 2-15
+# retired every "SQL-inexpressible" claim with an exact integer-form
+# oracle). An entry here is a last resort that weakens the gate to a
+# rows>0 check for that one name — it must carry its rationale here
+# AND in the registry comment, and the enforcement branch below is
+# what makes the promise real (the round-16 verdict flagged the
+# comment-without-structure form).
+NO_ORACLE_ALLOWLIST = {}
 
 # Per-oracle replay budget (seconds, sf0.01 — the DRIVER's gate
 # scale). Post-round-14 rewrite the slowest oracle is ~5 s; 30 s of
@@ -53,12 +64,13 @@ def budget_for(sf_dir):
     # the 10x budget is for the CANONICAL sf0.1 testdata layout only —
     # a copy or ScaleGen dir that happens to end in "sf0.1" must not
     # silently inherit it (round-15 ADVICE); any other big dataset
-    # sets GRAFT_ORACLE_BUDGET_S explicitly. realpath so relative
-    # spellings and symlinks of the canonical dir still qualify
-    # (round-16 self-review: a cwd-relative 'testdata/sf0.1' was
-    # silently dropping to the 30s budget)
+    # sets GRAFT_ORACLE_BUDGET_S explicitly. realpath EQUALITY against
+    # the pinned canonical path (round-16 ADVICE: the previous suffix
+    # match let any /foo/testdata/sf0.1 copy qualify, contradicting
+    # this comment); realpath on the candidate so relative spellings
+    # and symlinks of the canonical dir still resolve to it.
     return 30.0 * (10 if os.path.realpath(sf_dir)
-                   .endswith("/testdata/sf0.1") else 1)
+                   == "/root/testdata/sf0.1" else 1)
 
 def norm_type(t):
     """Type-parity normalization: VERBATIM, including nested types.
@@ -160,12 +172,25 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cannot read spark result: {e}")
             continue
         if name not in oracle:
+            if name in NO_ORACLE_ALLOWLIST:
+                # the deliberate carve-out: rows>0 is all we can check
+                n = con.sql(
+                    f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                if n > 0:
+                    print(f"PASS {name}: {n} rows (NO-ORACLE allowlist: "
+                          f"{NO_ORACLE_ALLOWLIST[name]})")
+                else:
+                    failures.append(name)
+                    print(f"FAIL {name}: allowlisted rows-only query "
+                          "returned 0 rows")
+                continue
             # the rows-only carve-out is retired (see TOMBSTONES note):
             # every registered query must carry a full oracle
             failures.append(name)
             print(f"FAIL {name}: registered query has NO oracle entry "
                   "(rows-only gating was retired in round 16 — add an "
-                  "oracleSql entry or a deliberate allowlist row)")
+                  "oracleSql entry or a deliberate NO_ORACLE_ALLOWLIST "
+                  "row)")
             continue
         t0 = time.time()
         try:

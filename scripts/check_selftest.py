@@ -157,6 +157,53 @@ def main():
     r = run_check(sf, out)
     case("identical nested types pass", r.returncode == 0, r)
 
+    # 11: a deliberate NO_ORACLE_ALLOWLIST entry downgrades to rows>0
+    # (and still fails on an empty result) — the enforcement branch
+    # the round-16 verdict asked for, exercised in-process because the
+    # allowlist is deliberately empty in the shipped gate
+    sys.path.insert(0, HERE)
+    import check as check_mod
+    check_mod._BUDGET_ENV = None
+
+    def run_inproc(out):
+        try:
+            check_mod.main(sf, out)
+            return 0
+        except SystemExit as e:
+            return e.code or 0
+    out = fixture(root, "allowlisted", {"q1": "SELECT 1 AS x"},
+                  ["q1", "q2_no_sql"], ["q1", "q2_no_sql"])
+    saved = dict(check_mod.NO_ORACLE_ALLOWLIST)
+    try:
+        check_mod.NO_ORACLE_ALLOWLIST["q2_no_sql"] = "selftest fixture"
+        case("allowlisted oracle-less query passes on rows>0",
+             run_inproc(out) == 0,
+             subprocess.CompletedProcess([], 0, stdout="", stderr=""))
+        out = fixture(root, "allowlisted_empty", {"q1": "SELECT 1 AS x"},
+                      ["q1", "q2_no_sql"], ["q1"])
+        write_result(out, "q2_no_sql", "SELECT 1 AS x WHERE 1=0")
+        case("allowlisted query with 0 rows still fails",
+             run_inproc(out) != 0,
+             subprocess.CompletedProcess([], 0, stdout="", stderr=""))
+    finally:
+        check_mod.NO_ORACLE_ALLOWLIST.clear()
+        check_mod.NO_ORACLE_ALLOWLIST.update(saved)
+
+    # 12: budget_for grants the 10x budget ONLY to the canonical
+    # /root/testdata/sf0.1 (realpath equality — round-16 ADVICE: a
+    # suffix match let any .../testdata/sf0.1 copy inherit it); a
+    # symlink TO the canonical dir still qualifies
+    impostor = os.path.join(root, "testdata", "sf0.1")
+    os.makedirs(impostor)
+    case("budget_for: non-canonical testdata/sf0.1 copy gets 30s",
+         check_mod.budget_for(impostor) == 30.0,
+         subprocess.CompletedProcess([], 0, stdout="", stderr=""))
+    link = os.path.join(root, "sf01-link")
+    os.symlink("/root/testdata/sf0.1", link)
+    case("budget_for: symlink to the canonical sf0.1 gets 300s",
+         check_mod.budget_for(link) == 300.0,
+         subprocess.CompletedProcess([], 0, stdout="", stderr=""))
+
     # 6: the q39 tombstone itself stays allowed (no false positive)
     out = fixture(root, "tombstone",
                   {"q38": "SELECT 1 AS x", "q40": "SELECT 1 AS x"},

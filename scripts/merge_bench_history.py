@@ -20,8 +20,10 @@ import json, sys
 def main(out_path, hist_path="bench_history.json"):
     lines = open(out_path).read().strip().split("\n")
     compact = json.loads(lines[0])
-    probes = json.loads(lines[1])["probes"] if len(lines) > 1 else {
+    second = json.loads(lines[1]) if len(lines) > 1 else {}
+    probes = second.get("probes") or {
         k: {"runs": [v]} for k, v in compact["queries"].items()}
+    calib = second.get("calib")  # the sweep's epoch bracket, if run
     try:
         hist = json.loads(open(hist_path).readline())
     except FileNotFoundError:
@@ -33,6 +35,9 @@ def main(out_path, hist_path="bench_history.json"):
             csf.endswith(hsf.split("/")[-1])):
         sys.exit(f"sf mismatch: history {hsf} vs run {csf}")
     merged = dict(hist["queries"])
+    # the epoch baseline is the calibrator's settled value BEFORE this
+    # merge folds the new sweep in
+    pre_base = (merged.get(calib.get("query", ""), 0) if calib else 0)
     added = improved = 0
     for name, pr in probes.items():
         best = round(min(pr["runs"]), 3)
@@ -42,11 +47,30 @@ def main(out_path, hist_path="bench_history.json"):
             merged[name] = best; improved += 1
     hist["queries"] = dict(sorted(merged.items()))
     hist["value"] = round(sum(merged.values()), 2)
+    # Epoch log (round 17): each merged sweep records its calibration
+    # bracket (min of the pre/post isolated q01 pairs) and the factor
+    # vs the PRE-merge settled baseline, so cross-round readings can
+    # be epoch-normalized instead of min-only adjudicated. The factor
+    # uses the baseline from BEFORE this merge (the settled number the
+    # sweep was actually measured against — pre_base captured above);
+    # the log keeps the last 20 merges. Its keys carry no q-prefix
+    # names and it is appended AFTER "queries", so graft.Bench's
+    # history regex (which scans from "queries": on for "qNN":num) is
+    # unaffected.
+    if calib and "pre" in calib:
+        best = min([calib["pre"]] +
+                   ([calib["post"]] if "post" in calib else []))
+        entry = {"calib": round(best, 3)}
+        if pre_base:
+            entry["factor"] = round(best / pre_base, 2)
+        hist["epoch_log"] = (hist.get("epoch_log") or [])[-19:] + [entry]
     with open(hist_path, "w") as f:
         json.dump(hist, f, separators=(",", ":"))
         f.write("\n")
     print(f"added {added}, improved {improved}, "
-          f"best-known total {hist['value']} over {len(merged)} queries")
+          f"best-known total {hist['value']} over {len(merged)} queries"
+          + (f", epoch {hist['epoch_log'][-1].get('factor', '?')}x"
+             if hist.get("epoch_log") else ""))
 
 if __name__ == "__main__":
     main(sys.argv[1], *(sys.argv[2:] or []))

@@ -249,6 +249,7 @@ object Bench {
   // and a comma decimal separator (de_DE, tr_TR, ...) would
   // corrupt the machine-parseable JSON
   private def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+  private def num2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
   /** How many bytes the compact line may use. The driver tail-captures
     * ~2000 stdout chars and json-parses the LAST line, but the capture
@@ -275,6 +276,37 @@ object Bench {
     * size. */
   val TopKDec1 = 48
 
+  /** Fixed calibration query for the sweep's EPOCH BRACKET: measured
+    * in its own fresh session immediately before and after the full
+    * sweep (warm-up + two timed runs, min — the isolated-probe
+    * methodology PLANS uses to adjudicate contended sessions by
+    * hand). Six consecutive driver rounds ran on a non-stationary
+    * host (round-16 verdict item 3: an isolated q01 swung
+    * 0.50→1.81 s in forty minutes), so every sweep now records the
+    * host's speed IN BAND: epoch = min(pre, post) / history's settled
+    * q01 — 1.0 on a quiet box, ~3 on the measured contended epochs —
+    * letting history merges log the epoch factor alongside the
+    * min-merge instead of leaving cross-round wall-clock claims to
+    * min-only forensics. q01 is the calibrator because it is the
+    * oldest stable query (13 rounds of settled history, plan
+    * untouched since round 1) and small enough (~0.3 s settled) that
+    * the bracket costs ~2 s per sweep. */
+  val CalibName = "q01_linegraph"
+
+  /** One isolated calibration pair: fresh session, warm-up + two
+    * timed runs, min. None when the calibrator is unregistered or
+    * both runs fail — calibration must never fail the bench. */
+  private def calibrate(): Option[Double] =
+    if (!SparkEntry.queries.contains(CalibName)) None
+    else {
+      val s = newSession()
+      val runs = try {
+        runOne(s, CalibName)
+        Seq(runOne(s, CalibName), runOne(s, CalibName)).filter(_ >= 0)
+      } finally s.stop()
+      if (runs.isEmpty) None else Some(runs.min)
+    }
+
   /** The compact driver-facing line: metric/value/queries/sf (plus a
     * `flaky` marker when any query's measurement is untrustworthy).
     * Round 7 taught us the driver tail-captures the last ~2000 stdout
@@ -293,7 +325,8 @@ object Bench {
     * disputed by the probes — BENCH_r08's q64/q65 carried 22 s of
     * sustained harness contention that nothing in the compact line
     * could reveal. */
-  def compactLine(results: Seq[(String, Probe)], sf: String): String = {
+  def compactLine(results: Seq[(String, Probe)], sf: String,
+                  epoch: Option[Double] = None): String = {
     val flaky = results.filter(_._2.flaky).map(_._1)
     val flakySet = flaky.toSet
     // Session-level contention sentinel: two consecutive driver
@@ -343,7 +376,14 @@ object Bench {
       val om = if (shown.size < results.size)
         s""""omitted":${results.size - shown.size},""" else ""
       val cd = if (contended) """"contended":true,""" else ""
-      s"""{"metric":"total","value":$t,"best_total":$bt,$cd$unit$fl$om"queries":$qs,"sf":"$sfv"}"""
+      // the epoch bracket: this host's isolated-calibrator speed
+      // relative to its settled history (1.0 = quiet box) — the
+      // in-band number that tells a contended session apart from a
+      // regression without PLANS forensics. ~14 bytes, paid at every
+      // ladder level (like the flaky names: a disputed total is
+      // unreadable without it).
+      val ep = epoch.map(e => f""""epoch":${num2(e)},""").getOrElse("")
+      s"""{"metric":"total","value":$t,"best_total":$bt,$cd$ep$unit$fl$om"queries":$qs,"sf":"$sfv"}"""
     }
     // Ladder order = information preservation. Flagged NAMES are never
     // sacrificed (round-9 lesson, the hard way: the driver recorded
@@ -368,7 +408,8 @@ object Bench {
   /** The self-diagnosis payload (raw runs, reprobes, stable flags) —
     * too fat for the driver's tail capture, so it goes to stderr and
     * the SPARK_GRAFT_BENCH_OUT file, never stdout. */
-  def probesLine(results: Seq[(String, Probe)]): String = {
+  def probesLine(results: Seq[(String, Probe)],
+                 calib: Option[(Double, Option[Double])] = None): String = {
     val probes = results.map { case (k, p) =>
       val re = p.reprobe.map(r => ",\"reprobe\":" + num(r)).getOrElse("")
       val hi = p.hist.map(h => ",\"hist\":" + num(h)).getOrElse("")
@@ -376,7 +417,13 @@ object Bench {
         re + hi + ",\"stable\":" + p.stable +
         ",\"suspect\":" + p.suspect + "}"
     }.mkString("{", ",", "}")
-    s"""{"probes":$probes}"""
+    // raw calibration pair (pre always, post once the sweep ends) —
+    // the merge script min-reads it to log this merge's epoch factor
+    val cal = calib.map { case (pre, post) =>
+      val po = post.map(p => ",\"post\":" + num(p)).getOrElse("")
+      s""","calib":{"query":"$CalibName","pre":${num(pre)}$po}"""
+    }.getOrElse("")
+    s"""{"probes":$probes$cal}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -389,12 +436,34 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
 
+    // ---- epoch bracket (full default-mode sweeps only: a BENCH_ONLY
+    // iteration or the legacy shared mode is not a sweep the history
+    // merge will read). Pre-sweep calibration runs FIRST so the
+    // factor reflects the same window the sweep starts in.
+    val doCalib = !shared && only.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_BENCH_CALIB").contains("0")
+    val calibPre = if (doCalib) calibrate() else None
+    var calibPost: Option[Double] = None
+    calibPre.foreach(c => System.err.println(
+      f"[bench] calib pre-sweep: $CalibName ${c}%.3f s"))
+    def calibPair: Option[(Double, Option[Double])] =
+      calibPre.map(p => (p, calibPost))
+    // epoch factor = this session's best calibration / the settled
+    // same-sf history for the calibrator (absent without history —
+    // a first run on a new sf defines the baseline, it has no epoch)
+    lazy val histCalib: Option[Double] = loadHistory().get(CalibName)
+    def epochFactor: Option[Double] = for {
+      h <- histCalib if h > 0
+      best <- (calibPre.toSeq ++ calibPost.toSeq).minOption
+    } yield best / h
+
     def compact(results: Seq[(String, Probe)]): String =
-      compactLine(results, sfDir)
+      compactLine(results, sfDir, epochFactor)
     // The out-file always carries BOTH lines (compact first, probes
     // second) so a human or tool reading it gets the full picture.
     def writeOut(results: Seq[(String, Probe)]): Unit = outFile.foreach { p =>
-      val body = compact(results) + "\n" + probesLine(results) + "\n"
+      val body = compact(results) + "\n" +
+        probesLine(results, calibPair) + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -459,11 +528,19 @@ object Bench {
         writeOut(done)
       }
     }
+    // post-sweep calibration closes the epoch bracket (min of the
+    // pair feeds the factor: either side may catch a quiet window)
+    if (doCalib) {
+      calibPost = calibrate()
+      calibPost.foreach(c => System.err.println(
+        f"[bench] calib post-sweep: $CalibName ${c}%.3f s" +
+          epochFactor.map(e => f" (epoch ${e}%.2fx)").getOrElse("")))
+    }
     // Machine-parseable output contract: the COMPACT line is the LAST
     // stdout line (the driver tail-captures ~2000 chars and json-parses
     // the final line); the probes diagnosis goes to stderr and the
     // SPARK_GRAFT_BENCH_OUT file only, never stdout.
-    System.err.println(probesLine(done))
+    System.err.println(probesLine(done, calibPair))
     println(compact(done))
     writeOut(done)
   }

@@ -146,6 +146,59 @@ object Similarity {
       .withColumn("keep", col("max_sim_x1e6") < tauX1e6)
   }
 
+  /** Session conf: force [[contaminationKeep]] onto the exact kernel
+    * regardless of τ — the remediation hatch for a dataset whose ≥τ
+    * pairs straddle probe boundaries (a recall miss is a silent false
+    * KEEP on un-gated data; this conf routes around it without a code
+    * change). */
+  val DecontamExactKey = "graft.decontam.exact"
+
+  /** Session conf: probe count for [[contaminationKeep]]'s cell path
+    * (default 4) — the second remediation lever: raising nProbe
+    * widens each corpus vector's candidate set without leaving the
+    * pruned plan shape. */
+  val DecontamNProbeKey = "graft.decontam.nProbe"
+
+  /** Whether [[contaminationKeep]] takes the cell-pruned path at this
+    * threshold: τ at or above [[LshCrossoverSim]] (the near-dup
+    * regime, where near-identical vectors rank centroids
+    * near-identically and CellContamSpec pins drop-set equality), and
+    * [[DecontamExactKey]] not set. Exposed so the dispatch decision
+    * is testable without reading plan strings. */
+  def contaminationUseCells(spark: org.apache.spark.sql.SparkSession,
+                            tauX1e6: Long): Boolean =
+    tauX1e6 >= math.round(LshCrossoverSim * 1e6) &&
+      !spark.conf.getOption(DecontamExactKey).exists(_.toBoolean)
+
+  /** τ-dispatched decontamination keep law — [[nearDupPairs]]'s
+    * LshCrossoverSim posture applied to contamination (round-16
+    * verdict): ONE entry point whose recall is never regime-wrong.
+    * At or above the crossover the cell-pruned candidate generator
+    * runs ([[embeddingContaminationCells]] — recall pinned by
+    * CellContamSpec in the near-dup regime); below it cluster pruning
+    * is inherently one-sided (measured 6/7 drops at τ=0.4), so the
+    * EXACT kernel runs instead of silently losing drops.
+    * [[DecontamExactKey]] forces the exact kernel at any τ;
+    * [[DecontamNProbeKey]] tunes the cell path. Output is the shared
+    * (vec_id, keep) contract — callers needing the max-sim statistic
+    * use [[embeddingContamination]] directly (q125's registered
+    * report shape). */
+  /** [[DecontamNProbeKey]]'s resolved value (default 4) — the probe
+    * count [[contaminationKeep]] hands the cell path. */
+  def decontamNProbe(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(DecontamNProbeKey).map(_.toInt).getOrElse(4)
+
+  def contaminationKeep(corpus: DataFrame, bench: DataFrame,
+                        tauX1e6: Long): DataFrame = {
+    val spark = corpus.sparkSession
+    if (contaminationUseCells(spark, tauX1e6))
+      embeddingContaminationCells(corpus, bench, tauX1e6,
+        decontamNProbe(spark))
+    else
+      embeddingContamination(corpus, bench, tauX1e6)
+        .select(col("vec_id"), col("keep"))
+  }
+
   /** Cell-pruned embedding decontamination — the SemDeDup-shaped
     * candidate generator (Abbas et al. 2023's cluster-then-compare)
     * wired in front of [[embeddingContamination]]'s exact verify,
@@ -186,8 +239,10 @@ object Similarity {
     * guarantee is one-sided only — exact verification makes a FALSE
     * drop impossible, but probe misses are inherent (measured: 6 of
     * 7 exact drops caught at τ=0.4 on sf0.01) — use
-    * [[embeddingContamination]]'s exact cross join there, the same
-    * τ-dispatch posture as [[nearDupPairs]]'s LshCrossoverSim.
+    * [[embeddingContamination]]'s exact cross join there.
+    * [[contaminationKeep]] ENFORCES that posture (the τ-dispatch of
+    * [[nearDupPairs]]'s LshCrossoverSim): callers should enter there
+    * unless they have pinned the regime themselves.
     *
     * Output: (vec_id, keep) for every nonzero-norm corpus vector —
     * the keep law of the exact kernel (no candidate at or over τ);
@@ -202,14 +257,18 @@ object Similarity {
     val c = corpus.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .filter(col("nrm") > 0.0)
-    // bench is cached across its three build-time uses (count,
-    // centroid collect, cell assignment): without it each eager probe
-    // rescans the embeddings table bench derives from — the round-16
-    // self-review priced the uncached form at two full bench-side
-    // scans per call. Bench is eval-set-sized by contract, so the
-    // cache is bounded; released after the output plan is built (the
-    // IvfIndex.nearDupPairs pattern — the build-time actions are what
-    // the cache pays for).
+    // bench is cached across the TWO eager build-time actions (count,
+    // centroid collect): without it each eager probe rescans the
+    // embeddings table bench derives from — the round-16 self-review
+    // priced the uncached form at two full bench-side scans per call.
+    // The cache is released when the output PLAN is built, so the
+    // bCell broadcast at execution time recomputes bench from source
+    // (one more pruned scan) — the deliberate trade: keeping the
+    // cache alive through a caller-deferred execution would leak
+    // bench-sized blocks per call (no release point exists once this
+    // function returns), and caching the corpus-sized output to
+    // cover it inverts the size argument. Bench is eval-set-sized by
+    // contract, so the cache is bounded while it lives.
     val b = bench.select(col("vec_id").as("bench_id"),
         col("embedding").as("bv"))
       .withColumn("bn", l2norm(col("bv")))

@@ -93,10 +93,16 @@ object Capstone {
     * eval set is CONSTANT-size and external, and ProbeCapstone's
     * pinned-bench ladder point measures exactly that shape. The
     * corpus-side law is unchanged either way (eval-reserved %10=3
-    * docs always leave the corpus). */
+    * docs always leave the corpus). Round 17: routes through the
+    * τ-DISPATCHED [[Similarity.contaminationKeep]] — at the gated
+    * τ=0.9 that is the cell path as before, but a caller at low τ
+    * now gets the exact kernel instead of silent recall loss, and
+    * `graft.decontam.exact` / `graft.decontam.nProbe` are live
+    * remediation levers (no code change to re-route a production
+    * recall miss). */
   def decontamWith(clean: DataFrame, emb: DataFrame, bench: DataFrame,
                    tauX1e6: Long): DataFrame = {
-    val contam = Similarity.embeddingContaminationCells(
+    val contam = Similarity.contaminationKeep(
       emb.join(clean.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi").filter(col("vec_id") % 10 =!= 3),
       bench, tauX1e6)

@@ -226,6 +226,34 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.parseHistory(line, "/root/testdata/sf0.01").isEmpty)
   }
 
+  test("epoch bracket: the factor rides the compact line, the raw " +
+    "calib pair rides the probes line, and a history with an " +
+    "epoch_log still parses cleanly") {
+    val rs = fakeResults(2)
+    // no calibration -> no field (absence is the no-sweep signal)
+    assert(!Bench.compactLine(rs, "/sf").contains("epoch"))
+    assert(!Bench.probesLine(rs).contains("calib"))
+    val line = Bench.compactLine(rs, "/sf", epoch = Some(1.546))
+    assert(line.contains(""""epoch":1.55,"""), line)
+    val probes = Bench.probesLine(rs, Some((0.485, Some(0.47))))
+    assert(probes.contains(
+      s""""calib":{"query":"${Bench.CalibName}","pre":0.485,"post":0.470}"""),
+      probes)
+    // pre-only form (sweep killed before the closing bracket)
+    assert(Bench.probesLine(rs, Some((0.485, None)))
+      .contains(""""calib":{"query":"q01_linegraph","pre":0.485}"""))
+    // a history line carrying the merge script's epoch_log (appended
+    // after "queries") must not leak log keys into the query map
+    val hist = """{"metric":"total","value":0.73,"unit":"sec",""" +
+      """"queries":{"q01_linegraph":0.313,"q02_heatmap":0.413},""" +
+      """"sf":"sf0.1","epoch_log":[{"calib":0.47,"factor":1.5}]}"""
+    val h = Bench.parseHistory(hist, "/root/testdata/sf0.1")
+    assert(h == Map("q01_linegraph" -> 0.313, "q02_heatmap" -> 0.413), h)
+    // the calibrator itself must be a registered query, or every
+    // sweep silently loses its bracket
+    assert(SparkEntry.queries.contains(Bench.CalibName))
+  }
+
   test("both lines are valid JSON and locale-proof") {
     val default = java.util.Locale.getDefault
     try {

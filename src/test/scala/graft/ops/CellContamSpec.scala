@@ -111,6 +111,68 @@ class CellContamSpec extends SparkSpec {
         s"aggregate), got $exchanges:\n$plan")
   }
 
+  test("contaminationKeep dispatches on tau — cells at 0.9 (the " +
+    "near-dup regime), exact below the crossover, and the " +
+    "graft.decontam.exact conf forces exact at any tau") {
+    // the decision law itself
+    assert(Similarity.contaminationUseCells(spark, 900000L))
+    assert(!Similarity.contaminationUseCells(spark, 400000L))
+    val prev = spark.conf.getOption(Similarity.DecontamExactKey)
+    try {
+      spark.conf.set(Similarity.DecontamExactKey, "true")
+      assert(!Similarity.contaminationUseCells(spark, 900000L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(Similarity.DecontamExactKey, v)
+      case None => spark.conf.unset(Similarity.DecontamExactKey)
+    }
+    // and the plan each branch actually builds: the cell path meets
+    // candidates in a broadcast-HASH join on cell; the exact path is
+    // the broadcast nested-loop cross join — distinguishable from the
+    // executed plan, so the dispatch is pinned on the real output,
+    // not just the predicate
+    val (c, b) = capstoneSlices("/root/testdata/sf0.001")
+    val atHigh = Similarity.contaminationKeep(c, b, 900000L)
+      .queryExecution.executedPlan.toString
+    assert(atHigh.contains("BroadcastHashJoin") &&
+      !atHigh.contains("BroadcastNestedLoopJoin"),
+      s"tau=0.9 must take the cell path:\n$atHigh")
+    val atLow = Similarity.contaminationKeep(c, b, 400000L)
+      .queryExecution.executedPlan.toString
+    assert(atLow.contains("BroadcastNestedLoopJoin"),
+      s"tau=0.4 must take the exact cross-join path:\n$atLow")
+    // below the crossover the dispatched keep map IS the exact law —
+    // the one-sided cells miss (vec 399's class of boundary
+    // straddles) can no longer reach a contaminationKeep caller
+    assert(keepSet(Similarity.contaminationKeep(c, b, 400000L))
+      === exactKeep(c, b, 400000L))
+  }
+
+  test("graft.decontam.nProbe widens the cell path's probe set " +
+    "(nProbe = k collapses cluster pruning to the exact drop set)") {
+    // conf plumbing: the resolved value contaminationKeep hands the
+    // cell path follows the session conf, default 4
+    val prev = spark.conf.getOption(Similarity.DecontamNProbeKey)
+    try {
+      assert(Similarity.decontamNProbe(spark) === 4)
+      spark.conf.set(Similarity.DecontamNProbeKey, "16")
+      assert(Similarity.decontamNProbe(spark) === 16)
+    } finally prev match {
+      case Some(v) => spark.conf.set(Similarity.DecontamNProbeKey, v)
+      case None => spark.conf.unset(Similarity.DecontamNProbeKey)
+    }
+    // and the lever's effect: at tau=0.4 the default nProbe=4 misses
+    // one exact drop (the documented one-sided limitation); probing
+    // EVERY cell makes the candidate set exhaustive, so the drop
+    // sets must equalize — the remediation widening measured doing
+    // its job. 1024 >> k (~29 cells here): nearestCells caps at the
+    // cell count.
+    val (c, b) = capstoneSlices("/root/testdata/sf0.01")
+    val widened = keepSet(
+      Similarity.embeddingContaminationCells(c, b, 400000L,
+        nProbe = 1024))
+    assert(widened === exactKeep(c, b, 400000L))
+  }
+
   test("empty bench keeps every nonzero-norm corpus vector; " +
     "zero-norm rows follow the shared convention (absent)") {
     val sp = spark
