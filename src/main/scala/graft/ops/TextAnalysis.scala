@@ -1263,8 +1263,23 @@ object TextAnalysis {
     require(trainMod >= 2, s"trainMod must be >= 2, got $trainMod")
     require(trainRem >= 0 && trainRem < trainMod,
       s"trainRem must be in [0, $trainMod), got $trainRem")
-    import org.apache.spark.sql.expressions.Window
     val isTrain = pmod(col("doc_id"), lit(trainMod.toLong)) === trainRem
+    nbScore(docs.filter(isTrain), docs.filter(!isTrain))
+  }
+
+  /** [[nbLangClassifier]] with the train/test split supplied by the
+    * CALLER — the production shape where the trusted labeled corpus
+    * is EXTERNAL and constant-size while the corpus being scored
+    * grows (the mod-slice convention above is the testdata's stand-in
+    * for it; ProbeCapstone's pinned-trust ladder point measures the
+    * external shape). Every train-side frame the kernel builds (the
+    * per-class token stats, T_c, V, priors) is trusted-corpus-sized,
+    * independent of |testDocs| — with the train side pinned, the only
+    * corpus-scaled term is the scoring pass. The mod-sliced entry
+    * delegates here, so q140's three-sf oracle pins this kernel
+    * verbatim. */
+  def nbScore(trainDocs: DataFrame, testDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // NULL-lang train docs are dropped BEFORE the class set is built:
     // a NULL class would ride into the argmin tie-break, where Spark's
     // ascending sort puts NULLs first and DuckDB's ORDER BY puts them
@@ -1272,7 +1287,7 @@ object TextAnalysis {
     // of the LM family already assumes non-null labels; make it
     // explicit here (held-out docs keep their lang: a NULL test label
     // just yields correct = NULL, identically in both engines).
-    val train = docs.filter(isTrain && col("lang").isNotNull)
+    val train = trainDocs.filter(col("lang").isNotNull)
     val cnt = train
       .select(col("lang").as("c_lang"), explode(tokens(col("text"))).as("t"))
       .groupBy("c_lang", "t").agg(count(lit(1)).as("c"))
@@ -1294,7 +1309,7 @@ object TextAnalysis {
       .select(col("c_lang"), col("t"),
         (length(bin(idiv(col("t_c") + col("v"), col("c") + lit(1L)))) - 1)
           .cast("long").as("b"))
-    val testTok = docs.filter(!isTrain)
+    val testTok = testDocs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
     val scored = VocabJoin.join(
         testTok.crossJoin(broadcast(cdef)), bits, Seq("c_lang", "t"), "left")

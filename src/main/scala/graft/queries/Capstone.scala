@@ -113,12 +113,41 @@ object Capstone {
       .drop("dc_keep"))
   }
 
-  /** Stage 5; the PINNED post-NB-gate frame. */
+  /** Stage 5; the PINNED post-NB-gate frame.
+    *
+    * Round 17 probed the one-tokenize-pass alternative here (stages
+    * 5–6 sharing a pinned (doc_id, t, cnt) frame, every Σ_tokens
+    * term count-weighted — the q115 single-pass discipline applied
+    * ACROSS stages) and measured it ~2× SLOWER at x100
+    * (`tools/ProbeNbSinglePass`, interleaved same-JVM A/B, kept sets
+    * asserted identical): the corpus-sized (doc, token) exchange plus
+    * the waypoint materialization cost more than the two
+    * whole-stage-codegen tokenize passes they replace. Stages 5–6 are
+    * exchange-floor-bound, not tokenize-bound — re-tokenizing the
+    * pinned `dec` text per stage IS the cheap plan. PLANS "Round 17"
+    * has the rows. */
   def nbGate(dec: DataFrame): DataFrame = {
     val nbKeep = TextAnalysis.nbLangClassifier(dec)
       .filter(col("correct")).select("doc_id")
     Checkpoints.pin(dec.filter(pmod(col("doc_id"), lit(10L)) === 7)
       .unionByName(dec.join(nbKeep, Seq("doc_id"), "left_semi")))
+  }
+
+  /** Stage 5 with an EXTERNAL trusted train corpus — the production
+    * shape (a trusted/labeled corpus is curated separately and does
+    * NOT grow with the data being gated; the gated law's %10=7
+    * convention is the testdata's stand-in for it). Every train-side
+    * stats frame [[TextAnalysis.nbScore]] builds from `trustDocs` is
+    * trusted-corpus-sized, so with the trust pinned the stage's only
+    * corpus-scaled term is the scoring pass over `dec` — ALL of which
+    * is held out (the trusted docs are external, not a kept slice).
+    * ProbeCapstone's `PROBE_TRUST_DIR` ladder point measures this
+    * shape; the GATED entry keeps the mod-slice law so the oracle
+    * replays it. */
+  def nbGateTrust(dec: DataFrame, trustDocs: DataFrame): DataFrame = {
+    val nbKeep = TextAnalysis.nbScore(trustDocs, dec)
+      .filter(col("correct")).select("doc_id")
+    Checkpoints.pin(dec.join(nbKeep, Seq("doc_id"), "left_semi"))
   }
 
   /** Stage 6; the PINNED post-CE-selection frame. The score frame is

@@ -38,11 +38,20 @@ import org.apache.spark.sql.functions._
   * frame is the retained history or first batch. Cost: one window
   * aggregation over |events|/m rows, paid once before the drain.
   *
-  * Budget default 500k sessions: the ladder measured native
-  * comfortably ahead at 95k sessions (3.6 s, x1), already behind by
-  * x30 (2.86M sessions, 13.6 s), and 3.1× behind at 9.5M — 500k sits
-  * under the measured crossover with margin. Override per session
-  * with `graft.session.nativeMaxSessions`; the sample modulus with
+  * Budget default 500k sessions, now bracketed by MEASURED rungs on
+  * both sides (round 17 bisected the former 95k→2.86M gap; PLANS
+  * "Streaming ladder" has the full table): native-vs-kernel wall is
+  * 3.5/2.8 s at 95k sessions, 6.0/5.0 at 286k, 5.8/3.3 at 955k,
+  * 12.9/4.4 at 2.86M, 48.5/12.5 at 9.5M. On this corpus shape the
+  * kernel is never worse at ANY rung — the budget's job is not to
+  * find a kernel-wins crossover (there isn't one to find) but to
+  * bound the price of preferring the ENGINE-NATIVE operator where
+  * its state is comfortably bounded: at the nearest rung below the
+  * budget (286k) native costs ≤1.2× the kernel, at the nearest rung
+  * above (955k) it is already 1.7× and climbing superlinearly — 500k
+  * caps the native preference right where its penalty leaves the
+  * ~20% band. Override per session with
+  * `graft.session.nativeMaxSessions`; the sample modulus with
   * `graft.session.probeSampleMod` (default 16). Both branches are
   * spec-pinned row-equal (SessionDispatchSpec) — a wrong estimate
   * costs wall clock, never rows. */

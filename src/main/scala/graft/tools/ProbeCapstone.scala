@@ -56,7 +56,31 @@ object ProbeCapstone {
         }
       }
       val nDec = dec.count()
-      val sel1 = t("5   NB gate (pin)")(Capstone.nbGate(dec))
+      // PROBE_TRUST_DIR pins the NB TRAIN corpus to ANOTHER dir's
+      // post-decontam %10=7 slice (the production shape: a trusted
+      // labeled corpus is constant-size and external — it does not
+      // grow 100× with the data being gated), so stage 5's train-side
+      // stats frames are constant and only the scoring pass scales;
+      // default is the gated law (train = this corpus's own slice)
+      val sel1 = t("5   NB gate (pin)") {
+        sys.env.get("PROBE_TRUST_DIR") match {
+          case Some(td) =>
+            import org.apache.spark.sql.functions.{col, pmod, lit}
+            val tClean = Capstone.cleanDocs(
+              Tables.floored(spark, td, "documents", "doc_id")
+                .select("doc_id", "text", "lang", "source"))
+            val tDec = Capstone.decontam(tClean,
+              Tables(spark, td, "embeddings"))
+            val trust = tDec.filter(pmod(col("doc_id"), lit(10L)) === 7)
+            println(s"[capstone]   (NB train pinned to $td %10=7: " +
+              s"${trust.count()} docs)")
+            val r = Capstone.nbGateTrust(dec, trust)
+            tClean.unpersist(blocking = false)
+            Checkpoints.release(tDec)
+            r
+          case None => Capstone.nbGate(dec)
+        }
+      }
       val nSel1 = sel1.count()
       val sel2 = t("6   CE select (pin)")(Capstone.ceSelect(sel1))
       val nSel2 = sel2.count()
