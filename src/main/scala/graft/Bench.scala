@@ -283,11 +283,15 @@ object Bench {
     * hand). Six consecutive driver rounds ran on a non-stationary
     * host (round-16 verdict item 3: an isolated q01 swung
     * 0.50→1.81 s in forty minutes), so every sweep now records the
-    * host's speed IN BAND: epoch = min(pre, post) / history's settled
-    * q01 — 1.0 on a quiet box, ~3 on the measured contended epochs —
-    * letting history merges log the epoch factor alongside the
-    * min-merge instead of leaving cross-round wall-clock claims to
-    * min-only forensics. q01 is the calibrator because it is the
+    * host's speed IN BAND: epoch = PRE calibration / history's
+    * settled q01 — 1.0 on a quiet box, ~1.5–4 on the measured
+    * contended epochs — letting history merges log the epoch factor
+    * alongside the min-merge instead of leaving cross-round
+    * wall-clock claims to min-only forensics. The factor uses the
+    * PRE reading only (see epochFactor: the post reading is
+    * JIT-hot and systematically ~2.7× faster — it rides the log as
+    * the hot-JVM floor, never the factor). q01 is the calibrator
+    * because it is the
     * oldest stable query (13 rounds of settled history, plan
     * untouched since round 1) and small enough (~0.3 s settled) that
     * the bracket costs ~2 s per sweep. */
@@ -448,14 +452,21 @@ object Bench {
       f"[bench] calib pre-sweep: $CalibName ${c}%.3f s"))
     def calibPair: Option[(Double, Option[Double])] =
       calibPre.map(p => (p, calibPost))
-    // epoch factor = this session's best calibration / the settled
-    // same-sf history for the calibrator (absent without history —
-    // a first run on a new sf defines the baseline, it has no epoch)
+    // epoch factor = the PRE calibration / the settled same-sf
+    // history for the calibrator (absent without history — a first
+    // run on a new sf defines the baseline, it has no epoch). PRE
+    // only, not min(pre, post): the first two logged sweeps both
+    // read pre ≈ 0.48–0.53 and post ≈ 0.18 with near-identical raw
+    // totals — the asymmetry is JVM JIT state, not host mood (pre
+    // runs in the cold JVM the settled history's fresh-JVM probes
+    // also ran in; post runs fully JIT-hot after 147 queries). Only
+    // pre compares like-for-like; post rides the log as the hot-JVM
+    // floor marker.
     lazy val histCalib: Option[Double] = loadHistory().get(CalibName)
     def epochFactor: Option[Double] = for {
       h <- histCalib if h > 0
-      best <- (calibPre.toSeq ++ calibPost.toSeq).minOption
-    } yield best / h
+      pre <- calibPre
+    } yield pre / h
 
     def compact(results: Seq[(String, Probe)]): String =
       compactLine(results, sfDir, epochFactor)

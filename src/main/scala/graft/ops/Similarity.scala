@@ -170,6 +170,11 @@ object Similarity {
     tauX1e6 >= math.round(LshCrossoverSim * 1e6) &&
       !spark.conf.getOption(DecontamExactKey).exists(_.toBoolean)
 
+  /** [[DecontamNProbeKey]]'s resolved value (default 4) — the probe
+    * count [[contaminationKeep]] hands the cell path. */
+  def decontamNProbe(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(DecontamNProbeKey).map(_.toInt).getOrElse(4)
+
   /** τ-dispatched decontamination keep law — [[nearDupPairs]]'s
     * LshCrossoverSim posture applied to contamination (round-16
     * verdict): ONE entry point whose recall is never regime-wrong.
@@ -183,11 +188,6 @@ object Similarity {
     * (vec_id, keep) contract — callers needing the max-sim statistic
     * use [[embeddingContamination]] directly (q125's registered
     * report shape). */
-  /** [[DecontamNProbeKey]]'s resolved value (default 4) — the probe
-    * count [[contaminationKeep]] hands the cell path. */
-  def decontamNProbe(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.getOption(DecontamNProbeKey).map(_.toInt).getOrElse(4)
-
   def contaminationKeep(corpus: DataFrame, bench: DataFrame,
                         tauX1e6: Long): DataFrame = {
     val spark = corpus.sparkSession

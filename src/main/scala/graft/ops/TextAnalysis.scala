@@ -1279,7 +1279,6 @@ object TextAnalysis {
     * delegates here, so q140's three-sf oracle pins this kernel
     * verbatim. */
   def nbScore(trainDocs: DataFrame, testDocs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // NULL-lang train docs are dropped BEFORE the class set is built:
     // a NULL class would ride into the argmin tie-break, where Spark's
     // ascending sort puts NULLs first and DuckDB's ORDER BY puts them
@@ -1317,12 +1316,19 @@ object TextAnalysis {
       .agg(sum(coalesce(col("b"), col("bdef"))).as("sb"))
       .select(col("doc_id"), col("lang"), col("c_lang"),
         (col("bprior") + col("sb")).as("bits_total"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("bits_total").asc, col("c_lang").asc)
-    val out = scored.withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("doc_id"), col("lang"), col("c_lang").as("pred_lang"),
-        col("bits_total"), (col("lang") === col("c_lang")).as("correct"))
+    // argmin as a hash AGGREGATE: min over struct(bits_total, c_lang)
+    // is lexicographic, i.e. exactly the (bits_total asc, c_lang asc)
+    // window's first row — but with a map-side partial min instead of
+    // the window's exchange+SORT over the docs×classes scored frame.
+    // Interleaved same-JVM A/B at x100 (ProbeNbSinglePass
+    // classic,window): never worse across all pairs; the window form
+    // stays in the probe as the measured alternative.
+    val out = scored
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct(col("bits_total"), col("c_lang"))).as("m"))
+      .select(col("doc_id"), col("lang"), col("m.c_lang").as("pred_lang"),
+        col("m.bits_total").as("bits_total"),
+        (col("lang") === col("m.c_lang")).as("correct"))
       .transform(graft.engine.Checkpoints.materialize)
     cnt.unpersist(blocking = false)
     out

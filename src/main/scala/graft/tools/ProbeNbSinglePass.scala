@@ -143,6 +143,65 @@ object ProbeNbSinglePass {
       .withColumn("keep", col("ce_diff_x1000") <= thetaX1000)
   }
 
+  /** [[TextAnalysis.nbScore]] with the argmin computed by the
+    * ROW_NUMBER WINDOW the kernel used through round 16 (exchange +
+    * sort over the docs×classes scored frame, first row per doc)
+    * instead of the production min-over-struct hash aggregate. Same
+    * rows by construction (struct ordering is lexicographic = the
+    * window's (bits_total asc, c_lang asc)); kept here as the
+    * measured alternative — the round-17 interleaved A/B read the
+    * aggregate form never-worse across all pairs (22.8→21.2,
+    * 5.8→5.0, 4.7→4.6 s at x100), which is why production switched. */
+  def nbScoreWindow(trainDocs: DataFrame, testDocs: DataFrame): DataFrame = {
+    val train = trainDocs.filter(col("lang").isNotNull)
+    val cnt = train
+      .select(col("lang").as("c_lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy("c_lang", "t").agg(count(lit(1)).as("c"))
+      .cache()
+    val tc = cnt.groupBy("c_lang").agg(sum(col("c")).as("t_c"))
+    val v = cnt.select("t").distinct().agg(count(lit(1)).as("v"))
+    val cls = train.groupBy(col("lang").as("c_lang"))
+      .agg(count(lit(1)).as("n_c"))
+    val nTot = train.agg(count(lit(1)).as("n"))
+    val cdef = cls.join(tc, Seq("c_lang"), "left")
+      .crossJoin(broadcast(v)).crossJoin(broadcast(nTot))
+      .select(col("c_lang"),
+        (length(bin(coalesce(col("t_c"), lit(0L)) + col("v"))) - 1)
+          .cast("long").as("bdef"),
+        (length(bin(idiv(col("n"), col("n_c")))) - 1)
+          .cast("long").as("bprior"))
+    val bits = cnt.join(tc, Seq("c_lang")).crossJoin(broadcast(v))
+      .select(col("c_lang"), col("t"),
+        (length(bin(idiv(col("t_c") + col("v"), col("c") + lit(1L)))) - 1)
+          .cast("long").as("b"))
+    val testTok = testDocs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+    val scored = VocabJoin.join(
+        testTok.crossJoin(broadcast(cdef)), bits, Seq("c_lang", "t"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("c_lang"), col("bprior"))
+      .agg(sum(coalesce(col("b"), col("bdef"))).as("sb"))
+      .select(col("doc_id"), col("lang"), col("c_lang"),
+        (col("bprior") + col("sb")).as("bits_total"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("bits_total").asc, col("c_lang").asc)
+    val out = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("lang"), col("c_lang").as("pred_lang"),
+        col("bits_total"), (col("lang") === col("c_lang")).as("correct"))
+      .transform(graft.engine.Checkpoints.materialize)
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  /** Stage 5 over [[nbScoreWindow]], mod-slice law. */
+  private def nbGateWindow(dec: DataFrame): DataFrame = {
+    val seven = pmod(col("doc_id"), lit(10L)) === 7
+    val nbKeep = nbScoreWindow(dec.filter(seven), dec.filter(!seven))
+      .filter(col("correct")).select("doc_id")
+    Checkpoints.pin(dec.filter(seven)
+      .unionByName(dec.join(nbKeep, Seq("doc_id"), "left_semi")))
+  }
+
   /** Stages 5–6 in the counts form: one pinned token-count frame,
     * both gates consuming it (CE over the sel1-survivor slice). */
   private def countsStages(dec: DataFrame): (DataFrame, DataFrame, DataFrame) = {
@@ -188,14 +247,18 @@ object ProbeNbSinglePass {
     println(s"dir=$dir dec=${dec.count()}")
 
     // run one variant end-to-end (stages 5+6), return kept ids + wall
-    def run(tag: String, counts: Boolean): (Seq[Long], Double) = {
+    def run(tag: String, mode: String): (Seq[Long], Double) = {
       val t0 = System.nanoTime()
-      val frames: Seq[DataFrame] =
-        if (counts) { val (t, s1, s2) = countsStages(dec); Seq(t, s1, s2) }
-        else {
+      val frames: Seq[DataFrame] = mode match {
+        case "counts" =>
+          val (t, s1, s2) = countsStages(dec); Seq(t, s1, s2)
+        case "window" =>
+          val s1 = nbGateWindow(dec)
+          Seq(s1, Capstone.ceSelect(s1))
+        case _ =>
           val s1 = Capstone.nbGate(dec)
           Seq(s1, Capstone.ceSelect(s1))
-        }
+      }
       val ids = frames.last.select("doc_id").collect().map(_.getLong(0))
         .sorted.toSeq
       val wall = (System.nanoTime() - t0) / 1e9
@@ -204,17 +267,18 @@ object ProbeNbSinglePass {
       (ids, wall)
     }
 
+    // modes via arg 3, default the classic-vs-counts pair
+    val modes = args.lift(2).map(_.split(",").toSeq)
+      .getOrElse(Seq("classic", "counts"))
     val runs = (1 to reps).flatMap { i =>
-      Seq(run(s"classic$i", counts = false),
-          run(s"counts$i", counts = true))
+      modes.map(m => (m, run(s"$m$i", m)))
     }
-    val (classicRuns, countsRuns) =
-      runs.zipWithIndex.partition(_._2 % 2 == 0)
-    require(runs.map(_._1).distinct.size == 1,
+    require(runs.map(_._2._1).distinct.size == 1,
       "variants diverge on kept doc_ids")
-    println(f"[nb-ab] classic min ${classicRuns.map(_._1._2).min}%.2f s, " +
-      f"counts min ${countsRuns.map(_._1._2).min}%.2f s, " +
-      s"rows identical (${runs.head._1.size})")
+    val mins = modes.map(m =>
+      f"$m min ${runs.filter(_._1 == m).map(_._2._2).min}%.2f s")
+    println(s"[nb-ab] ${mins.mkString(", ")}, " +
+      s"rows identical (${runs.head._2._1.size})")
     Checkpoints.release(dec)
     spark.stop()
   }

@@ -246,7 +246,7 @@ class BenchLineSpec extends AnyFunSuite {
     // after "queries") must not leak log keys into the query map
     val hist = """{"metric":"total","value":0.73,"unit":"sec",""" +
       """"queries":{"q01_linegraph":0.313,"q02_heatmap":0.413},""" +
-      """"sf":"sf0.1","epoch_log":[{"calib":0.47,"factor":1.5}]}"""
+      """"sf":"sf0.1","epoch_log":[{"pre":0.47,"post":0.18,"factor":1.5}]}"""
     val h = Bench.parseHistory(hist, "/root/testdata/sf0.1")
     assert(h == Map("q01_linegraph" -> 0.313, "q02_heatmap" -> 0.413), h)
     // the calibrator itself must be a registered query, or every
