@@ -1316,10 +1316,13 @@ object TextAnalysis {
       .agg(sum(coalesce(col("b"), col("bdef"))).as("sb"))
       .select(col("doc_id"), col("lang"), col("c_lang"),
         (col("bprior") + col("sb")).as("bits_total"))
-    // argmin as a hash AGGREGATE: min over struct(bits_total, c_lang)
-    // is lexicographic, i.e. exactly the (bits_total asc, c_lang asc)
-    // window's first row — but with a map-side partial min instead of
-    // the window's exchange+SORT over the docs×classes scored frame.
+    // argmin as an AGGREGATE: min over struct(bits_total, c_lang) is
+    // lexicographic, i.e. exactly the (bits_total asc, c_lang asc)
+    // window's first row. Plan shape (verified .explain on q140): a
+    // partial+final SortAggregate pair over ONE in-partition sort by
+    // the (doc_id, lang) group key, no added exchange — the struct
+    // buffer keeps Min off the hash-agg fast path, but the partial
+    // pre-exchange min is what the window form structurally lacks.
     // Interleaved same-JVM A/B at x100 (ProbeNbSinglePass
     // classic,window): never worse across all pairs; the window form
     // stays in the probe as the measured alternative.

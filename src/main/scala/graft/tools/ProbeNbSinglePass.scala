@@ -146,7 +146,7 @@ object ProbeNbSinglePass {
   /** [[TextAnalysis.nbScore]] with the argmin computed by the
     * ROW_NUMBER WINDOW the kernel used through round 16 (exchange +
     * sort over the docs×classes scored frame, first row per doc)
-    * instead of the production min-over-struct hash aggregate. Same
+    * instead of the production min-over-struct aggregate. Same
     * rows by construction (struct ordering is lexicographic = the
     * window's (bits_total asc, c_lang asc)); kept here as the
     * measured alternative — the round-17 interleaved A/B read the
