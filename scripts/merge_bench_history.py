@@ -48,15 +48,15 @@ def main(out_path, hist_path="bench_history.json"):
     hist["queries"] = dict(sorted(merged.items()))
     hist["value"] = round(sum(merged.values()), 2)
     # Epoch log (round 17): each merged sweep records its calibration
-    # bracket (min of the pre/post isolated q01 pairs) and the factor
-    # vs the PRE-merge settled baseline, so cross-round readings can
-    # be epoch-normalized instead of min-only adjudicated. The factor
-    # uses the baseline from BEFORE this merge (the settled number the
-    # sweep was actually measured against — pre_base captured above);
-    # the log keeps the last 20 merges. Its keys carry no q-prefix
-    # names and it is appended AFTER "queries", so graft.Bench's
-    # history regex (which scans from "queries": on for "qNN":num) is
-    # unaffected.
+    # bracket (both isolated q01 readings, verbatim) and the factor =
+    # PRE reading vs the PRE-merge settled baseline, so cross-round
+    # readings can be epoch-normalized instead of min-only
+    # adjudicated. The factor uses the baseline from BEFORE this
+    # merge (the settled number the sweep was actually measured
+    # against — pre_base captured above); the log keeps the last 20
+    # merges. Its keys carry no q-prefix names and it is appended
+    # AFTER "queries", so graft.Bench's history regex (which scans
+    # from "queries": on for "qNN":num) is unaffected.
     if calib and "pre" in calib:
         # factor from the PRE reading only: pre runs in the cold JVM
         # the settled history's fresh-JVM probes also ran in, post

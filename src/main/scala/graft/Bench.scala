@@ -422,7 +422,8 @@ object Bench {
         ",\"suspect\":" + p.suspect + "}"
     }.mkString("{", ",", "}")
     // raw calibration pair (pre always, post once the sweep ends) —
-    // the merge script min-reads it to log this merge's epoch factor
+    // the merge script logs both ends verbatim and derives this
+    // merge's epoch factor from the PRE reading (see epochFactor)
     val cal = calib.map { case (pre, post) =>
       val po = post.map(p => ",\"post\":" + num(p)).getOrElse("")
       s""","calib":{"query":"$CalibName","pre":${num(pre)}$po}"""

@@ -1279,6 +1279,36 @@ object TextAnalysis {
     * delegates here, so q140's three-sf oracle pins this kernel
     * verbatim. */
   def nbScore(trainDocs: DataFrame, testDocs: DataFrame): DataFrame = {
+    val (scored, cnt) = nbScoredFrame(trainDocs, testDocs)
+    // argmin as an AGGREGATE: min over struct(bits_total, c_lang) is
+    // lexicographic, i.e. exactly the (bits_total asc, c_lang asc)
+    // window's first row. Plan shape (verified .explain on q140): a
+    // partial+final SortAggregate pair over ONE in-partition sort by
+    // the (doc_id, lang) group key, no added exchange — the struct
+    // buffer keeps Min off the hash-agg fast path, but the partial
+    // pre-exchange min is what the window form structurally lacks.
+    // ProbeNbSinglePass hosts the window tail as the A/B alternative
+    // over the SAME [[nbScoredFrame]], so the comparison can never
+    // drift from this kernel's model law.
+    val out = scored
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct(col("bits_total"), col("c_lang"))).as("m"))
+      .select(col("doc_id"), col("lang"), col("m.c_lang").as("pred_lang"),
+        col("m.bits_total").as("bits_total"),
+        (col("lang") === col("m.c_lang")).as("correct"))
+      .transform(graft.engine.Checkpoints.materialize)
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  /** The NB model build + per-(doc, class) scoring shared by
+    * [[nbScore]] and ProbeNbSinglePass's window-argmin twin: returns
+    * (scored, cnt) where `scored` is the (doc_id, lang, c_lang,
+    * bits_total) frame the argmin runs over and `cnt` is the CACHED
+    * per-class token-stats frame the caller must unpersist AFTER
+    * materializing whatever it derives from `scored`. */
+  private[graft] def nbScoredFrame(trainDocs: DataFrame,
+                                   testDocs: DataFrame): (DataFrame, DataFrame) = {
     // NULL-lang train docs are dropped BEFORE the class set is built:
     // a NULL class would ride into the argmin tie-break, where Spark's
     // ascending sort puts NULLs first and DuckDB's ORDER BY puts them
@@ -1316,24 +1346,6 @@ object TextAnalysis {
       .agg(sum(coalesce(col("b"), col("bdef"))).as("sb"))
       .select(col("doc_id"), col("lang"), col("c_lang"),
         (col("bprior") + col("sb")).as("bits_total"))
-    // argmin as an AGGREGATE: min over struct(bits_total, c_lang) is
-    // lexicographic, i.e. exactly the (bits_total asc, c_lang asc)
-    // window's first row. Plan shape (verified .explain on q140): a
-    // partial+final SortAggregate pair over ONE in-partition sort by
-    // the (doc_id, lang) group key, no added exchange — the struct
-    // buffer keeps Min off the hash-agg fast path, but the partial
-    // pre-exchange min is what the window form structurally lacks.
-    // Interleaved same-JVM A/B at x100 (ProbeNbSinglePass
-    // classic,window): never worse across all pairs; the window form
-    // stays in the probe as the measured alternative.
-    val out = scored
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(min(struct(col("bits_total"), col("c_lang"))).as("m"))
-      .select(col("doc_id"), col("lang"), col("m.c_lang").as("pred_lang"),
-        col("m.bits_total").as("bits_total"),
-        (col("lang") === col("m.c_lang")).as("correct"))
-      .transform(graft.engine.Checkpoints.materialize)
-    cnt.unpersist(blocking = false)
-    out
+    (scored, cnt)
   }
 }

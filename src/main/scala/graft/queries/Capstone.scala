@@ -118,14 +118,20 @@ object Capstone {
     * Round 17 probed the one-tokenize-pass alternative here (stages
     * 5–6 sharing a pinned (doc_id, t, cnt) frame, every Σ_tokens
     * term count-weighted — the q115 single-pass discipline applied
-    * ACROSS stages) and measured it ~2× SLOWER at x100
-    * (`tools/ProbeNbSinglePass`, interleaved same-JVM A/B, kept sets
-    * asserted identical): the corpus-sized (doc, token) exchange plus
-    * the waypoint materialization cost more than the two
-    * whole-stage-codegen tokenize passes they replace. Stages 5–6 are
-    * exchange-floor-bound, not tokenize-bound — re-tokenizing the
-    * pinned `dec` text per stage IS the cheap plan. PLANS "Round 17"
-    * has the rows. */
+    * ACROSS stages) and measured it INDISTINGUISHABLE at x100
+    * (`tools/ProbeNbSinglePass`, interleaved same-JVM A/B with the
+    * block cache cleared per rep, kept sets asserted identical:
+    * ~19 s both forms): what the shared pass saves (two
+    * whole-stage-codegen tokenize scans over the already-pinned
+    * stage-4 text) it pays back in the corpus-sized (doc, token)
+    * exchange plus the waypoint pin. Stages 5–6 are
+    * exchange-floor-bound, not tokenize-bound, so the shared frame
+    * buys nothing — the gated composition keeps the simpler
+    * re-tokenize-per-stage plan (no extra exchange, no extra
+    * corpus-sized pin to hold). PLANS "Round 17" has the rows AND
+    * the measurement-bias postmortem (the first A/B read "2×
+    * slower" because the classic variant's later reps were served
+    * from the cache). */
   def nbGate(dec: DataFrame): DataFrame = {
     val nbKeep = TextAnalysis.nbLangClassifier(dec)
       .filter(col("correct")).select("doc_id")

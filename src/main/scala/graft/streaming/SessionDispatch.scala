@@ -40,17 +40,21 @@ import org.apache.spark.sql.functions._
   *
   * Budget default 500k sessions, now bracketed by MEASURED rungs on
   * both sides (round 17 bisected the former 95k→2.86M gap; PLANS
-  * "Streaming ladder" has the full table): native-vs-kernel wall is
-  * 3.5/2.8 s at 95k sessions, 6.0/5.0 at 286k, 5.8/3.3 at 955k,
-  * 12.9/4.4 at 2.86M, 48.5/12.5 at 9.5M. On this corpus shape the
-  * kernel is never worse at ANY rung — the budget's job is not to
-  * find a kernel-wins crossover (there isn't one to find) but to
-  * bound the price of preferring the ENGINE-NATIVE operator where
-  * its state is comfortably bounded: at the nearest rung below the
-  * budget (286k) native costs ≤1.2× the kernel, at the nearest rung
-  * above (955k) it is already 1.7× and climbing superlinearly — 500k
-  * caps the native preference right where its penalty leaves the
-  * ~20% band. Override per session with
+  * "Streaming ladder" tables, all rungs on the shared-WaveHarness
+  * re-measured numbers — the round-16 harness fix superseded the r15
+  * "native ahead at x1" reading): native-vs-kernel wall is 3.5/2.8 s
+  * at 95k sessions, 6.0/5.0 at 286k, 5.8/3.3 at 955k, 12.9/4.4 at
+  * 2.86M, 48.5/12.5 at 9.5M. On this corpus shape the kernel is
+  * never worse at ANY rung — the budget's job is not to find a
+  * kernel-wins crossover (there isn't one to find) but to bound the
+  * price of preferring the ENGINE-NATIVE operator where its state is
+  * comfortably bounded: at every rung at or below the budget the
+  * native penalty stays mild and roughly flat (1.2–1.25×), at the
+  * first rung above (955k) it is 1.7× and climbing superlinearly
+  * from there (2.9× at 2.86M, 3.9× at 9.5M) — 500k caps the native
+  * preference before the state-store merge-sort's superlinear regime
+  * begins, which is the structural boundary the budget guards (not
+  * an exact penalty line). Override per session with
   * `graft.session.nativeMaxSessions`; the sample modulus with
   * `graft.session.probeSampleMod` (default 16). Both branches are
   * spec-pinned row-equal (SessionDispatchSpec) — a wrong estimate

@@ -17,27 +17,37 @@ import graft.queries.Capstone
   * whether stage 5's re-tokenize of the corpus stage 6 tokenizes
   * again can be shared).
   *
-  * MEASURED ANSWER (x100, 500k docs, interleaved A/B × 3, kept
-  * doc_id sets asserted identical): classic 8.8–9.1 s warm vs counts
-  * 17.7–21.9 s — the shared pass is ~2× SLOWER. The counts form adds
-  * a corpus-sized exchange (the (doc_id, …, t) groupBy; map-side
+  * MEASURED ANSWER (x100, 500k docs, interleaved A/B × 3 with the
+  * block cache cleared per rep, kept doc_id sets asserted identical,
+  * 69,634 rows): INDISTINGUISHABLE — classic 18.9–19.4 s, counts
+  * 18.6–20.3 s, window-argmin 18.5–19.3 s, spreads inside the epoch
+  * noise. What the shared pass saves (two whole-stage-codegen
+  * tokenize scans over the already-pinned stage-4 text) it pays back
+  * in the corpus-sized (doc_id, …, t) groupBy exchange (map-side
   * partial aggregation only collapses within-partition duplicates,
-  * and on this corpus shape most per-doc tokens are near-distinct)
-  * plus the pin's write+read of a frame comparable to the token
-  * stream itself, while the passes it saves are whole-stage-codegen
-  * scans over the already-pinned stage-4 text — cheap by
-  * construction. Stages 5–6 are EXCHANGE-floor-bound (the per-class
-  * stats aggregate and the (doc, class) scoring aggregate), not
-  * tokenize-bound; re-tokenizing per stage is the better plan. The
-  * gated composition therefore keeps the classic kernels; the counts
-  * variants live HERE as the measured alternative backing PLANS'
-  * round-17 analysis.
+  * and per-doc tokens are mostly near-distinct here) plus the pin's
+  * write+read of a frame comparable to the token stream. Stages 5–6
+  * are EXCHANGE-floor-bound (the per-class stats aggregate and the
+  * (doc, class) scoring aggregate), not tokenize-bound; the gated
+  * composition keeps the classic kernels — simpler, no extra
+  * corpus-sized pin to hold — and the counts variants live HERE as
+  * the measured alternative backing PLANS' round-17 analysis.
+  *
+  * Measurement-bias postmortem (PLANS has the full account): this
+  * probe's FIRST version did not clear the block cache between
+  * reps, so later classic reps were served from the previous rep's
+  * Checkpoints.materialize entry (plan-keyed over the SHARED pinned
+  * dec) while the counts form — pinning a FRESH frame each rep —
+  * always paid full cost: it read "counts ~2× slower" (8.8 vs
+  * 17.7 s) where the honest number is a wash. clearCache per rep is
+  * load-bearing in every same-plan A/B harness.
   *
   * The bench host is non-stationary (six contended epochs), so the
   * comparison interleaves variants inside ONE session over ONE
   * pinned stage-4 frame — the ProbeLmDispatch discipline.
   *
-  * Usage: ProbeNbSinglePass [dir] [reps]  (default /tmp/scale_x100 2). */
+  * Usage: ProbeNbSinglePass [dir] [reps] [modes]
+  *   (default /tmp/scale_x100 2 classic,counts). */
 object ProbeNbSinglePass {
 
   /** Per-document token multiplicities — the shared-pass frame.
@@ -146,42 +156,14 @@ object ProbeNbSinglePass {
   /** [[TextAnalysis.nbScore]] with the argmin computed by the
     * ROW_NUMBER WINDOW the kernel used through round 16 (exchange +
     * sort over the docs×classes scored frame, first row per doc)
-    * instead of the production min-over-struct aggregate. Same
-    * rows by construction (struct ordering is lexicographic = the
-    * window's (bits_total asc, c_lang asc)); kept here as the
-    * measured alternative — the round-17 interleaved A/B read the
-    * aggregate form never-worse across all pairs (22.8→21.2,
-    * 5.8→5.0, 4.7→4.6 s at x100), which is why production switched. */
+    * instead of the production min-over-struct aggregate. Same rows
+    * by construction (struct ordering is lexicographic = the
+    * window's (bits_total asc, c_lang asc)), and built over the SAME
+    * [[TextAnalysis.nbScoredFrame]] model build as production, so
+    * the A/B can never drift from the kernel's law — only the argmin
+    * tail differs. */
   def nbScoreWindow(trainDocs: DataFrame, testDocs: DataFrame): DataFrame = {
-    val train = trainDocs.filter(col("lang").isNotNull)
-    val cnt = train
-      .select(col("lang").as("c_lang"), explode(tokens(col("text"))).as("t"))
-      .groupBy("c_lang", "t").agg(count(lit(1)).as("c"))
-      .cache()
-    val tc = cnt.groupBy("c_lang").agg(sum(col("c")).as("t_c"))
-    val v = cnt.select("t").distinct().agg(count(lit(1)).as("v"))
-    val cls = train.groupBy(col("lang").as("c_lang"))
-      .agg(count(lit(1)).as("n_c"))
-    val nTot = train.agg(count(lit(1)).as("n"))
-    val cdef = cls.join(tc, Seq("c_lang"), "left")
-      .crossJoin(broadcast(v)).crossJoin(broadcast(nTot))
-      .select(col("c_lang"),
-        (length(bin(coalesce(col("t_c"), lit(0L)) + col("v"))) - 1)
-          .cast("long").as("bdef"),
-        (length(bin(idiv(col("n"), col("n_c")))) - 1)
-          .cast("long").as("bprior"))
-    val bits = cnt.join(tc, Seq("c_lang")).crossJoin(broadcast(v))
-      .select(col("c_lang"), col("t"),
-        (length(bin(idiv(col("t_c") + col("v"), col("c") + lit(1L)))) - 1)
-          .cast("long").as("b"))
-    val testTok = testDocs
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
-    val scored = VocabJoin.join(
-        testTok.crossJoin(broadcast(cdef)), bits, Seq("c_lang", "t"), "left")
-      .groupBy(col("doc_id"), col("lang"), col("c_lang"), col("bprior"))
-      .agg(sum(coalesce(col("b"), col("bdef"))).as("sb"))
-      .select(col("doc_id"), col("lang"), col("c_lang"),
-        (col("bprior") + col("sb")).as("bits_total"))
+    val (scored, cnt) = TextAnalysis.nbScoredFrame(trainDocs, testDocs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("bits_total").asc, col("c_lang").asc)
     val out = scored.withColumn("r", row_number().over(w))
@@ -246,8 +228,15 @@ object ProbeNbSinglePass {
     clean.unpersist(blocking = false)
     println(s"dir=$dir dec=${dec.count()}")
 
-    // run one variant end-to-end (stages 5+6), return kept ids + wall
+    // run one variant end-to-end (stages 5+6), return kept ids + wall.
+    // clearCache BEFORE each rep: the kernels' internal
+    // Checkpoints.materialize entries are keyed by logical plan over
+    // the SHARED pinned dec, so without it a later rep of the same
+    // variant is served from the previous rep's cache and measures
+    // almost nothing (the Probe `time` lesson; pins survive
+    // clearCache — they are RDD-level, not CacheManager entries)
     def run(tag: String, mode: String): (Seq[Long], Double) = {
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val frames: Seq[DataFrame] = mode match {
         case "counts" =>
@@ -255,9 +244,10 @@ object ProbeNbSinglePass {
         case "window" =>
           val s1 = nbGateWindow(dec)
           Seq(s1, Capstone.ceSelect(s1))
-        case _ =>
+        case "classic" =>
           val s1 = Capstone.nbGate(dec)
           Seq(s1, Capstone.ceSelect(s1))
+        case m => sys.error(s"unknown mode '$m' (classic|counts|window)")
       }
       val ids = frames.last.select("doc_id").collect().map(_.getLong(0))
         .sorted.toSeq
