@@ -588,9 +588,26 @@ object TextAnalysis {
     * automatically — still one pass over the corpus. All arithmetic
     * integer or floor-scaled.
     *
+    * Round 17: the ref vocabulary goes through
+    * [[VocabJoin.joinCached]] — its lineage is DISJOINT from the
+    * corpus shingle stream, so no exchange reuse covered it and the
+    * ref-slice aggregation ran once for the dispatch count and again
+    * for the join's build side (ProbeVocabCache interleaved A/B at
+    * sf0.1: 1.22 s → 0.85 s, rows checksum-identical).
+    *
     * Output: (doc_id, n_tri, ref_hits, score_x1000, bucket). */
   def referenceOverlapScore(docs: DataFrame, refSource: String = "src0",
-                            minDf: Int = 2): DataFrame = {
+                            minDf: Int = 2): DataFrame =
+    referenceOverlapDispatch(docs, refSource, minDf, cachedDispatch = true)
+
+  /** [[referenceOverlapScore]] with the round-17 single-pass
+    * ref-vocab cache switchable — `cachedDispatch = false` is the
+    * pre-r17 form (the dispatch count action and the join's build
+    * side each re-ran the reference slice's shingle aggregation),
+    * kept as ProbeVocabCache's A/B twin and VocabJoinCachedSpec's
+    * parity anchor. */
+  private[graft] def referenceOverlapDispatch(docs: DataFrame,
+      refSource: String, minDf: Int, cachedDispatch: Boolean): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     // every doc emits its trigrams PLUS one null sentinel row: count(s)
     // then equals the trigram count, a null s matches nothing in the
@@ -610,7 +627,9 @@ object TextAnalysis {
       .groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("s"), lit(1).as("hit"))
-    val agg = VocabJoin.join(sh, refVocab, Seq("s"), "left")
+    val agg = (if (cachedDispatch)
+        VocabJoin.joinCached(sh, refVocab, Seq("s"), "left")
+      else VocabJoin.join(sh, refVocab, Seq("s"), "left"))
       .groupBy("doc_id")
       .agg(count(col("s")).as("n_tri"), count(col("hit")).as("ref_hits"))
     val score = when(col("n_tri") > 0,

@@ -63,8 +63,41 @@ object VocabJoin {
     v => if (fits) broadcast(v) else v.hint("shuffle_hash")
   }
 
-  /** Single-join convenience over [[plan]]. */
+  /** Single-join convenience over [[plan]]. NOTE: plan()'s dispatch
+    * count is its own ACTION, and actions share no exchange reuse —
+    * when `vocab` is DERIVED from a corpus-sized lineage (a df/LM
+    * aggregate over the token stream), that whole lineage runs once
+    * for the count and AGAIN for the join's build side. Use
+    * [[joinCached]] there (the q115 single-pass lesson, round 16);
+    * this form is right only when `vocab` is already cheap to
+    * evaluate (a pinned frame, a table scan, a cached upstream). */
   def join(stream: DataFrame, vocab: DataFrame, keys: Seq[String],
            joinType: String = "inner"): DataFrame =
     stream.join(plan(vocab)(vocab), keys, joinType)
+
+  /** [[join]] for a DERIVED vocabulary frame, single-pass: caches
+    * `vocab` (vocabulary-sized by the caller's contract — the Heaps
+    * budget argument of the broadcast branch itself), runs the
+    * dispatch count against the cache (the SAME action materializes
+    * it), and joins the cached frame. The vocab lineage then runs
+    * exactly once per execution instead of once per
+    * action-plus-build-side.
+    *
+    * WHEN it pays (measured, ProbeVocabCache interleaved A/B at
+    * sf0.1): only when the vocab's lineage does NOT share an exchange
+    * with the join's stream side. referenceOverlapScore's ref-slice
+    * aggregate is such a case (disjoint from the corpus shingle
+    * stream: 1.22 s → 0.85 s). When the vocab is an aggregate OVER
+    * the stream side (tfidfKeywords/clusterKeywords' df over tf),
+    * ReuseExchange already dedupes the build side inside the serving
+    * action and this cache is a measured WASH — those stay on
+    * [[join]]. The cache lingers until the session clears it — the
+    * q115/q140 cnt-cache precedent; Bench/Verify clear between
+    * queries, and a production caller holds it for the operator's
+    * lifetime at vocabulary size. */
+  def joinCached(stream: DataFrame, vocab: DataFrame, keys: Seq[String],
+                 joinType: String = "inner"): DataFrame = {
+    val v = vocab.cache()
+    stream.join(planFromCount(v, v.count())(v), keys, joinType)
+  }
 }
