@@ -1266,14 +1266,24 @@ object TextAnalysis {
     * classifier stays a real NB (monotone per-token evidence), just a
     * coarsely binned one.
     *
-    * Plan shape: the model is three vocabulary-sized aggregates off
-    * one train-slice pass (cnt cached — T_c, V and the bits table
-    * read it, not the corpus); scoring explodes the held-out stream
-    * once, replicates it across the |classes| (≤ handfuls) broadcast
-    * class frame, probes the (class, token) bits table under
-    * [[VocabJoin]]'s counted dispatch, and aggregates slim int rows
-    * per (doc, class) — the q91 posture with a small class factor.
-    * No corpus-sized join-back, no driver-side model state.
+    * Plan shape (round 17, the CLASS-PIVOTED kernel): the model is
+    * three vocabulary-sized aggregates off one train-slice pass (cnt
+    * cached — T_c, V and the bits table read it, not the corpus);
+    * the per-class bits then PIVOT to |classes| long columns of one
+    * vocabulary-sized frame, the held-out stream explodes once and
+    * probes it once (no ×|classes| crossJoin replication), the
+    * per-doc aggregate sums |classes| long columns over one row per
+    * token, and the argmin is array_min over (bits_total, class)
+    * structs on the single aggregated row per doc. Guarded by
+    * [[NbPivotMaxClassesKey]] (default 128): past the budget the
+    * docs×classes kernel of rounds ≤16 runs instead — wide-pivot
+    * plans stop paying past hundreds of columns, and the class list
+    * must be driver-collectable. Measured (ProbeNbSinglePass x100,
+    * interleaved ×3, kept sets identical): capstone stages 5–6
+    * 17.6 → 12.7 s min; the ×5-class blowup of the scoring join and
+    * aggregate map side was the cost. No corpus-sized join-back;
+    * driver-side model state = the ≤budget (class, bdef, bprior)
+    * rows.
     *
     * Output: (doc_id, lang, pred_lang, bits_total, correct) for every
     * held-out doc with at least one token. */
@@ -1298,36 +1308,111 @@ object TextAnalysis {
     * delegates here, so q140's three-sf oracle pins this kernel
     * verbatim. */
   def nbScore(trainDocs: DataFrame, testDocs: DataFrame): DataFrame = {
-    val (scored, cnt) = nbScoredFrame(trainDocs, testDocs)
-    // argmin as an AGGREGATE: min over struct(bits_total, c_lang) is
-    // lexicographic, i.e. exactly the (bits_total asc, c_lang asc)
-    // window's first row. Plan shape (verified .explain on q140): a
-    // partial+final SortAggregate pair over ONE in-partition sort by
-    // the (doc_id, lang) group key, no added exchange — the struct
-    // buffer keeps Min off the hash-agg fast path, but the partial
-    // pre-exchange min is what the window form structurally lacks.
-    // ProbeNbSinglePass hosts the window tail as the A/B alternative
-    // over the SAME [[nbScoredFrame]], so the comparison can never
-    // drift from this kernel's model law.
-    val out = scored
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(min(struct(col("bits_total"), col("c_lang"))).as("m"))
-      .select(col("doc_id"), col("lang"), col("m.c_lang").as("pred_lang"),
-        col("m.bits_total").as("bits_total"),
-        (col("lang") === col("m.c_lang")).as("correct"))
-      .transform(graft.engine.Checkpoints.materialize)
-    cnt.unpersist(blocking = false)
+    val spark = trainDocs.sparkSession
+    val budget = nbPivotMaxClasses(spark)
+    val m = nbModel(trainDocs)
+    // ONE bounded driver action: the per-class constants, capped at
+    // budget+1 rows. Within budget these rows ARE the pivot branch's
+    // literals (class name, unseen-token default, prior), and the
+    // same action materializes the cnt cache both branches read —
+    // so the dispatch costs zero extra passes on the pivot branch
+    // and one cheap (trusted-corpus-sized, cache-backed) action on
+    // the fallback branch.
+    val probe = m.cdef.limit(budget + 1).collect()
+    val out =
+      if (probe.isEmpty) {
+        // no non-NULL-lang train docs: the classic crossJoin with an
+        // empty cdef scored zero rows — reproduce that empty shape
+        testDocs
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("t"))
+          .limit(0)
+          .select(col("doc_id"), col("lang"),
+            col("lang").as("pred_lang"), lit(0L).as("bits_total"),
+            (col("lang") === col("lang")).as("correct"))
+          .transform(graft.engine.Checkpoints.materialize)
+      } else if (probe.length > budget) {
+        // fallback past the pivot budget: the docs×classes kernel —
+        // argmin as an AGGREGATE (min over struct(bits_total, c_lang)
+        // is lexicographic = the (bits asc, class asc) tie-break); a
+        // partial+final SortAggregate pair, no added exchange.
+        // ProbeNbSinglePass hosts the window tail as the A/B twin
+        // over the SAME classicScored, so the comparison cannot
+        // drift from this kernel's law.
+        classicScored(m, testDocs)
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(min(struct(col("bits_total"), col("c_lang"))).as("m"))
+          .select(col("doc_id"), col("lang"),
+            col("m.c_lang").as("pred_lang"),
+            col("m.bits_total").as("bits_total"),
+            (col("lang") === col("m.c_lang")).as("correct"))
+          .transform(graft.engine.Checkpoints.materialize)
+      } else {
+        // the pivot kernel (see the class scaladoc): per-class bits
+        // as |classes| long columns of ONE vocab-sized frame. The
+        // classes sort only fixes column order; the argmin tie-break
+        // itself is array_min's struct comparison (Spark's own string
+        // ordering, the same comparator the classic min(struct) and
+        // the window sort used — no driver-side ordering enters the
+        // law). Pivot columns are renamed positionally (b_0..b_k) so
+        // class strings never need identifier escaping.
+        val classes = probe
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        val bitsPivot = m.bits.groupBy("t")
+          .pivot("c_lang", classes.map(_._1)).agg(first(col("b")))
+          .toDF("t" +: classes.indices.map(i => s"b_$i"): _*)
+        val sums = classes.zipWithIndex.map { case ((_, bdef, _), i) =>
+          // a left-join miss (token unseen in the whole train vocab)
+          // nulls every b_i; a token seen only in OTHER classes nulls
+          // this b_i — both coalesce to the class default, exactly
+          // the classic coalesce(b, bdef)
+          sum(coalesce(col(s"b_$i"), lit(bdef))).as(s"sb_$i") }
+        val testTok = testDocs.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("t"))
+        val argmin = array_min(array(classes.zipWithIndex.map {
+          case ((c, _, bprior), i) =>
+            struct((lit(bprior) + col(s"sb_$i")).as("bits_total"),
+              lit(c).as("c_lang")) }: _*))
+        VocabJoin.join(testTok, bitsPivot, Seq("t"), "left")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sums.head, sums.tail: _*)
+          .select(col("doc_id"), col("lang"), argmin.as("m"))
+          .select(col("doc_id"), col("lang"),
+            col("m.c_lang").as("pred_lang"),
+            col("m.bits_total").as("bits_total"),
+            (col("lang") === col("m.c_lang")).as("correct"))
+          .transform(graft.engine.Checkpoints.materialize)
+      }
+    m.cnt.unpersist(blocking = false)
     out
   }
 
-  /** The NB model build + per-(doc, class) scoring shared by
-    * [[nbScore]] and ProbeNbSinglePass's window-argmin twin: returns
-    * (scored, cnt) where `scored` is the (doc_id, lang, c_lang,
-    * bits_total) frame the argmin runs over and `cnt` is the CACHED
-    * per-class token-stats frame the caller must unpersist AFTER
-    * materializing whatever it derives from `scored`. */
-  private[graft] def nbScoredFrame(trainDocs: DataFrame,
-                                   testDocs: DataFrame): (DataFrame, DataFrame) = {
+  /** Session conf: class-count budget for [[nbScore]]'s pivoted
+    * kernel (default 128). At or under the budget the per-class bits
+    * pivot to columns (one probe row per token, no ×|classes|
+    * replication); past it the docs×classes kernel runs — a pivot
+    * hundreds of columns wide stops paying, and the class constants
+    * must be driver-collectable. Dispatch is testable via
+    * [[nbPivotMaxClasses]] without plan-string reads. */
+  val NbPivotMaxClassesKey = "graft.nb.pivotMaxClasses"
+
+  /** [[NbPivotMaxClassesKey]]'s resolved value (default 128). */
+  def nbPivotMaxClasses(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(NbPivotMaxClassesKey).map(_.toInt).getOrElse(128)
+
+  /** The NB model frames: `cnt` is the CACHED per-(class, token)
+    * train stats the caller must unpersist after materializing what
+    * it derives; `cdef` the ≤|classes|-row per-class constants
+    * (unseen-token default + prior); `bits` the (class, token)
+    * smoothed surprisal table. */
+  private[graft] final case class NbModel(cnt: DataFrame,
+                                          cdef: DataFrame, bits: DataFrame)
+
+  /** One train-slice pass builds the whole model (shared by the
+    * pivot kernel, the fallback docs×classes kernel and the probe
+    * twins — one definition, so no A/B can drift from the law). */
+  private[graft] def nbModel(trainDocs: DataFrame): NbModel = {
     // NULL-lang train docs are dropped BEFORE the class set is built:
     // a NULL class would ride into the argmin tie-break, where Spark's
     // ascending sort puts NULLs first and DuckDB's ORDER BY puts them
@@ -1357,14 +1442,32 @@ object TextAnalysis {
       .select(col("c_lang"), col("t"),
         (length(bin(idiv(col("t_c") + col("v"), col("c") + lit(1L)))) - 1)
           .cast("long").as("b"))
+    NbModel(cnt, cdef, bits)
+  }
+
+  /** The docs×classes per-(doc, class) scoring over an [[NbModel]] —
+    * the pre-r17 kernel body, now the past-budget fallback and the
+    * probe twins' shared base. */
+  private[graft] def classicScored(m: NbModel,
+                                   testDocs: DataFrame): DataFrame = {
     val testTok = testDocs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
-    val scored = VocabJoin.join(
-        testTok.crossJoin(broadcast(cdef)), bits, Seq("c_lang", "t"), "left")
+    VocabJoin.join(
+        testTok.crossJoin(broadcast(m.cdef)), m.bits,
+        Seq("c_lang", "t"), "left")
       .groupBy(col("doc_id"), col("lang"), col("c_lang"), col("bprior"))
       .agg(sum(coalesce(col("b"), col("bdef"))).as("sb"))
       .select(col("doc_id"), col("lang"), col("c_lang"),
         (col("bprior") + col("sb")).as("bits_total"))
-    (scored, cnt)
+  }
+
+  /** The docs×classes scored frame + its cache handle — kept for
+    * ProbeNbSinglePass's window-argmin twin: returns (scored, cnt)
+    * where `cnt` must be unpersisted by the caller AFTER
+    * materializing what it derives from `scored`. */
+  private[graft] def nbScoredFrame(trainDocs: DataFrame,
+                                   testDocs: DataFrame): (DataFrame, DataFrame) = {
+    val m = nbModel(trainDocs)
+    (classicScored(m, testDocs), m.cnt)
   }
 }

@@ -46,8 +46,19 @@ import graft.queries.Capstone
   * comparison interleaves variants inside ONE session over ONE
   * pinned stage-4 frame — the ProbeLmDispatch discipline.
   *
+  * Round 17 second half added the `pivot` mode — the CLASS-PIVOTED
+  * production kernel (TextAnalysis.nbScore's ≤budget branch; per-class
+  * bits as |C| columns of one vocab-sized frame, no ×|C| crossJoin) —
+  * against `classic` = the SAME production entry with the pivot budget
+  * conf forced to 0 (the docs×classes fallback branch), so both twins
+  * are production code paths. MEASURED (x100, interleaved ×3, kept
+  * sets identical, 69,634): classic min 17.62 s vs pivot min 12.71 s
+  * on stages 5–6 — the ×|C| scoring blowup was real cost, and the
+  * pivot SHIPPED as the default.
+  *
   * Usage: ProbeNbSinglePass [dir] [reps] [modes]
-  *   (default /tmp/scale_x100 2 classic,counts). */
+  *   (default /tmp/scale_x100 2 classic,counts;
+  *    modes: classic|counts|window|pivot). */
 object ProbeNbSinglePass {
 
   /** Per-document token multiplicities — the shared-pass frame.
@@ -244,10 +255,20 @@ object ProbeNbSinglePass {
         case "window" =>
           val s1 = nbGateWindow(dec)
           Seq(s1, Capstone.ceSelect(s1))
-        case "classic" =>
+        case "pivot" =>
+          // the round-17 production default (class-pivoted nbScore)
           val s1 = Capstone.nbGate(dec)
           Seq(s1, Capstone.ceSelect(s1))
-        case m => sys.error(s"unknown mode '$m' (classic|counts|window)")
+        case "classic" =>
+          // the pre-r17 docs×classes kernel, forced via the pivot
+          // budget conf so the twin is the production fallback branch
+          // itself, never a transcription
+          spark.conf.set(TextAnalysis.NbPivotMaxClassesKey, "0")
+          try {
+            val s1 = Capstone.nbGate(dec)
+            Seq(s1, Capstone.ceSelect(s1))
+          } finally spark.conf.unset(TextAnalysis.NbPivotMaxClassesKey)
+        case m => sys.error(s"unknown mode '$m' (classic|counts|window|pivot)")
       }
       val ids = frames.last.select("doc_id").collect().map(_.getLong(0))
         .sorted.toSeq

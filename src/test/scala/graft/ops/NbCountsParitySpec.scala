@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 /** The token-count LM kernel VARIANTS hosted in
   * [[graft.tools.ProbeNbSinglePass]] (docTokenCounts /
   * nbLangClassifierCounts / crossEntropySelectCounts) — the
-  * shared-single-tokenize-pass forms round 17 MEASURED ~2× slower
-  * than the gated per-occurrence kernels and therefore did NOT ship
-  * in the capstone (see the probe's scaladoc + PLANS "Round 17").
+  * shared-single-tokenize-pass forms round 17 measured a WASH against
+  * the gated per-occurrence kernels (the first "~2× slower" reading
+  * was the probe's own cache bias — postmortem in PLANS "Round 17")
+  * and therefore did NOT ship in the capstone.
   * The probe's A/B conclusion is only meaningful if the variants
   * compute the same rows, so the binding contract stays pinned: every
   * Σ_tokens f(t) term replayed as Σ_distinct cnt·f(t), integer math
@@ -116,6 +117,39 @@ class NbCountsParitySpec extends SparkSpec {
     assert(gatedIds === (trustIds ++ sliceIds))
     graft.engine.Checkpoints.release(gated)
     graft.engine.Checkpoints.release(trust)
+  }
+
+  test("nbScore's pivot and past-budget fallback branches are " +
+    "row-identical on the edge corpus, and argmin ties break to the " +
+    "lexicographically smallest class in both") {
+    val docs = handCorpus
+    def run() = TextAnalysis.nbLangClassifier(docs)
+      .orderBy("doc_id").collect().toSeq.map(_.toString)
+    val pivot = run() // default budget (128) → pivot branch
+    spark.conf.set(TextAnalysis.NbPivotMaxClassesKey, "0")
+    val fallback = try run()
+      finally spark.conf.unset(TextAnalysis.NbPivotMaxClassesKey)
+    assert(pivot === fallback, "pivot vs fallback diverged")
+    // constructed exact tie: identical per-class stats (both classes
+    // train on the same text, same doc count), so every held-out
+    // score ties across classes and the argmin must pick the
+    // lexicographically smallest class — in the pivot branch that is
+    // array_min's struct comparison, in the fallback min(struct)
+    val sp = spark
+    import sp.implicits._
+    val train = Seq((1L, "aa", "xx"), (2L, "bb", "xx"))
+      .toDF("doc_id", "lang", "text")
+    val test_ = Seq((10L, "bb", "xx"), (11L, "aa", "yy unseen"))
+      .toDF("doc_id", "lang", "text")
+    def preds() = TextAnalysis.nbScore(train, test_)
+      .orderBy("doc_id").collect().toSeq
+    val pPiv = preds()
+    spark.conf.set(TextAnalysis.NbPivotMaxClassesKey, "0")
+    val pCls = try preds()
+      finally spark.conf.unset(TextAnalysis.NbPivotMaxClassesKey)
+    assert(pPiv.map(_.toString) === pCls.map(_.toString))
+    assert(pPiv.forall(_.getString(2) == "aa"),
+      s"tie must break to the smallest class: $pPiv")
   }
 
   test("parity holds on the real documents tables (sf0.001 and " +
