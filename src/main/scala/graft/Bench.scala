@@ -396,14 +396,21 @@ object Bench {
     // cost under ~90 bytes, which coverage can always pay for). What
     // degrades instead: precision (2 → 1 decimals), then the slim
     // form (no unit, basename sf), then per-query COVERAGE — the dec1
-    // top-TopKDec1 level keeps decimals for every query a regression
-    // read actually inspects (plus all flaky names) and says
-    // "omitted":N about the fast tail; integer values for 0.2 s
-    // queries carry no signal at all, so the integer levels are last.
+    // top-K levels keep decimals for every query a regression read
+    // actually inspects (plus all flaky names) and say "omitted":N
+    // about the fast tail. Round 18 (r17 verdict item 2): COVERAGE
+    // degrades BEFORE precision ever drops below one decimal — the
+    // r17 sweep's 33 flaky names pushed the dec1 top-48 level over
+    // budget and the line fell to INTEGER values, quantizing every
+    // sub-2 s query by ±0.5 s; PERF_r17 then computed 19 false
+    // "regressions" from those integers. A 0.2 s query's integer
+    // value carries no signal at all, so the integer levels survive
+    // only as the truly-last resort below the K=16 dec1 cut (a
+    // registry would need ~60+ flaky LONG names to reach them).
     val levels = Seq(
       (2, false, 0), (1, false, 0), (1, true, 0),
-      (1, true, TopKDec1),
-      (0, false, 0), (0, true, 0),
+      (1, true, TopKDec1), (1, true, 40), (1, true, TopKFallback),
+      (1, true, 24), (1, true, 16),
       (0, true, TopKFallback))
     levels.iterator.map((build _).tupled).find(_.length < LineBudget)
       .getOrElse(build(0, slim = true, TopKFallback))

@@ -62,7 +62,7 @@ object Packing {
       // window sum here while DuckDB's window sum (which skips NULLs)
       // would still produce a defined offset — the two engines would
       // silently disagree on every later doc's start_offset.
-      coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+      coalesce(graft.functions.QualityFunctions.nTokens(col("text")), lit(0L))
         .as("n_tokens") +:
       floor(col("doc_id") / lit(bucketSize)).cast("long").as("bucket") +:
       keepCols.map(col): _*)
@@ -150,7 +150,7 @@ object Packing {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(lenBucket >= 1, s"lenBucket must be >= 1, got $lenBucket")
     val toks = docs.select(col("doc_id"),
-      coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+      coalesce(graft.functions.QualityFunctions.nTokens(col("text")), lit(0L))
         .as("n_tokens"))
     val b = toks.withColumn("lbucket",
       floor(col("n_tokens") / lit(lenBucket)).cast("long"))
@@ -184,7 +184,7 @@ object Packing {
       .select(lit("length").as("strategy"), col("batch_id"),
         col("n_tokens"))
     val toks = docs.select(col("doc_id"),
-      coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+      coalesce(graft.functions.QualityFunctions.nTokens(col("text")), lit(0L))
         .as("n_tokens"))
       .withColumn("bucket", floor(col("doc_id") / lit(idBucket)).cast("long"))
     val inB = toks.withColumn("rin",

@@ -65,8 +65,31 @@ object TextAnalysis {
   }
 
   /** Quality metrics: char/word counts, punctuation count, stopword
-    * count, avg word length (floor-scaled x1000). */
+    * count, avg word length (floor-scaled x1000). Round 18: computed
+    * by the fused byte-scan kernel
+    * ([[graft.functions.QualityKernel]]) instead of the ~14-pass
+    * Column chain (lower+concat, 8 full-copy `replace` passes, a
+    * token-array `split`, a regex count — per row); the chain
+    * survives as [[qualityColumns]], the spec-pinned equivalence twin
+    * (QualityKernelSpec: row-identical incl. unicode-lowercase,
+    * tab/newline boundary and shared-delimiter-stopword edges). */
   def quality(docs: DataFrame): DataFrame = {
+    val s = graft.functions.QualityFunctions
+      .qualityStats(col("text"), QualityStopwords)
+    docs.select(
+      col("doc_id"),
+      s.getField("n_chars").as("n_chars"),
+      s.getField("n_words").as("n_words"),
+      s.getField("n_punct").as("n_punct"),
+      s.getField("n_stopwords").as("n_stopwords"),
+      s.getField("avg_word_len_x1000").as("avg_word_len_x1000"))
+  }
+
+  /** The pre-round-18 Column-chain [[quality]] — kept ONLY as the
+    * kernel's equivalence twin (QualityKernelSpec) and the A/B probe
+    * body (ProbeQualityKernel), so the measured comparison can never
+    * drift from what production replaced. */
+  private[graft] def qualityColumns(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nWords = size(tokens(t)).cast("long")
     val padded = concat(lit(" "), lower(t), lit(" "))
@@ -109,7 +132,12 @@ object TextAnalysis {
     * would re-shuffle the corpus. Same expressions, same integer-exact
     * thresholds; QualityKeepSpec asserts row-for-row agreement with
     * `qualityGates(docs).keep`. */
-  def qualityKeep(t: Column): Column = {
+  def qualityKeep(t: Column): Column =
+    graft.functions.QualityFunctions.qualityKeep(t, QualityStopwords)
+
+  /** The pre-round-18 Column-chain [[qualityKeep]] — the kernel's
+    * equivalence twin (QualityKernelSpec / ProbeQualityKernel only). */
+  private[graft] def qualityKeepColumns(t: Column): Column = {
     val nWords = size(tokens(t)).cast("long")
     val padded = concat(lit(" "), lower(t), lit(" "))
     val stop = QualityStopwords.map(w => occ(padded, s" $w ")).reduce(_ + _)
@@ -122,8 +150,21 @@ object TextAnalysis {
 
   /** The [[piiScrub]] redaction chain as ONE Column (email → phone →
     * IP, same order, same RE2-subset patterns) — the composition form
-    * for pipelines that scrub without the count columns. */
+    * for pipelines that scrub without the count columns. Round 18:
+    * fused into [[graft.functions.RegexScrubExpr]] — one
+    * UTF8String↔String round trip instead of three, and a pass whose
+    * pattern finds no match (most documents carry no PII) reuses its
+    * input with zero copies; the chain survives as
+    * [[scrubTextColumns]], the spec-pinned equivalence twin. */
   def scrubText(t: Column): Column =
+    graft.functions.QualityFunctions.regexScrub(t,
+      Seq(EmailRe, PhoneRe, IpRe), Seq("<EMAIL>", "<PHONE>", "<IP>"))
+      .getField("scrubbed")
+
+  /** The pre-round-18 chained-`regexp_replace` [[scrubText]] — the
+    * kernel's equivalence twin (QualityKernelSpec /
+    * ProbeQualityKernel only). */
+  private[graft] def scrubTextColumns(t: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(t,
       EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
 
@@ -132,7 +173,7 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      graft.functions.QualityFunctions.nTokens(col("text")).as("ws_tokens"),
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
         .cast("long").as("bpe_ish_tokens"))
 
@@ -677,7 +718,8 @@ object TextAnalysis {
     * DISTINCT token counts, not corpus rows) against refactors that
     * would silently put the corpus under an unpartitioned window. */
   private[graft] def lengthHistogram(docs: DataFrame): DataFrame =
-    docs.select(coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+    docs.select(coalesce(
+        graft.functions.QualityFunctions.nTokens(col("text")), lit(0L))
         .as("n_tokens"))
       .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
 
@@ -691,7 +733,8 @@ object TextAnalysis {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     val toks = docs.withColumn("n_tokens",
-      coalesce(size(tokens(col("text"))).cast("long"), lit(0L)))
+      coalesce(graft.functions.QualityFunctions.nTokens(col("text")),
+        lit(0L)))
     val hist = lengthHistogram(docs)
     val w = org.apache.spark.sql.expressions.Window.orderBy("n_tokens")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -740,6 +783,23 @@ object TextAnalysis {
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   def piiScrub(docs: DataFrame): DataFrame = {
+    // Round 18: one fused kernel pass — each count IS the number of
+    // replacements its pass made (regexp_count(t_i, p_i) over pass i's
+    // input, for free), where the Column chain paid one regexp_replace
+    // AND one regexp_count NFA scan per pattern per row. Twin:
+    // [[piiScrubColumns]] (QualityKernelSpec row-identity).
+    val s = graft.functions.QualityFunctions.regexScrub(col("text"),
+      Seq(EmailRe, PhoneRe, IpRe), Seq("<EMAIL>", "<PHONE>", "<IP>"))
+    docs.select(col("doc_id"),
+      s.getField("n_0").as("n_emails"),
+      s.getField("n_1").as("n_phones"),
+      s.getField("n_2").as("n_ips"),
+      s.getField("scrubbed").as("scrubbed_text"))
+  }
+
+  /** The pre-round-18 Column-chain [[piiScrub]] — the kernel's
+    * equivalence twin (QualityKernelSpec / ProbeQualityKernel only). */
+  private[graft] def piiScrubColumns(docs: DataFrame): DataFrame = {
     val (email, phone, ip) = (EmailRe, PhoneRe, IpRe)
     val t0 = col("text")
     val t1 = regexp_replace(t0, email, "<EMAIL>")

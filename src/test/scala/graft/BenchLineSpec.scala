@@ -140,6 +140,35 @@ class BenchLineSpec extends AnyFunSuite {
       s"flagged name must survive every ladder level: $line")
   }
 
+  test("r17 regression shape: at today's registry with 33 flaky names, " +
+    "every reported per-query value still carries >= 1 decimal") {
+    // the r17 driver sweep: 147 queries, flaky_n=33 — the flaky-name
+    // union pushed the dec1 top-48 level over budget and the ladder
+    // fell to INTEGERS, so PERF_r17 computed 19 "regressions" from
+    // ±0.5 s quantization noise. Coverage must degrade first (smaller
+    // top-K), precision never below one decimal at this shape.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rs = names.zipWithIndex.map { case (n, i) =>
+      val t = 0.5 + (i % 45) * 0.5 // realistic 0.5–22.5 s spread
+      val h = if (i % 5 == 0 && i < 165) Some(t / 3) else None // 30+ suspect
+      (n, Bench.Probe(t, t + 0.07, None, hist = h))
+    }
+    assert(rs.count(_._2.flaky) >= 30, "fixture must reproduce flaky_n>=30")
+    val line = Bench.compactLine(rs, "/root/testdata/sf0.1")
+    assert(line.length < Bench.LineBudget, s"${line.length} over budget")
+    // no per-query value may be a bare integer: every ":<digits>" must
+    // continue with a decimal point (total/best_total carry 2 decimals
+    // by construction; epoch/flaky_n/omitted are not query keys)
+    val intValued = """"q[0-9A-Za-z_]+":(\d+)[,}]""".r
+      .findAllMatchIn(line).map(_.group(0)).toSeq
+    assert(intValued.isEmpty,
+      s"integer-quantized query values survived the ladder: $intValued\n$line")
+    // and it still accounts for the whole registry
+    val om = """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    val shown = (""""q[0-9A-Za-z_]+":""".r.findAllIn(line).length - 1)
+    assert(om.exists(_ + shown == names.size), s"shown=$shown om=$om")
+  }
+
   test("a FAST flagged query survives the top-K coverage cut by name " +
     "and value, and its recorded value is the reprobe minimum") {
     // 150 slow queries force the bounded top-K fallback; the one
