@@ -1340,7 +1340,7 @@ object TextAnalysis {
     * plans stop paying past hundreds of columns, and the class list
     * must be driver-collectable. Measured (ProbeNbSinglePass x100,
     * interleaved ×3, kept sets identical): capstone stages 5–6
-    * 17.6 → 12.7 s min; the ×5-class blowup of the scoring join and
+    * 19.52 → 12.18 s min; the ×5-class blowup of the scoring join and
     * aggregate map side was the cost. No corpus-sized join-back;
     * driver-side model state = the ≤budget (class, bdef, bprior)
     * rows.
@@ -1434,7 +1434,14 @@ object TextAnalysis {
           case ((c, _, bprior), i) =>
             struct((lit(bprior) + col(s"sb_$i")).as("bits_total"),
               lit(c).as("c_lang")) }: _*))
-        VocabJoin.join(testTok, bitsPivot, Seq("t"), "left")
+        // joinCached (round 18, r17 ADVICE 3): plain join's dispatch
+        // count evaluated the vocab-sized pivot aggregate once for
+        // the count and AGAIN as the build side — cheap only because
+        // cnt is cached, but still one whole vocab-sized aggregation
+        // per execution; the cache serves both, and its one-shot
+        // release listener fires on the materialize action below
+        // (which contains both the pivot and the token stream)
+        VocabJoin.joinCached(testTok, bitsPivot, Seq("t"), "left")
           .groupBy(col("doc_id"), col("lang"))
           .agg(sums.head, sums.tail: _*)
           .select(col("doc_id"), col("lang"), argmin.as("m"))

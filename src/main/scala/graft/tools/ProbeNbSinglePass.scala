@@ -52,7 +52,10 @@ import graft.queries.Capstone
   * against `classic` = the SAME production entry with the pivot budget
   * conf forced to 0 (the docs×classes fallback branch), so both twins
   * are production code paths. MEASURED (x100, interleaved ×3, kept
-  * sets identical, 69,634): classic min 17.62 s vs pivot min 12.71 s
+  * sets identical, 69,634): classic min 19.52 s vs pivot min 12.18 s
+  * (the canonical run, quoted by OPTIMIZATION_r17/PLANS/COVERAGE; an
+  * earlier same-day run read 17.62/12.71 — r17 ADVICE item 4 aligned
+  * every doc on the canonical pair)
   * on stages 5–6 — the ×|C| scoring blowup was real cost, and the
   * pivot SHIPPED as the default.
   *
