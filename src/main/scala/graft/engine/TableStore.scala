@@ -111,6 +111,30 @@ object TableStore {
     s"${table}_wh_$hex"
   }
 
+  /** A catalog table's bucket spec, for absorb paths that `insertInto`
+    * a bucketed table: (numBuckets, bucket columns), None when the
+    * table is unbucketed or unreadable. Lets a delta append
+    * pre-shuffle to one file per touched bucket (see [[writeBucketed]]
+    * — an un-repartitioned append writes tasks × buckets files, so
+    * after N absorbs the probe pays N × tasks opens per bucket and
+    * the file count scales with the WRITER's core count). */
+  def bucketSpecOf(spark: SparkSession, name: String): Option[(Int, Seq[String])] =
+    try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      spark.sessionState.catalog.getTableMetadata(id).bucketSpec
+        .map(b => (b.numBuckets, b.bucketColumnNames.toSeq))
+    } catch { case _: Throwable => None }
+
+  /** Repartition `rows` onto `table`'s bucket layout (identity when
+    * the table is unbucketed) — the [[writeBucketed]] one-file-per-
+    * bucket contract for `insertInto` appends. */
+  def toBucketLayout(spark: SparkSession, table: String,
+                     rows: DataFrame): DataFrame =
+    bucketSpecOf(spark, table).fold(rows) { case (n, cols) =>
+      rows.repartition(n,
+        cols.map(org.apache.spark.sql.functions.col): _*)
+    }
+
   /** Bucketed write: pre-shuffles rows into a fixed bucket layout on
     * `bucketCols` so every subsequent equi-join or aggregation keyed on
     * them reads co-located buckets and SKIPS the exchange — the
@@ -137,10 +161,30 @@ object TableStore {
     * Bucket ids ride in the staged file NAMES (`..._00007.c000...`), so
     * re-declaring `CLUSTERED BY` over the moved files preserves the
     * layout. Returns the namespaced catalog name to query.
-    * BucketedJoinSpec asserts the no-exchange plan. */
-  def writeBucketed(df: DataFrame, warehouse: String, table: String,
+    * BucketedJoinSpec asserts the no-exchange plan.
+    *
+    * Round 18 (guide §6 small files; the q128 8-beats-32 diagnosis):
+    * the input is repartitioned on the bucket key HERE, so every
+    * bucketed write emits exactly ONE file per non-empty bucket —
+    * bucketBy otherwise splits per input task (files = tasks ×
+    * buckets touched), which coupled the on-disk file count to the
+    * writer's core count: at local[32] the q128 lifecycle's
+    * build+absorbs left 768 files where local[8] left 192, and the
+    * compact's snapshot read paid one task per file (measured
+    * stage-level: 768 scan tasks, 53 s of run-minus-cpu scheduling
+    * overhead vs 2.1 s at 8 cores — the whole "faster at 8 cores"
+    * inversion). repartition's HashPartitioning IS the bucket-id
+    * function, so this is the q128-compactor contract applied at
+    * EVERY bucketed write; callers that already repartition (the
+    * compactor, the purge) collapse to one exchange
+    * (CollapseRepartition). The exchange is index-sized and paid at
+    * build time; production sizes nBuckets so one file per bucket is
+    * the 128 MB–1 GB guide §6 target. */
+  def writeBucketed(df0: DataFrame, warehouse: String, table: String,
                     nBuckets: Int, bucketCols: Seq[String],
                     sortCols: Seq[String] = Nil): String = {
+    val df = df0.repartition(nBuckets,
+      bucketCols.map(org.apache.spark.sql.functions.col): _*)
     val spark = df.sparkSession
     val name = bucketedName(spark, warehouse, table)
     val staging = s"${name}_staging"

@@ -798,7 +798,8 @@ object IvfIndex {
         nProbe, chunkSize, kEstimate)
       .join(dBase.select("vec_id", "v", "nrm"), Seq("vec_id"))
       .select("cell", "vec_id", "v", "nrm")
-    rows.write.mode("append").insertInto(indexName)
+    graft.engine.TableStore.toBucketLayout(delta.sparkSession, indexName,
+      rows).write.mode("append").insertInto(indexName)
     dBase.unpersist(blocking = false)
   }
 

@@ -462,11 +462,11 @@ object Retrieval {
     val base = delta.select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
       .cache()
-    base
+    graft.engine.TableStore.toBucketLayout(spark, postingsTable, base
       .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
       .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+      .select(col("token"), col("doc_id"), col("dl"), col("tf")))
       .write.mode("append").insertInto(postingsTable)
     val d = base.agg(count(lit(1)), sum(col("dl"))).head()
     base.unpersist(blocking = false)

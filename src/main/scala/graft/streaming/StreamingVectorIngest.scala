@@ -104,7 +104,8 @@ object StreamingVectorIngest {
               indexName: String): Long = {
     val rows = staged(spark, warehouse, stagingTable)
     val n = rows.count()
-    if (n > 0) rows.write.mode("append").insertInto(indexName)
+    if (n > 0) TableStore.toBucketLayout(spark, indexName, rows)
+      .write.mode("append").insertInto(indexName)
     n
   }
 }
